@@ -1,0 +1,361 @@
+"""Flagship configurable 2D/3D U-Net, TPU-native.
+
+Re-design of the reference flagship model
+(elektronn3/models/unet.py:550-935) in flax/JAX with channels-last
+layout:
+
+- Input: ``(N, H, W, C)`` for ``dim=2``; ``(N, D, H, W, C)`` for
+  ``dim=3``. Channels-last keeps C in TPU lanes so XLA maps convs to the
+  MXU directly.
+- Config surface parity: ``n_blocks``, ``start_filts``, ``up_mode``
+  ('transpose' | 'resizeconv_nearest' | 'resizeconv_linear' |
+  'resizeconv_nearest1' | 'resizeconv_linear1'), ``merge_mode``
+  ('concat' | 'add'), ``planar_blocks`` (anisotropic 1x3x3 kernels +
+  1x2x2 pooling), ``activation``, ``normalization``
+  ('batch'/'instance'/'group'/'group<G>'/'none'), ``attention`` (grid
+  attention, arXiv:1804.03999), ``full_norm``, ``dim``, ``conv_mode``
+  ('same' | 'valid').
+- Block op order parity (post-activation normalization, see
+  unet.py:245-253 DownConv.forward and :385-409 UpConv.forward):
+  conv → norm → act (reference applies norm before act inside blocks).
+- ``autocrop`` (unet.py:256-325) handles odd-shape/valid-conv merging —
+  shapes are static under jit, so crops resolve at trace time.
+- Gradient checkpointing: ``checkpointing=True`` wraps each block in
+  ``jax.checkpoint`` (reference forward_gradcp, unet.py:918-935).
+- Mixed precision: pass ``dtype=jnp.bfloat16`` for bf16 compute with
+  fp32 params (TPU-native AMP; no loss scaling needed).
+
+Weight init parity: Xavier/Glorot normal for conv kernels, zeros for
+biases (unet.py:883-892).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from elektronn3_tpu.modules.layers import (
+    GridAttention,
+    apply_norm,
+    conv_kernel,
+    get_activation,
+    get_normalization,
+    pool_window,
+    resize_linear,
+    resize_nearest,
+)
+
+Dtype = Any
+
+UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
+            "resizeconv_nearest1", "resizeconv_linear1")
+MERGE_MODES = ("concat", "add")
+CONV_MODES = ("same", "valid")
+
+_kernel_init = nn.initializers.xavier_normal()
+
+
+def _ceil_maxpool(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
+    """Max pool with ceil_mode=True semantics (reference DownConv uses
+    MaxPool(ceil_mode=True), unet.py:229): pad odd spatial dims with -inf
+    so no input element is dropped."""
+    pads = [(0, 0)]
+    needs_pad = False
+    for s, w in zip(x.shape[1:-1], window):
+        r = (-s) % w
+        pads.append((0, r))
+        needs_pad = needs_pad or r > 0
+    pads.append((0, 0))
+    if needs_pad:
+        x = jnp.pad(x, pads, constant_values=-jnp.inf)
+    return nn.max_pool(x, tuple(window), strides=tuple(window))
+
+
+def autocrop(from_down: jnp.ndarray,
+             from_up: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crop encoder/decoder features so they can be merged.
+
+    Channels-last port of the reference's TorchScript autocrop
+    (unet.py:256-325): (1) crop the upsampled decoder tensor by 1 in dims
+    where the shape difference is odd (ceil-mode pooling artifact);
+    (2) center-crop the encoder tensor for valid-conv shape shrinkage.
+    All shapes are static at trace time.
+    """
+    ds = from_down.shape[1:-1]
+    us = from_up.shape[1:-1]
+    if ds == us:
+        return from_down, from_up
+    # Step 1: odd-shape handling
+    upcrop = [u - ((u - d) % 2) for d, u in zip(ds, us)]
+    slc = (slice(None),) + tuple(slice(0, c) for c in upcrop) + (slice(None),)
+    from_up = from_up[slc]
+    # Step 2: center-crop for valid convs
+    ds = from_down.shape[1:-1]
+    us = from_up.shape[1:-1]
+    for d, u in zip(ds, us):
+        assert d >= u, f"Encoder feature smaller than decoder: {ds} vs {us}"
+    slc = (slice(None),) + tuple(
+        slice((d - u) // 2, (d + u) // 2) for d, u in zip(ds, us)
+    ) + (slice(None),)
+    from_down = from_down[slc]
+    return from_down, from_up
+
+
+class DownConv(nn.Module):
+    """Two convolutions + optional max-pool. Reference unet.py:202-253."""
+    out_channels: int
+    pooling: bool = True
+    planar: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: Optional[str] = "batch"
+    full_norm: bool = True
+    dim: int = 3
+    conv_mode: str = "same"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ks = conv_kernel(3, self.dim, self.planar)
+        padding = "SAME" if self.conv_mode == "same" else "VALID"
+        act = get_activation(self.activation)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(x)
+        if self.full_norm:
+            y = apply_norm(get_normalization(self.normalization, **norm_kw),
+                           y, train=train)
+        y = act(y)
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(y)
+        y = apply_norm(get_normalization(self.normalization, **norm_kw),
+                       y, train=train)
+        y = act(y)
+        before_pool = y
+        if self.pooling:
+            y = _ceil_maxpool(y, pool_window(self.dim, self.planar))
+        return y, before_pool
+
+
+class ResizeConv(nn.Module):
+    """2x resize + conv upsampling (anti-checkerboard). Reference
+    unet.py:411-449."""
+    out_channels: int
+    kernel_size: int = 3
+    planar: bool = False
+    dim: int = 3
+    upsampling_mode: str = "nearest"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        factor = pool_window(self.dim, self.planar)
+        if self.upsampling_mode == "nearest":
+            up = resize_nearest(x, factor)
+        else:
+            up = resize_linear(x, factor)
+        if self.kernel_size == 3:
+            ks = conv_kernel(3, self.dim, self.planar)
+            pad = "SAME"
+        elif self.kernel_size == 1:
+            ks = (1,) * self.dim
+            pad = "VALID"
+        else:
+            raise ValueError(
+                f"kernel_size={self.kernel_size} not supported. Choose 1 or 3.")
+        return nn.Conv(self.out_channels, ks, padding=pad,
+                       kernel_init=_kernel_init, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(up)
+
+
+class UpConv(nn.Module):
+    """Upsample + merge skip + two convolutions. Reference
+    unet.py:328-409."""
+    in_channels: int
+    out_channels: int
+    merge_mode: str = "concat"
+    up_mode: str = "transpose"
+    planar: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: Optional[str] = "batch"
+    full_norm: bool = True
+    dim: int = 3
+    conv_mode: str = "same"
+    attention: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, dec, train: bool = True):
+        ks = conv_kernel(3, self.dim, self.planar)
+        padding = "SAME" if self.conv_mode == "same" else "VALID"
+        act = get_activation(self.activation)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # Upsample decoder features
+        if self.up_mode == "transpose":
+            window = pool_window(self.dim, self.planar)
+            updec = nn.ConvTranspose(
+                self.out_channels, window, strides=window,
+                kernel_init=_kernel_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="upconv")(dec)
+        elif self.up_mode.startswith("resizeconv"):
+            mode = "nearest" if "nearest" in self.up_mode else "linear"
+            kernel_size = 1 if self.up_mode.endswith("1") else 3
+            updec = ResizeConv(self.out_channels, kernel_size=kernel_size,
+                               planar=self.planar, dim=self.dim,
+                               upsampling_mode=mode, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="upconv")(dec)
+        else:
+            raise ValueError(f"Unknown up_mode {self.up_mode!r}")
+
+        enc, updec = autocrop(enc, updec)
+        att = None
+        if self.attention:
+            enc, att = GridAttention(
+                in_channels=enc.shape[-1], gating_channels=dec.shape[-1],
+                dim=self.dim, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="attention")(enc, dec)
+        if self.full_norm:
+            updec = apply_norm(
+                get_normalization(self.normalization, **norm_kw), updec,
+                train=train)
+        updec = act(updec)
+        if self.merge_mode == "concat":
+            mrg = jnp.concatenate([updec, enc], axis=-1)
+        else:
+            mrg = updec + enc
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(mrg)
+        if self.full_norm:
+            y = apply_norm(get_normalization(self.normalization, **norm_kw),
+                           y, train=train)
+        y = act(y)
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(y)
+        y = apply_norm(get_normalization(self.normalization, **norm_kw),
+                       y, train=train)
+        y = act(y)
+        return y, att
+
+
+class UNet(nn.Module):
+    """Configurable 2D/3D U-Net for dense prediction on (an)isotropic
+    volumetric data. See module docstring; reference unet.py:550-935.
+
+    Input: channels-last ``(N, [D,] H, W, C_in)``.
+    Output: raw logits ``(N, [D,] H, W, out_channels)`` (apply softmax in
+    the loss, reference unet.py:911).
+    """
+    in_channels: int = 1
+    out_channels: int = 2
+    n_blocks: int = 3
+    start_filts: int = 32
+    up_mode: str = "transpose"
+    merge_mode: str = "concat"
+    planar_blocks: Sequence[int] = ()
+    batch_norm: str = "unset"  # deprecated alias guard (unet.py:768-778)
+    attention: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: str = "batch"
+    full_norm: bool = True
+    dim: int = 3
+    conv_mode: str = "same"
+    checkpointing: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def _validate(self):
+        if self.n_blocks < 1:
+            raise ValueError("n_blocks must be > 0")
+        if self.up_mode not in UP_MODES:
+            raise ValueError(f'"{self.up_mode}" is not a valid mode for upsampling')
+        if self.merge_mode not in MERGE_MODES:
+            raise ValueError(
+                f'"{self.merge_mode}" is not a valid mode for merging')
+        if self.conv_mode not in CONV_MODES:
+            raise ValueError(f'"{self.conv_mode}" is not a valid conv_mode')
+        if self.dim not in (2, 3):
+            raise ValueError("dim has to be 2 or 3")
+        if len(self.planar_blocks) > self.n_blocks:
+            raise ValueError(
+                "planar_blocks can't be longer than n_blocks")
+        if self.planar_blocks and (
+                max(self.planar_blocks) >= self.n_blocks
+                or min(self.planar_blocks) < 0):
+            raise ValueError(
+                "planar_blocks has invalid value range. All values have to "
+                "be block indices, meaning integers between 0 and "
+                f"n_blocks-1={self.n_blocks - 1}.")
+        if self.batch_norm != "unset":
+            raise RuntimeError(
+                "The `batch_norm` option has been replaced with the more "
+                "general `normalization` option.")
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        self._validate()
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"Input has {x.shape[-1]} channels (last axis), model "
+                f"expects {self.in_channels}. Input layout must be "
+                "channels-last (N, [D,] H, W, C).")
+
+        block_kw = dict(
+            activation=self.activation, normalization=self.normalization,
+            full_norm=self.full_norm, dim=self.dim,
+            conv_mode=self.conv_mode, dtype=self.dtype,
+            param_dtype=self.param_dtype)
+
+        # Gradient checkpointing after each block (reference
+        # forward_gradcp, unet.py:918-935) via flax's jax.checkpoint
+        # lifting. static_argnums counts the module itself as 0.
+        DownCls = (nn.remat(DownConv, static_argnums=(2,))
+                   if self.checkpointing else DownConv)
+        UpCls = (nn.remat(UpConv, static_argnums=(3,))
+                 if self.checkpointing else UpConv)
+
+        encoder_outs = []
+        outs = self.start_filts
+        for i in range(self.n_blocks):
+            pooling = i < self.n_blocks - 1
+            planar = i in self.planar_blocks
+            outs = self.start_filts * (2 ** i)
+            down = DownCls(outs, pooling=pooling, planar=planar,
+                           name=f"down_{i}", **block_kw)
+            x, before_pool = down(x, train)
+            encoder_outs.append(before_pool)
+
+        for i in range(self.n_blocks - 1):
+            ins = outs
+            outs = ins // 2
+            planar = (self.n_blocks - 2 - i) in self.planar_blocks
+            up = UpCls(ins, outs, merge_mode=self.merge_mode,
+                       up_mode=self.up_mode, planar=planar,
+                       attention=self.attention, name=f"up_{i}", **block_kw)
+            before_pool = encoder_outs[-(i + 2)]
+            x, _att = up(before_pool, x, train)
+
+        x = nn.Conv(self.out_channels, (1,) * self.dim,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_final")(x)
+        return x.astype(jnp.float32)
+
+
+def init_unet(model: UNet, input_shape: Sequence[int],
+              rng: Optional[jax.Array] = None):
+    """Initialize UNet variables for a channels-last input shape."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    x = jnp.zeros(tuple(input_shape), model.dtype)
+    return model.init({"params": rng, "dropout": rng}, x, train=False)

@@ -1,0 +1,383 @@
+"""Core NN building blocks, TPU-first.
+
+Design notes
+------------
+All blocks operate on **channels-last** tensors — ``(N, H, W, C)`` in 2D
+and ``(N, D, H, W, C)`` in 3D. Channels-last is the native XLA:TPU layout:
+convolutions tile directly onto the MXU with the channel dimension in
+lanes, avoiding the relayout transposes a torch-style NCDHW framework
+would pay on every op.
+
+Mixed precision: every block takes a ``dtype`` (compute dtype, default
+bfloat16-friendly float32) and ``param_dtype`` (storage dtype, float32).
+
+Functional parity targets (reference file:line):
+- activation zoo: elektronn3/models/unet.py:183-199 (get_activation)
+- normalization zoo: elektronn3/models/unet.py:77-111 (get_normalization)
+- planar (anisotropic) kernels: elektronn3/models/unet.py:114-128
+- GridAttention: elektronn3/models/unet.py:452-547
+- GatherExcite: elektronn3/modules/layers.py:15-96
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Activations (reference: models/unet.py:183-199)
+# ---------------------------------------------------------------------------
+
+def leaky_relu01(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+_ACTIVATIONS: dict = {
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "leaky": leaky_relu01,
+    "gelu": nn.gelu,
+    "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid,
+    "lin": lambda x: x,
+    "none": lambda x: x,
+}
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with one learnable slope per channel-last axis.
+
+    Reference counterpart: torch.nn.PReLU as used in unet.py:196.
+    """
+    init_slope: float = 0.25
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        slope = self.param(
+            "slope", lambda key: jnp.full((), self.init_slope, self.param_dtype))
+        return jnp.where(x >= 0, x, slope.astype(x.dtype) * x)
+
+
+class RReLU(nn.Module):
+    """Randomized leaky ReLU (train: uniform slope in [lower, upper];
+    eval: fixed mean slope). Reference: 'rrelu' choice in unet.py:197.
+    """
+    lower: float = 1.0 / 8
+    upper: float = 1.0 / 3
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        if deterministic is None:
+            deterministic = self.deterministic
+        if deterministic is None:
+            # Stochastic iff a 'dropout' rng stream was provided.
+            deterministic = not self.has_rng("dropout")
+        if deterministic:
+            slope = (self.lower + self.upper) / 2
+            return jnp.where(x >= 0, x, slope * x)
+        rng = self.make_rng("dropout")
+        slope = jax.random.uniform(
+            rng, x.shape, x.dtype, self.lower, self.upper)
+        return jnp.where(x >= 0, x, slope * x)
+
+
+def get_activation(activation: Union[str, Callable]) -> Callable:
+    """Resolve an activation spec (name or callable) to a callable.
+
+    'prelu'/'rrelu' return fresh Module instances (they hold state).
+    """
+    if callable(activation):
+        return activation
+    name = activation.lower()
+    if name == "prelu":
+        return PReLU()
+    if name == "rrelu":
+        return RReLU()
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"Unknown activation: {activation!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# Normalization (reference: models/unet.py:77-111)
+# ---------------------------------------------------------------------------
+
+def get_normalization(
+        norm: Optional[str],
+        *,
+        dtype: Dtype = jnp.float32,
+        param_dtype: Dtype = jnp.float32,
+) -> Optional[nn.Module]:
+    """Build a normalization layer by name.
+
+    Choices (parity with unet.py:77-111): 'batch', 'instance', 'group',
+    'group<G>' (e.g. 'group16'), 'none'/None. All normalize over
+    channels-last layout. BatchNorm state lives in the 'batch_stats'
+    collection; callers thread ``use_running_average``.
+    """
+    if norm is None or norm == "none":
+        return None
+    if norm == "batch":
+        return nn.BatchNorm(
+            use_running_average=None, momentum=0.9, epsilon=1e-5,
+            dtype=dtype, param_dtype=param_dtype)
+    if norm == "instance":
+        # Instance norm == group norm with one group per channel.
+        return nn.GroupNorm(num_groups=None, group_size=1,
+                            dtype=dtype, param_dtype=param_dtype)
+    if norm.startswith("group"):
+        g = int(norm[len("group"):]) if len(norm) > len("group") else 8
+        return nn.GroupNorm(num_groups=g, dtype=dtype,
+                            param_dtype=param_dtype)
+    raise ValueError(f"Unknown normalization: {norm!r}")
+
+
+def apply_norm(norm_layer, x, *, train: bool):
+    """Apply a norm layer, threading train/eval state where needed."""
+    if norm_layer is None:
+        return x
+    if isinstance(norm_layer, nn.BatchNorm):
+        return norm_layer(x, use_running_average=not train)
+    return norm_layer(x)
+
+
+# ---------------------------------------------------------------------------
+# Planar (anisotropic) kernel helpers (reference: unet.py:114-180)
+# ---------------------------------------------------------------------------
+
+def planar_kernel(k: Union[int, Tuple[int, ...]], dim: int = 3):
+    """Convert a scalar kernel size into a (1, k, k) anisotropic kernel.
+
+    Reference: unet.py:114-121. The depth axis gets kernel size 1 so the
+    op ignores D — the standard trick for anisotropic SBEM volumes.
+    """
+    if dim == 2:
+        return _to_tuple(k, 2)
+    if isinstance(k, int):
+        return (1, k, k)
+    return tuple(k)
+
+
+def planar_pad(p: Union[int, Tuple[int, ...]], dim: int = 3):
+    """Zero depth-axis padding for planar kernels (unet.py:124-128)."""
+    if dim == 2:
+        return _to_tuple(p, 2)
+    if isinstance(p, int):
+        return (0, p, p)
+    return tuple(p)
+
+
+def _to_tuple(x, n: int) -> Tuple[int, ...]:
+    if isinstance(x, int):
+        return (x,) * n
+    t = tuple(x)
+    assert len(t) == n
+    return t
+
+
+def conv_kernel(kernel_size, dim: int, planar: bool):
+    ks = _to_tuple(kernel_size, dim)
+    if planar and dim == 3:
+        ks = (1,) + ks[1:]
+    return ks
+
+
+def pool_window(dim: int, planar: bool, size: int = 2):
+    if dim == 2:
+        return (size, size)
+    if planar:
+        return (1, size, size)
+    return (size, size, size)
+
+
+def max_pool(x, window: Sequence[int]):
+    """Max pooling over spatial dims of a channels-last tensor."""
+    return nn.max_pool(x, tuple(window), strides=tuple(window))
+
+
+def avg_pool(x, window: Sequence[int]):
+    return nn.avg_pool(x, tuple(window), strides=tuple(window))
+
+
+# ---------------------------------------------------------------------------
+# Conv wrappers
+# ---------------------------------------------------------------------------
+
+class Conv(nn.Conv):
+    """Channels-last convolution; thin alias of flax Conv for naming parity."""
+
+
+def conv3(in_or_out_channels: int, *, dim: int = 3, planar: bool = False,
+          conv_mode: str = "same", dtype: Dtype = jnp.float32,
+          param_dtype: Dtype = jnp.float32, name: Optional[str] = None) -> nn.Conv:
+    """3x3(x3) convolution, optionally planar (1x3x3). Reference unet.py:131-149."""
+    ks = conv_kernel(3, dim, planar)
+    padding = "SAME" if conv_mode == "same" else "VALID"
+    return nn.Conv(in_or_out_channels, ks, padding=padding,
+                   dtype=dtype, param_dtype=param_dtype, name=name)
+
+
+def conv1(out_channels: int, *, dim: int = 3, dtype: Dtype = jnp.float32,
+          param_dtype: Dtype = jnp.float32, name: Optional[str] = None) -> nn.Conv:
+    """1x1(x1) convolution."""
+    return nn.Conv(out_channels, (1,) * dim, dtype=dtype,
+                   param_dtype=param_dtype, name=name)
+
+
+def upconv2(out_channels: int, *, dim: int = 3, planar: bool = False,
+            dtype: Dtype = jnp.float32, param_dtype: Dtype = jnp.float32,
+            name: Optional[str] = None) -> nn.ConvTranspose:
+    """2x stride-2 transposed conv ('upconvolution'). Reference unet.py:152-166."""
+    ks = pool_window(dim, planar)
+    return nn.ConvTranspose(out_channels, ks, strides=ks, dtype=dtype,
+                            param_dtype=param_dtype, name=name)
+
+
+def resize_nearest(x, factor: Sequence[int]):
+    """Nearest-neighbor upsampling of spatial dims by integer factors."""
+    for axis, f in enumerate(factor, start=1):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=axis)
+    return x
+
+
+def resize_linear(x, factor: Sequence[int]):
+    """(Bi-/tri-)linear upsampling of spatial dims by integer factors."""
+    spatial = x.shape[1:-1]
+    new_spatial = tuple(s * f for s, f in zip(spatial, factor))
+    new_shape = (x.shape[0],) + new_spatial + (x.shape[-1],)
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+# ---------------------------------------------------------------------------
+# Grid attention (reference: unet.py:452-547, arXiv:1804.03999)
+# ---------------------------------------------------------------------------
+
+class GridAttention(nn.Module):
+    """Additive grid attention gate for the U-Net decoder pathway.
+
+    The gating signal (coarse decoder feature) modulates the skip
+    connection from the encoder. Reference: models/unet.py:452-547.
+    """
+    in_channels: int
+    gating_channels: int
+    inter_channels: Optional[int] = None
+    dim: int = 3
+    sub_sample_factor: int = 2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g):
+        inter = self.inter_channels or max(1, self.in_channels // 2)
+        sub = (self.sub_sample_factor,) * self.dim
+
+        # theta: subsample x to gating resolution
+        theta_x = nn.Conv(inter, sub, strides=sub, use_bias=False,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="theta")(x)
+        phi_g = nn.Conv(inter, (1,) * self.dim, use_bias=True,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="phi")(g)
+        # Resize phi_g to theta_x's spatial shape (they can differ by 1 at
+        # odd sizes).
+        if phi_g.shape[1:-1] != theta_x.shape[1:-1]:
+            phi_g = jax.image.resize(
+                phi_g, theta_x.shape[:1] + theta_x.shape[1:-1] + phi_g.shape[-1:],
+                method="linear")
+        f = nn.relu(theta_x + phi_g)
+        psi = nn.Conv(1, (1,) * self.dim, use_bias=True, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="psi")(f)
+        sigm = nn.sigmoid(psi)
+        # Upsample attention coefficients back to x's resolution.
+        att = jax.image.resize(
+            sigm, x.shape[:1] + x.shape[1:-1] + (1,), method="linear")
+        y = x * att
+        # Output transform (1x1 conv + BN in reference; we use conv+GN-free
+        # linear projection, normalization handled by caller's block).
+        out = nn.Conv(self.in_channels, (1,) * self.dim, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="out_proj")(y)
+        return out, att
+
+
+# ---------------------------------------------------------------------------
+# Gather-Excite (reference: modules/layers.py:15-96, arXiv:1810.12348)
+# ---------------------------------------------------------------------------
+
+class GatherExcite(nn.Module):
+    """Gather-Excite attention over channels-last spatial feature maps.
+
+    ``extent == 0`` means global-average gather; otherwise a strided
+    depthwise-conv gather of the given extent. ``param_gather/param_excite``
+    toggle the parameterized variants. Reference: modules/layers.py:15-96.
+    """
+    channels: int
+    extent: int = 0
+    param_gather: bool = False
+    param_excite: bool = True
+    spatial_dim: int = 2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        spatial = x.shape[1:-1]
+        if self.extent == 0:
+            if self.param_gather:
+                # Depthwise strided convs halving spatial dims to 1.
+                g = x
+                while min(g.shape[1:-1]) > 1:
+                    g = nn.Conv(self.channels, (3,) * self.spatial_dim,
+                                strides=(2,) * self.spatial_dim,
+                                feature_group_count=self.channels,
+                                padding="SAME", dtype=self.dtype,
+                                param_dtype=self.param_dtype)(g)
+                gathered = jnp.mean(g, axis=tuple(range(1, g.ndim - 1)),
+                                    keepdims=True)
+            else:
+                gathered = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)),
+                                    keepdims=True)
+        else:
+            if self.param_gather:
+                g = x
+                import math
+                for _ in range(int(math.log2(self.extent))):
+                    g = nn.Conv(self.channels, (3,) * self.spatial_dim,
+                                strides=(2,) * self.spatial_dim,
+                                feature_group_count=self.channels,
+                                padding="SAME", dtype=self.dtype,
+                                param_dtype=self.param_dtype)(g)
+                gathered = g
+            else:
+                win = (self.extent,) * self.spatial_dim
+                gathered = nn.avg_pool(x, win, strides=win)
+        if self.param_excite:
+            e = nn.Conv(self.channels, (1,) * self.spatial_dim,
+                        dtype=self.dtype, param_dtype=self.param_dtype)(gathered)
+        else:
+            e = gathered
+        att = nn.sigmoid(e)
+        if att.shape[1:-1] != spatial:
+            att = jax.image.resize(
+                att, x.shape[:1] + spatial + (self.channels,), method="linear")
+        return x * att
+
+
+# ---------------------------------------------------------------------------
+# AdaptiveConv / misc
+# ---------------------------------------------------------------------------
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x

@@ -1,0 +1,498 @@
+"""Loss zoo for dense prediction, as pure JAX functions + configurable
+callable classes.
+
+Conventions (channels-last, TPU-native):
+- ``output``: raw logits of shape ``(N, *spatial, C)``.
+- ``target``: either dense int class indices ``(N, *spatial)`` or a
+  one-hot/float tensor ``(N, *spatial, C)`` (auto-detected, like the
+  reference's dice_loss shape dispatch, elektronn3/modules/loss.py:165-177).
+
+Every loss is a plain callable ``loss(output, target) -> scalar`` so it
+drops straight into a jitted train step. Classes are configuration
+holders; no state.
+
+Parity targets (reference file:line):
+- CombinedLoss        loss.py:19-49
+- FocalLoss           loss.py:52-65
+- SoftmaxBCELoss      loss.py:68-74
+- GAPTripletMarginLoss loss.py:97-107
+- MaskedMSELoss       loss.py:110-122
+- DistanceWeightedMSELoss loss.py:125-155
+- dice_loss/DiceLoss  loss.py:165-233
+- FixMatchSegLoss     loss.py:237-390
+- norpf dice          loss.py:394-530
+- LovaszLoss          loss.py:533-547
+- ACLoss              loss.py:550-605
+- MixedCombinedLoss   loss.py:608-637
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from elektronn3_tpu.modules import lovasz
+
+
+def _as_onehot(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Convert dense int targets to one-hot matching ``output``'s shape.
+
+    Mirrors the shape dispatch of reference dice_loss (loss.py:165-177),
+    adapted to channels-last.
+    """
+    if target.shape == output.shape:
+        return target.astype(output.dtype)
+    if target.shape == output.shape[:-1]:
+        return jax.nn.one_hot(target, output.shape[-1], dtype=output.dtype)
+    raise ValueError(
+        f"Target shape {target.shape} is not compatible with output shape "
+        f"{output.shape}.")
+
+
+def _channelwise_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum-reduce all dims except the channel (last) dim. Reference
+    loss.py:158-161 (adapted from dim-1 to dim-(-1))."""
+    return jnp.sum(x, axis=tuple(range(x.ndim - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Cross entropy
+# ---------------------------------------------------------------------------
+
+def cross_entropy(output: jnp.ndarray, target: jnp.ndarray,
+                  weight: Optional[jnp.ndarray] = None,
+                  ignore_index: Optional[int] = None,
+                  label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Softmax cross-entropy over the last (channel) axis.
+
+    torch.nn.CrossEntropyLoss equivalent with class weights and
+    ignore_index, used everywhere the reference drivers use CE.
+    """
+    num_classes = output.shape[-1]
+    logp = jax.nn.log_softmax(output, axis=-1)
+    onehot = _as_onehot(output, target)
+    if label_smoothing > 0:
+        onehot = (onehot * (1 - label_smoothing)
+                  + label_smoothing / num_classes)
+    nll = -jnp.sum(onehot * logp, axis=-1)  # (N, *spatial)
+    if weight is not None:
+        w = jnp.asarray(weight, output.dtype)
+        pix_w = jnp.sum(onehot * w, axis=-1)
+    else:
+        pix_w = jnp.ones_like(nll)
+    if ignore_index is not None and target.shape == output.shape[:-1]:
+        pix_w = jnp.where(target == ignore_index, 0.0, pix_w)
+        nll = jnp.where(target == ignore_index, 0.0, nll)
+    denom = jnp.maximum(jnp.sum(pix_w), 1e-12)
+    return jnp.sum(nll * pix_w) / denom
+
+
+class CrossEntropyLoss:
+    def __init__(self, weight=None, ignore_index: Optional[int] = None,
+                 label_smoothing: float = 0.0):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.ignore_index = ignore_index
+        self.label_smoothing = label_smoothing
+
+    def __call__(self, output, target):
+        return cross_entropy(output, target, self.weight,
+                             self.ignore_index, self.label_smoothing)
+
+
+# ---------------------------------------------------------------------------
+# Dice (reference loss.py:165-233, arXiv:1707.03237)
+# ---------------------------------------------------------------------------
+
+def dice_loss(probs: jnp.ndarray, target: jnp.ndarray, weight=1.0,
+              eps: float = 1e-4, smooth: float = 0.0) -> jnp.ndarray:
+    """Generalized Dice loss on softmax probabilities.
+
+    Formula parity with reference loss.py:165-189:
+    per-channel ``1 - (2*sum(p*t)+smooth) / (sum(p+t)+smooth+eps)``,
+    class-weighted, then mean over channels.
+    """
+    onehot = _as_onehot(probs, target)
+    intersection = probs * onehot
+    numerator = 2 * _channelwise_sum(intersection) + smooth
+    denominator = _channelwise_sum(probs + onehot) + smooth + eps
+    loss_per_channel = 1 - numerator / denominator
+    return jnp.mean(jnp.asarray(weight) * loss_per_channel)
+
+
+class DiceLoss:
+    """Reference loss.py:192-233."""
+
+    def __init__(self, apply_softmax: bool = True, weight=None,
+                 smooth: float = 0.0):
+        self.apply_softmax = apply_softmax
+        self.weight = 1.0 if weight is None else jnp.asarray(weight)
+        self.smooth = smooth
+
+    def __call__(self, output, target):
+        probs = jax.nn.softmax(output, axis=-1) if self.apply_softmax else output
+        return dice_loss(probs, target, weight=self.weight, smooth=self.smooth)
+
+
+# ---------------------------------------------------------------------------
+# Focal (reference loss.py:52-65, arXiv:1708.02002)
+# ---------------------------------------------------------------------------
+
+def focal_loss(output: jnp.ndarray, target: jnp.ndarray, gamma: float = 2.0,
+               weight: Optional[jnp.ndarray] = None,
+               ignore_index: Optional[int] = None) -> jnp.ndarray:
+    """Focal loss: NLL of ``((1 - p)^gamma) * log p`` (reference :62-65)."""
+    logp = jax.nn.log_softmax(output, axis=-1)
+    p = jnp.exp(logp)
+    focal_logp = ((1 - p) ** gamma) * logp
+    onehot = _as_onehot(output, target)
+    nll = -jnp.sum(onehot * focal_logp, axis=-1)
+    if weight is not None:
+        w = jnp.asarray(weight, output.dtype)
+        pix_w = jnp.sum(onehot * w, axis=-1)
+    else:
+        pix_w = jnp.ones_like(nll)
+    if ignore_index is not None and target.shape == output.shape[:-1]:
+        pix_w = jnp.where(target == ignore_index, 0.0, pix_w)
+        nll = jnp.where(target == ignore_index, 0.0, nll)
+    denom = jnp.maximum(jnp.sum(pix_w), 1e-12)
+    return jnp.sum(nll * pix_w) / denom
+
+
+class FocalLoss:
+    def __init__(self, weight=None, gamma: float = 2.0,
+                 ignore_index: Optional[int] = None):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.gamma = gamma
+        self.ignore_index = ignore_index
+
+    def __call__(self, output, target):
+        return focal_loss(output, target, self.gamma, self.weight,
+                          self.ignore_index)
+
+
+# ---------------------------------------------------------------------------
+# SoftmaxBCELoss (reference loss.py:68-74)
+# ---------------------------------------------------------------------------
+
+class SoftmaxBCELoss:
+    """Softmax followed by binary cross entropy against one-hot targets."""
+
+    def __call__(self, output, target):
+        probs = jax.nn.softmax(output, axis=-1)
+        onehot = _as_onehot(output, target)
+        eps = 1e-7
+        probs = jnp.clip(probs, eps, 1 - eps)
+        bce = -(onehot * jnp.log(probs) + (1 - onehot) * jnp.log(1 - probs))
+        return jnp.mean(bce)
+
+
+# ---------------------------------------------------------------------------
+# Combined losses (reference loss.py:19-49, :608-637)
+# ---------------------------------------------------------------------------
+
+class CombinedLoss:
+    """Weighted sum of combinable loss criteria. Reference loss.py:19-49."""
+
+    def __init__(self, criteria: Sequence[Callable],
+                 weight: Optional[Sequence[float]] = None):
+        self.criteria = list(criteria)
+        if weight is None:
+            weight = [1.0] * len(self.criteria)
+        assert len(weight) == len(self.criteria)
+        self.weight = [float(w) for w in weight]
+
+    def __call__(self, *args):
+        loss = 0.0
+        for crit, w in zip(self.criteria, self.weight):
+            loss = loss + w * crit(*args)
+        return loss
+
+
+class MixedCombinedLoss:
+    """Per-sample mixture of two criteria, selected by a boolean mask.
+
+    Samples where ``mix[i]`` is True use ``criterion_b``, others
+    ``criterion_a``. Reference loss.py:608-637 (used by TrainerMulti).
+    """
+
+    def __init__(self, criterion_a: Callable, criterion_b: Callable):
+        self.criterion_a = criterion_a
+        self.criterion_b = criterion_b
+
+    def __call__(self, output, target, mix):
+        la = self.criterion_a(output, target)
+        lb = self.criterion_b(output, target)
+        mixf = jnp.mean(jnp.asarray(mix, jnp.float32))
+        return (1 - mixf) * la + mixf * lb
+
+
+# ---------------------------------------------------------------------------
+# MSE family (reference loss.py:110-155)
+# ---------------------------------------------------------------------------
+
+def masked_mse_loss(out: jnp.ndarray, target: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """MSE restricted to masked elements. Reference loss.py:110-122.
+    Used by Noise2Void training (masked blind-spot loss)."""
+    if mask is None:
+        return jnp.mean((out - target) ** 2)
+    mask = mask.astype(out.dtype)
+    sq = (out - target) ** 2 * mask
+    return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1e-12)
+
+
+class MaskedMSELoss:
+    def __call__(self, out, target, mask=None):
+        return masked_mse_loss(out, target, mask)
+
+
+class DistanceWeightedMSELoss:
+    """MSE with foreground pixels (target <= 0 in signed-EDT convention)
+    weighted by ``fg_weight`` and optional zeroed borders.
+
+    Reference loss.py:125-155 (used with DistanceTransformTarget).
+    """
+
+    def __init__(self, fg_weight: float = 100.0, mask_borders: Optional[int] = 40):
+        self.fg_weight = fg_weight
+        self.mask_borders = mask_borders
+
+    def __call__(self, output, target):
+        mse = (output - target) ** 2
+        weight = jnp.where(target <= 0, self.fg_weight, 1.0)
+        if self.mask_borders is not None:
+            o = self.mask_borders
+            spatial_ndim = target.ndim - 2  # (N, *spatial, C)
+            mask = jnp.ones(target.shape[1:-1], dtype=output.dtype)
+            for ax in range(spatial_ndim):
+                n = target.shape[1 + ax]
+                idx = jnp.arange(n)
+                border = (idx < o) | (idx >= n - o)
+                shape = [1] * spatial_ndim
+                shape[ax] = n
+                mask = mask * (~border).astype(output.dtype).reshape(shape)
+            weight = weight * mask[None, ..., None]
+        return jnp.mean(weight * mse)
+
+
+# ---------------------------------------------------------------------------
+# Triplet (reference loss.py:88-107)
+# ---------------------------------------------------------------------------
+
+def global_average_pooling(inp: jnp.ndarray) -> jnp.ndarray:
+    """GAP over spatial dims of (N, *spatial, C) -> (N, C).
+    Reference loss.py:88-94."""
+    return jnp.mean(inp, axis=tuple(range(1, inp.ndim - 1)))
+
+
+def triplet_margin_loss(anchor, positive, negative, margin: float = 1.0,
+                        p: int = 2, eps: float = 1e-6) -> jnp.ndarray:
+    """torch.nn.TripletMarginLoss equivalent on (N, E) embeddings."""
+    d_ap = jnp.linalg.norm(anchor - positive + eps, ord=p, axis=-1)
+    d_an = jnp.linalg.norm(anchor - negative + eps, ord=p, axis=-1)
+    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+
+
+class GAPTripletMarginLoss:
+    """TripletMarginLoss on globally average-pooled dense embeddings.
+    Reference loss.py:97-107."""
+
+    def __init__(self, margin: float = 1.0, p: int = 2):
+        self.margin = margin
+        self.p = p
+
+    def __call__(self, anchor, positive, negative):
+        return triplet_margin_loss(
+            global_average_pooling(anchor),
+            global_average_pooling(positive),
+            global_average_pooling(negative),
+            margin=self.margin, p=self.p)
+
+
+# ---------------------------------------------------------------------------
+# Lovász wrapper (reference loss.py:533-547)
+# ---------------------------------------------------------------------------
+
+class LovaszLoss:
+    """Lovász-Softmax loss wrapper; expects raw logits. Reference
+    loss.py:533-547 + modules/lovasz_losses.py."""
+
+    def __init__(self, apply_softmax: bool = True,
+                 ignore_index: Optional[int] = None):
+        self.apply_softmax = apply_softmax
+        self.ignore_index = ignore_index
+
+    def __call__(self, output, target):
+        probs = jax.nn.softmax(output, axis=-1) if self.apply_softmax else output
+        return lovasz.lovasz_softmax(probs, target, ignore=self.ignore_index)
+
+
+# ---------------------------------------------------------------------------
+# Active contour loss (reference loss.py:550-605)
+# ---------------------------------------------------------------------------
+
+class ACLoss:
+    """Active-contour loss (boundary length + region terms) for binary
+    foreground channel-1 segmentation. Reference loss.py:550-605
+    (Chen et al., "Learning Active Contour Models for Medical Image
+    Segmentation", CVPR 2019). 2D and 3D supported.
+    """
+
+    def __init__(self, apply_softmax: bool = True, lambda_region: float = 1.0):
+        self.apply_softmax = apply_softmax
+        self.lambda_region = lambda_region
+
+    def __call__(self, output, target):
+        probs = jax.nn.softmax(output, axis=-1) if self.apply_softmax else output
+        pred = probs[..., 1]  # foreground probability (N, *spatial)
+        onehot = _as_onehot(probs, target)
+        tgt = onehot[..., 1]
+        spatial_axes = tuple(range(1, pred.ndim))
+        # Length term: sum of gradient magnitudes of the prediction.
+        length = 0.0
+        for ax in spatial_axes:
+            d = jnp.diff(pred, axis=ax)
+            length = length + jnp.mean(jnp.sqrt(d * d + 1e-8))
+        # Region terms (c1=1 inside, c2=0 outside).
+        region_in = jnp.mean(pred * (tgt - 1.0) ** 2)
+        region_out = jnp.mean((1 - pred) * (tgt - 0.0) ** 2)
+        return length + self.lambda_region * (region_in + region_out)
+
+
+# ---------------------------------------------------------------------------
+# norpf dice (reference loss.py:394-530)
+# ---------------------------------------------------------------------------
+
+def norpf_dice_loss(probs, target, weight=1.0, class_weight=1.0):
+    """Dice loss variant that merges all non-background channels into a
+    foreground union before computing overlap (reference loss.py:394-495,
+    'no-rp-from' dice used for overlapping neurite-type labels).
+    """
+    onehot = _as_onehot(probs, target)
+    bg_p, fg_p = probs[..., :1], probs[..., 1:]
+    bg_t, fg_t = onehot[..., :1], onehot[..., 1:]
+    union_fg_p = jnp.max(fg_p, axis=-1, keepdims=True)
+    union_fg_t = jnp.max(fg_t, axis=-1, keepdims=True)
+    probs2 = jnp.concatenate([bg_p, union_fg_p, fg_p], axis=-1)
+    target2 = jnp.concatenate([bg_t, union_fg_t, fg_t], axis=-1)
+    intersection = probs2 * target2
+    numerator = 2 * _channelwise_sum(intersection)
+    denominator = _channelwise_sum(probs2 + target2) + 1e-4
+    loss_per_channel = 1 - numerator / denominator
+    return jnp.mean(jnp.asarray(weight) * loss_per_channel)
+
+
+class NorpfDiceLoss:
+    def __init__(self, apply_softmax: bool = True, weight=None):
+        self.apply_softmax = apply_softmax
+        self.weight = 1.0 if weight is None else jnp.asarray(weight)
+
+    def __call__(self, output, target):
+        probs = jax.nn.softmax(output, axis=-1) if self.apply_softmax else output
+        return norpf_dice_loss(probs, target, weight=self.weight)
+
+
+# ---------------------------------------------------------------------------
+# FixMatch-style semi-supervised consistency loss (reference loss.py:237-390)
+# ---------------------------------------------------------------------------
+
+class FixMatchSegLoss:
+    """Semi-supervised consistency + pseudo-label loss for segmentation.
+
+    Given an unlabeled batch, applies a random reversible geometric
+    augmentation (flip / rot90) to the input, runs the model on both the
+    original and augmented input, de-augments the augmented prediction and
+    enforces consistency; optionally converts confident argmax predictions
+    into pseudo-label CE targets. Reference loss.py:237-390.
+
+    Because the model apply-function is functional in JAX, this loss takes
+    ``apply_fn(inp) -> logits`` instead of an nn.Module.
+    """
+
+    def __init__(self, apply_fn: Callable, rng_key: jax.Array = None,
+                 enable_pseudo_label: bool = True,
+                 confidence_threshold: float = 0.9,
+                 consistency: str = "mse"):
+        self.apply_fn = apply_fn
+        self.enable_pseudo_label = enable_pseudo_label
+        self.confidence_threshold = confidence_threshold
+        self.consistency = consistency
+        self._key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+
+    @staticmethod
+    def _augment(inp, flips, k_rot):
+        """Apply per-batch flips over spatial axes + rot90 in (H, W)."""
+        spatial_axes = tuple(range(1, inp.ndim - 1))
+        for i, ax in enumerate(spatial_axes):
+            inp = jnp.where(flips[i], jnp.flip(inp, axis=ax), inp)
+        h_ax, w_ax = inp.ndim - 3, inp.ndim - 2
+        inp = jax.lax.switch(
+            k_rot,
+            [lambda x: x,
+             lambda x: jnp.rot90(x, 1, axes=(h_ax, w_ax)),
+             lambda x: jnp.rot90(x, 2, axes=(h_ax, w_ax)),
+             lambda x: jnp.rot90(x, 3, axes=(h_ax, w_ax))],
+            inp)
+        return inp
+
+    @staticmethod
+    def _deaugment(out, flips, k_rot):
+        h_ax, w_ax = out.ndim - 3, out.ndim - 2
+        out = jax.lax.switch(
+            k_rot,
+            [lambda x: x,
+             lambda x: jnp.rot90(x, -1, axes=(h_ax, w_ax)),
+             lambda x: jnp.rot90(x, -2, axes=(h_ax, w_ax)),
+             lambda x: jnp.rot90(x, -3, axes=(h_ax, w_ax))],
+            out)
+        spatial_axes = tuple(range(1, out.ndim - 1))
+        for i, ax in enumerate(spatial_axes):
+            out = jnp.where(flips[i], jnp.flip(out, axis=ax), out)
+        return out
+
+    def __call__(self, inp, rng: Optional[jax.Array] = None):
+        key = rng if rng is not None else self._key
+        kf, kr = jax.random.split(key)
+        n_spatial = inp.ndim - 2
+        # Square H/W is required for rot90 equivariance; restrict to flips
+        # otherwise (reference behavior: rot90 only applied on square inputs).
+        square = inp.shape[-2] == inp.shape[-3]
+        flips = jax.random.bernoulli(kf, 0.5, (n_spatial,))
+        k_rot = jax.random.randint(kr, (), 0, 4) if square else jnp.array(0)
+
+        out_plain = self.apply_fn(inp)
+        aug_inp = self._augment(inp, flips, k_rot)
+        out_aug = self.apply_fn(aug_inp)
+        out_aug_de = self._deaugment(out_aug, flips, k_rot)
+
+        target_probs = jax.lax.stop_gradient(
+            jax.nn.softmax(out_plain, axis=-1))
+        probs_aug = jax.nn.softmax(out_aug_de, axis=-1)
+        if self.consistency == "mse":
+            cons = jnp.mean((probs_aug - target_probs) ** 2)
+        else:
+            cons = jnp.mean(
+                -target_probs * jax.nn.log_softmax(out_aug_de, axis=-1))
+        loss = cons
+        if self.enable_pseudo_label:
+            conf = jnp.max(target_probs, axis=-1)
+            pseudo = jnp.argmax(target_probs, axis=-1)
+            mask = (conf >= self.confidence_threshold).astype(out_aug_de.dtype)
+            logp = jax.nn.log_softmax(out_aug_de, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, pseudo[..., None], axis=-1)[..., 0]
+            pl_loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1e-12)
+            loss = loss + pl_loss
+        return loss
+
+
+__all__ = [
+    "cross_entropy", "CrossEntropyLoss", "dice_loss", "DiceLoss",
+    "focal_loss", "FocalLoss", "SoftmaxBCELoss", "CombinedLoss",
+    "MixedCombinedLoss", "masked_mse_loss", "MaskedMSELoss",
+    "DistanceWeightedMSELoss", "global_average_pooling",
+    "triplet_margin_loss", "GAPTripletMarginLoss", "LovaszLoss", "ACLoss",
+    "norpf_dice_loss", "NorpfDiceLoss", "FixMatchSegLoss",
+]
