@@ -1,0 +1,222 @@
+"""Host→device input pipeline: batching, layout conversion, prefetch.
+
+TPU-native replacement for the reference's torch DataLoader wiring
+(trainer.py:427-443: num_workers, pin_memory, worker seeding, 60 s
+timeout):
+
+- ``DataLoader``: map-style dataset → batched numpy dicts, produced by a
+  background thread pool (h5py sources reopen per access, so threads are
+  safe; numpy/h5py release the GIL for the heavy parts). Deterministic
+  per-sample seeding mirrors ``_worker_init_fn`` (trainer.py:53-62).
+- Channels-last conversion happens once per batch ('inp' (N, C, ...) →
+  (N, ..., C)) so the device always sees its native layout.
+- ``prefetch_to_device``: keeps ``size`` batches in flight on the device
+  (double buffering) so host preprocessing and TPU compute overlap —
+  the equivalent of pin_memory+non_blocking H2D copies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+try:
+    import jax
+except ImportError:  # pragma: no cover
+    jax = None
+
+
+def default_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of sample dicts into a batch dict.
+
+    Array-like values are stacked along a new batch axis; non-array
+    values (e.g. 'fname' strings) are collected into lists.
+    """
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray) or np.isscalar(first):
+            batch[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            batch[key] = vals
+    return batch
+
+
+def to_channels_last(batch: Dict[str, Any],
+                     keys: Sequence[str] = ("inp",)) -> Dict[str, Any]:
+    """Move the channel axis of (N, C, *spatial) arrays to the end."""
+    out = dict(batch)
+    for key in keys:
+        if key in out and isinstance(out[key], np.ndarray) \
+                and out[key].ndim >= 3:
+            out[key] = np.ascontiguousarray(np.moveaxis(out[key], 1, -1))
+    return out
+
+
+class DataLoader:
+    """Batched, multi-threaded loader over a map-style dataset.
+
+    Args:
+        dataset: object with ``__getitem__``/``__len__``.
+        batch_size: samples per batch.
+        num_workers: background producer threads (0 = synchronous).
+        channels_last: convert 'inp' (and listed float keys) to
+            channels-last per batch.
+        drop_last: drop the final incomplete batch.
+        seed: base seed; sample i of epoch e is produced under seed
+            ``seed + e * len(dataset) + i`` for reproducibility.
+        timeout: seconds to wait for a batch before raising (mirrors the
+            reference's 60 s worker timeout).
+        channels_last_keys: batch keys to convert to channels-last.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, num_workers: int = 2,
+                 channels_last: bool = True, drop_last: bool = True,
+                 shuffle: bool = True, seed: Optional[int] = None,
+                 timeout: float = 120.0, collate_fn=default_collate,
+                 channels_last_keys: Sequence[str] = ("inp", "target_f")):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.channels_last = channels_last
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.seed = seed
+        self.timeout = timeout
+        self.collate_fn = collate_fn
+        self.channels_last_keys = tuple(channels_last_keys)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                None if self.seed is None else self.seed + self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _fetch(self, idx: int) -> Dict[str, Any]:
+        if self.seed is not None:
+            # Deterministic per-sample seeding (reference
+            # _worker_init_fn, trainer.py:53-62).
+            np.random.seed(
+                (self.seed + self._epoch * len(self.dataset) + idx)
+                % (2 ** 32))
+        return self.dataset[idx]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._index_order()
+        n_batches = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+        if not self.drop_last and len(order) % self.batch_size:
+            batches.append(order[n_batches * self.batch_size:])
+
+        if self.num_workers <= 0:
+            for bidx in batches:
+                yield self._make_batch(bidx)
+        else:
+            yield from self._threaded_iter(batches)
+        self._epoch += 1
+
+    def _make_batch(self, indices) -> Dict[str, Any]:
+        samples = [self._fetch(int(i)) for i in indices]
+        batch = self.collate_fn(samples)
+        if self.channels_last:
+            batch = to_channels_last(batch, self.channels_last_keys)
+        return batch
+
+    def _threaded_iter(self, batches):
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        task_q: "queue.Queue" = queue.Queue()
+        for slot, b in enumerate(batches):
+            task_q.put((slot, b))
+        results: Dict[int, Any] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    slot, indices = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self._make_batch(indices)
+                except BaseException as e:  # propagate to consumer
+                    batch = e
+                with lock:
+                    results[slot] = batch
+                out_q.put(slot)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            next_slot = 0
+            received = 0
+            while received < len(batches):
+                out_q.get(timeout=self.timeout)
+                received += 1
+                while True:
+                    with lock:
+                        if next_slot in results:
+                            batch = results.pop(next_slot)
+                        else:
+                            break
+                    next_slot += 1
+                    if isinstance(batch, BaseException):
+                        raise batch
+                    yield batch
+        finally:
+            stop.set()
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Wrap a batch iterator: device_put up to ``size`` batches ahead.
+
+    With a ``jax.sharding.Sharding`` (e.g. batch-sharded over a Mesh),
+    arrays are placed directly into their distributed layout — the
+    host→HBM copy of batch N+1 overlaps with the device computation on
+    batch N (TPU double buffering).
+    """
+    if jax is None:  # pragma: no cover
+        yield from iterator
+        return
+
+    buf = []
+
+    def place(batch):
+        def put(x):
+            if isinstance(x, np.ndarray) and (
+                    np.issubdtype(x.dtype, np.number)
+                    or np.issubdtype(x.dtype, np.bool_)):
+                if sharding is not None:
+                    return jax.device_put(x, sharding)
+                return jax.device_put(x)
+            return x
+        return {k: put(v) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(place(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.pop(0)
+        try:
+            buf.append(place(next(it)))
+        except StopIteration:
+            pass

@@ -1,0 +1,309 @@
+"""Data layer tests: warp math, transforms, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from elektronn3_tpu.data import coord_transforms as ct
+from elektronn3_tpu.data import transforms as T
+from elektronn3_tpu.data.cnndata import PatchCreator
+from elektronn3_tpu.data.pipeline import DataLoader, prefetch_to_device
+from elektronn3_tpu.data.sources import ArrayDataSource, slice_3d
+
+
+# ---------------------------------------------------------------------------
+# Interpolation kernels
+# ---------------------------------------------------------------------------
+
+def test_map_coordinates_linear_identity(rng):
+    src = rng.normal(size=(6, 7, 8)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:5, 0:6, 0:7]
+    coords = np.stack([zz, yy, xx], -1).astype(np.float32)
+    out = ct.map_coordinates_linear(src, coords, np.zeros(3, np.float32))
+    assert np.allclose(out, src[:5, :6, :7], atol=1e-5)
+
+
+def test_map_coordinates_linear_midpoint():
+    src = np.zeros((3, 3, 3), np.float32)
+    src[1, 1, 1] = 1.0
+    coords = np.array([[[[0.5, 1.0, 1.0]]]], np.float32)
+    out = ct.map_coordinates_linear(src, coords, np.zeros(3, np.float32))
+    assert np.isclose(out[0, 0, 0], 0.5)
+
+
+def test_map_coordinates_nearest(rng):
+    src = rng.normal(size=(5, 5, 5)).astype(np.float32)
+    coords = np.array([[[[1.4, 2.6, 0.2]]]], np.float32)
+    out = ct.map_coordinates_nearest(src, coords, np.zeros(3, np.float32))
+    assert out[0, 0, 0] == src[1, 3, 0]
+
+
+def test_scipy_cross_check(rng):
+    """Trilinear gather must match scipy.ndimage.map_coordinates order=1."""
+    from scipy.ndimage import map_coordinates as scipy_mc
+    src = rng.normal(size=(10, 11, 12)).astype(np.float32)
+    pts = rng.uniform(0.5, 8.5, size=(50, 3)).astype(np.float32)
+    ours = ct.map_coordinates_linear(
+        src, pts.reshape(50, 1, 1, 3), np.zeros(3, np.float32))
+    theirs = scipy_mc(src, pts.T, order=1)
+    assert np.allclose(ours.reshape(-1), theirs, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Matrix builders
+# ---------------------------------------------------------------------------
+
+def test_rot_matrices_orthonormal():
+    for build in (ct.rotate_x, ct.rotate_y, ct.rotate_z):
+        M = build(0.7)[:3, :3]
+        assert np.allclose(M @ M.T, np.eye(3), atol=1e-6)
+
+
+def test_chain_matrices():
+    a = ct.translate(1, 2, 3)
+    b = ct.scale(2, 2, 2)
+    assert np.allclose(ct.chain_matrices([a, b]), a @ b)
+
+
+def test_warp_slice_translation_exact(rng):
+    vol = rng.normal(size=(20, 24, 28)).astype(np.float32)
+    src = ArrayDataSource(vol)
+    patch_shape = (8, 10, 12)
+    # Forward M maps src->dest: dest = src - (5, 6, 7).
+    M = ct.translate(-5, -6, -7)
+    inp, _ = ct.warp_slice(src, patch_shape, M)
+    expect = vol[5:13, 6:16, 7:19]
+    assert np.allclose(inp[0], expect, atol=1e-4)
+
+
+def test_warp_slice_oob_raises(rng):
+    vol = rng.normal(size=(10, 10, 10)).astype(np.float32)
+    src = ArrayDataSource(vol)
+    M = ct.translate(-8, 0, 0)  # patch would read rows 8..16 -> OOB
+    with pytest.raises(ct.WarpingOOBError):
+        ct.warp_slice(src, (8, 8, 8), M)
+
+
+def test_warp_slice_with_target(rng):
+    vol = rng.normal(size=(20, 24, 28)).astype(np.float32)
+    lab = rng.integers(0, 4, size=(20, 24, 28)).astype(np.float32)
+    M = ct.translate(-6, -8, -9)
+    inp, target = ct.warp_slice(
+        ArrayDataSource(vol), (8, 8, 8), M,
+        target_src=ArrayDataSource(lab), target_patch_shape=(4, 4, 4))
+    assert inp.shape == (1, 8, 8, 8)
+    assert target.shape == (1, 4, 4, 4)
+    # Discrete target: values must come from the original label set
+    assert set(np.unique(target)).issubset(set(np.unique(lab)))
+    # Target is center-cropped w.r.t. input: offset (2,2,2)
+    expect_t = lab[8:12, 10:14, 11:15]
+    assert np.allclose(target[0], expect_t)
+
+
+def test_get_warped_coord_transform_no_warp_in_bounds(rng):
+    """With warp_amount=0, a cubic patch and no aniso rescaling, the
+    transform (flips/swaps around the patch center) must always be
+    within bounds."""
+    src_shape = (40, 48, 56)
+    patch_shape = (16, 16, 16)
+    for _ in range(50):
+        M = ct.get_warped_coord_transform(
+            src_shape, patch_shape, warp_amount=0, aniso_factor=1,
+            rng=np.random.default_rng(rng.integers(1 << 31)))
+        corners = ct.make_dest_corners(patch_shape)
+        M_inv = np.linalg.inv(M.astype(np.float64))
+        src_corners = (M_inv @ corners.T).T[:, :3]
+        lo = np.floor(src_corners).min(0)
+        hi = np.ceil(src_corners).max(0)
+        assert np.all(lo >= 0) and np.all(hi < np.array(src_shape)), \
+            f"{lo} {hi}"
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def test_normalize(rng):
+    inp = rng.normal(5, 3, size=(2, 8, 8)).astype(np.float32)
+    tr = T.Normalize(mean=(5.0, 5.0), std=(3.0, 3.0))
+    out, _ = tr(inp, None)
+    assert np.allclose(out, (inp - 5) / 3, atol=1e-5)
+    with pytest.raises(ValueError):
+        T.Normalize(mean=0.0, std=1.0)(inp, None)  # channel mismatch
+
+
+def test_compose_and_lambda(rng):
+    inp = rng.normal(size=(1, 8, 8)).astype(np.float32)
+    tr = T.Compose([T.Lambda(lambda i, t: (i + 1, t)),
+                    T.Lambda(lambda i, t: (i * 2, t))])
+    out, _ = tr(inp, None)
+    assert np.allclose(out, (inp + 1) * 2)
+
+
+def test_random_crop(rng):
+    inp = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    target = rng.integers(0, 2, size=(16, 16))
+    out, t = T.RandomCrop((8, 8))(inp, target)
+    assert out.shape == (2, 8, 8) and t.shape == (8, 8)
+
+
+def test_random_flip(rng):
+    inp = rng.normal(size=(1, 8, 8)).astype(np.float32)
+    target = rng.integers(0, 2, size=(8, 8))
+    out, t = T.RandomFlip(ndim_spatial=2, prob=1.0)(inp, target)
+    assert np.allclose(out, inp[:, ::-1, ::-1])
+    assert np.allclose(t, target[::-1, ::-1])
+
+
+def test_smooth_onehot(rng):
+    target = rng.integers(0, 3, size=(4, 4))
+    _, onehot = T.SmoothOneHotTarget(out_channels=3)(None, target)
+    assert onehot.shape == (3, 4, 4)
+    assert np.all(onehot.argmax(0) == target)
+    _, smooth = T.SmoothOneHotTarget(out_channels=3, smooth_eps=0.1)(
+        None, target)
+    assert np.all(smooth > 0) and np.allclose(smooth.sum(0), 1.0)
+
+
+def test_remap_target_ids(rng):
+    target = np.array([[1, 3], [7, 1]])
+    _, remapped = T.RemapTargetIDs([1, 3, 7])(None, target)
+    assert np.array_equal(remapped, [[0, 1], [2, 0]])
+    _, back = T.RemapTargetIDs([1, 3, 7], reverse=True)(None, remapped)
+    assert np.array_equal(back, target)
+
+
+def test_drop_if_too_much_bg(rng):
+    tr = T.DropIfTooMuchBG(bg_id=0, threshold=0.5)
+    all_bg = np.zeros((8, 8), np.int64)
+    raised = 0
+    for _ in range(50):
+        try:
+            tr(None, all_bg)
+        except T._DropSample:
+            raised += 1
+    assert raised > 40  # 5% escape hatch
+
+
+def test_elastic_transform_preserves_labels(rng):
+    inp = rng.normal(size=(1, 16, 16)).astype(np.float32)
+    target = rng.integers(0, 3, size=(16, 16))
+    tr = T.ElasticTransform(prob=1.0, sigma=2, alpha=10)
+    out, t = tr(inp, target)
+    assert out.shape == inp.shape and t.shape == target.shape
+    assert set(np.unique(t)).issubset(set(np.unique(target)))
+
+
+def test_photometric_transforms_run(rng):
+    inp = rng.uniform(0, 1, size=(1, 8, 8)).astype(np.float32)
+    for tr in [T.RandomBrightnessContrast(prob=1.0),
+               T.RandomGammaCorrection(prob=1.0),
+               T.RandomGrayAugment(prob=1.0),
+               T.AdditiveGaussianNoise(prob=1.0),
+               T.RandomGaussianBlur(prob=1.0)]:
+        out, _ = tr(inp, None)
+        assert out.shape == inp.shape and np.all(np.isfinite(out))
+
+
+def test_distance_transform_target():
+    target = np.zeros((8, 8), np.int64)
+    target[3:5, 3:5] = 1
+    _, dist = T.DistanceTransformTarget()(None, target)
+    assert dist.shape == (1, 8, 8)
+    assert np.all(np.isfinite(dist))
+
+
+def test_random_rotate2d(rng):
+    inp = rng.normal(size=(1, 9, 9)).astype(np.float32)
+    target = rng.integers(0, 2, size=(9, 9))
+    out, t = T.RandomRotate2d(prob=1.0)(inp, target)
+    assert out.shape == inp.shape and t.shape == target.shape
+    assert set(np.unique(t)).issubset({0, 1})
+
+
+# ---------------------------------------------------------------------------
+# PatchCreator on synthetic HDF5
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def synthetic_h5(tmp_path, rng):
+    import h5py
+    inp_path = tmp_path / "inp.h5"
+    lab_path = tmp_path / "lab.h5"
+    vol = rng.normal(size=(40, 48, 56)).astype(np.float32)
+    lab = rng.integers(0, 2, size=(40, 48, 56)).astype(np.int64)
+    with h5py.File(inp_path, "w") as f:
+        f.create_dataset("raw", data=vol)
+    with h5py.File(lab_path, "w") as f:
+        f.create_dataset("lab", data=lab)
+    return str(inp_path), str(lab_path)
+
+
+def test_patchcreator_basic(synthetic_h5):
+    inp_path, lab_path = synthetic_h5
+    ds = PatchCreator(
+        input_sources=[(inp_path, "raw")],
+        target_sources=[(lab_path, "lab")],
+        patch_shape=(12, 16, 16),
+        epoch_size=7,
+        warp_prob=0.5,
+        warp_kwargs={"sample_aniso": True, "warp_amount": 0.5},
+        aniso_factor=2)
+    assert len(ds) == 7
+    s = ds[0]
+    assert s["inp"].shape == (1, 12, 16, 16)
+    assert s["target"].shape == (1, 12, 16, 16)
+    assert s["target"].dtype == np.int64
+    assert set(np.unique(s["target"])).issubset({0, 1})
+    assert "successful" in ds.warp_stats
+
+
+def test_patchcreator_offset(synthetic_h5):
+    inp_path, lab_path = synthetic_h5
+    ds = PatchCreator(
+        input_sources=[(inp_path, "raw")],
+        target_sources=[(lab_path, "lab")],
+        patch_shape=(12, 16, 16), offset=(2, 4, 4),
+        epoch_size=2)
+    s = ds[0]
+    assert s["inp"].shape == (1, 12, 16, 16)
+    assert s["target"].shape == (1, 8, 8, 8)
+
+
+def test_dataloader_channels_last(synthetic_h5):
+    inp_path, lab_path = synthetic_h5
+    ds = PatchCreator(
+        input_sources=[(inp_path, "raw")],
+        target_sources=[(lab_path, "lab")],
+        patch_shape=(8, 8, 8), epoch_size=6,
+        transform=__import__(
+            "elektronn3_tpu.data.transforms", fromlist=["SqueezeTarget"]
+        ).SqueezeTarget(dim=0))
+    dl = DataLoader(ds, batch_size=3, num_workers=2, seed=0)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["inp"].shape == (3, 8, 8, 8, 1)  # channels-last
+    assert b["target"].shape == (3, 8, 8, 8)
+
+
+def test_prefetch_to_device(synthetic_h5):
+    import jax
+    inp_path, _ = synthetic_h5
+    ds = PatchCreator(
+        input_sources=[(inp_path, "raw")],
+        patch_shape=(8, 8, 8), epoch_size=4)
+    dl = DataLoader(ds, batch_size=2, num_workers=0, seed=0)
+    out = list(prefetch_to_device(dl, size=2))
+    assert len(out) == 2
+    assert isinstance(out[0]["inp"], jax.Array)
+
+
+def test_sources_slice_3d(rng):
+    vol = rng.normal(size=(2, 10, 10, 10)).astype(np.float32)
+    src = ArrayDataSource(vol)
+    cut = slice_3d(src, (1, 2, 3), (5, 6, 7))
+    assert cut.shape == (2, 4, 4, 4)
+    with pytest.raises(RuntimeError):
+        slice_3d(src, (-1, 0, 0), (5, 5, 5))
+    with pytest.raises(RuntimeError):
+        slice_3d(src, (0, 0, 0), (11, 5, 5))
