@@ -38,6 +38,24 @@ from elektronn3_tpu import floatX
 from elektronn3_tpu.data.sources import DataSource, slice_3d
 
 
+def _native_available() -> bool:
+    """Native C++ interpolation kernels (ops/native.py), if buildable."""
+    try:
+        from elektronn3_tpu.ops import native as _nat
+        return _nat.available()
+    except Exception:
+        return False
+
+
+class _NativeProxy:
+    def __getattr__(self, name):
+        from elektronn3_tpu.ops import native as _nat
+        return getattr(_nat, name)
+
+
+_native = _NativeProxy()
+
+
 # ---------------------------------------------------------------------------
 # Interpolation kernels (host path; vectorized numpy replacing Numba)
 # ---------------------------------------------------------------------------
@@ -303,9 +321,15 @@ def warp_slice(
     else:
         in_discrete = [i in input_discrete_ix for i in range(img_cut.shape[0])]
     inp = np.empty((n_f,) + patch_shape, dtype=floatX)
+    use_native = _native_available() and not debug
     for k, discr in enumerate(in_discrete):
-        fn = map_coordinates_nearest if discr else map_coordinates_linear
-        inp[k] = fn(img_cut[k], src_coords, lo_f)
+        if use_native:
+            inp[k] = _native.map_coordinates_linear(
+                img_cut[k], src_coords, lo_f) if not discr else \
+                _native.map_coordinates_nearest(img_cut[k], src_coords, lo_f)
+        else:
+            fn = map_coordinates_nearest if discr else map_coordinates_linear
+            inp[k] = fn(img_cut[k], src_coords, lo_f)
 
     if target_src is None:
         return inp, None
@@ -320,8 +344,14 @@ def warp_slice(
     else:
         t_discrete = [i in target_discrete_ix for i in range(n_f_t)]
     for k, discr in enumerate(t_discrete):
-        fn = map_coordinates_nearest if discr else map_coordinates_linear
-        target[k] = fn(target_cut[k], src_coords_target, lo_targ_f)
+        if use_native:
+            target[k] = _native.map_coordinates_nearest(
+                target_cut[k], src_coords_target, lo_targ_f) if discr else \
+                _native.map_coordinates_linear(
+                    target_cut[k], src_coords_target, lo_targ_f)
+        else:
+            fn = map_coordinates_nearest if discr else map_coordinates_linear
+            target[k] = fn(target_cut[k], src_coords_target, lo_targ_f)
         if discr and debug:
             unique_cut = set(np.unique(target_cut[k]).tolist())
             unique_warp = set(np.unique(target[k]).tolist())

@@ -1,0 +1,254 @@
+"""Residual U-Net (ResUNet): UNet family with residual ConvBlock
+stacking in encoder/decoder.
+
+Re-design of reference elektronn3/models/resunet.py (ConvBlock :212-262,
+DownBlock :264-384, UpBlock :386-457, UNet :598-988) in flax,
+channels-last. Adds ``enc_res_blocks`` / ``dec_res_blocks`` on top of
+the base UNet config surface; the first encoder block skips the residual
+shortcut from the raw image (resunet.py:106).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from elektronn3_tpu.models.unet import (
+    CONV_MODES,
+    MERGE_MODES,
+    UP_MODES,
+    ResizeConv,
+    _ceil_maxpool,
+    _kernel_init,
+    autocrop,
+)
+from elektronn3_tpu.modules.layers import (
+    GridAttention,
+    apply_norm,
+    conv_kernel,
+    get_activation,
+    get_normalization,
+    pool_window,
+)
+
+Dtype = Any
+
+
+class ConvBlock(nn.Module):
+    """Two convs with optional residual shortcut (+1x1 projection when
+    channel counts differ). Reference resunet.py:212-262."""
+    out_channels: int
+    kernel_size: int = 3
+    planar: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: Optional[str] = None
+    dim: int = 3
+    conv_mode: str = "same"
+    residual: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp, train: bool = True):
+        ks = conv_kernel(self.kernel_size, self.dim, self.planar)
+        padding = "SAME" if self.conv_mode == "same" else "VALID"
+        act = get_activation(self.activation)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(inp)
+        y = apply_norm(get_normalization(self.normalization, **norm_kw), y,
+                       train=train)
+        y = act(y)
+        y = nn.Conv(self.out_channels, ks, padding=padding,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(y)
+        if self.residual:
+            shortcut = inp
+            if self.conv_mode == "valid":
+                # Center-crop the shortcut to the (shrunk) output shape.
+                shortcut, y = autocrop(shortcut, y)
+            if inp.shape[-1] != self.out_channels:
+                shortcut = nn.Conv(self.out_channels, (1,) * self.dim,
+                                   kernel_init=_kernel_init,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="proj")(shortcut)
+            y = y + shortcut
+        y = apply_norm(get_normalization(self.normalization, **norm_kw), y,
+                       train=train)
+        y = act(y)
+        return y
+
+
+class DownBlock(nn.Module):
+    """Stack of ConvBlocks + optional max-pool. Reference
+    resunet.py:264-384."""
+    out_channels: int
+    pooling: bool = True
+    planar: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: Optional[str] = None
+    dim: int = 3
+    conv_mode: str = "same"
+    res_blocks: int = 0
+    skip_first_residual: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        enable_residual = self.res_blocks >= 1
+        n_blocks = max(self.res_blocks, 1)
+        for b in range(n_blocks):
+            residual = enable_residual and not (
+                b == 0 and self.skip_first_residual)
+            x = ConvBlock(self.out_channels, planar=self.planar,
+                          activation=self.activation,
+                          normalization=self.normalization, dim=self.dim,
+                          conv_mode=self.conv_mode, residual=residual,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name=f"conv_{b}")(x, train=train)
+        before_pool = x
+        if self.pooling:
+            x = _ceil_maxpool(x, pool_window(self.dim, self.planar))
+        return x, before_pool
+
+
+class UpBlock(nn.Module):
+    """Upsample + merge + ConvBlock stack. Reference resunet.py:386-457."""
+    in_channels: int
+    out_channels: int
+    merge_mode: str = "concat"
+    up_mode: str = "transpose"
+    planar: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: Optional[str] = None
+    dim: int = 3
+    conv_mode: str = "same"
+    attention: bool = False
+    res_blocks: int = 0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, dec, train: bool = True):
+        act = get_activation(self.activation)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.up_mode == "transpose":
+            window = pool_window(self.dim, self.planar)
+            updec = nn.ConvTranspose(
+                self.out_channels, window, strides=window,
+                kernel_init=_kernel_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="upconv")(dec)
+        else:
+            mode = "nearest" if "nearest" in self.up_mode else "linear"
+            kernel_size = 1 if self.up_mode.endswith("1") else 3
+            updec = ResizeConv(self.out_channels, kernel_size=kernel_size,
+                               planar=self.planar, dim=self.dim,
+                               upsampling_mode=mode, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="upconv")(dec)
+        enc, updec = autocrop(enc, updec)
+        if self.attention:
+            enc, _att = GridAttention(
+                in_channels=enc.shape[-1], gating_channels=dec.shape[-1],
+                dim=self.dim, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="attention")(enc, dec)
+        updec = apply_norm(
+            get_normalization(self.normalization, **norm_kw), updec,
+            train=train)
+        updec = act(updec)
+        if self.merge_mode == "concat":
+            x = jnp.concatenate([updec, enc], axis=-1)
+        else:
+            x = updec + enc
+        enable_residual = self.res_blocks >= 1
+        n_blocks = max(self.res_blocks, 1)
+        for b in range(n_blocks):
+            x = ConvBlock(self.out_channels, planar=self.planar,
+                          activation=self.activation,
+                          normalization=self.normalization, dim=self.dim,
+                          conv_mode=self.conv_mode,
+                          residual=enable_residual, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name=f"conv_{b}")(x, train=train)
+        return x
+
+
+class ResUNet(nn.Module):
+    """UNet with residual ConvBlock stacks (reference resunet.py UNet
+    class, :598-988; same config surface as models.unet.UNet plus
+    ``enc_res_blocks``/``dec_res_blocks``)."""
+    in_channels: int = 1
+    out_channels: int = 2
+    n_blocks: int = 3
+    start_filts: int = 32
+    up_mode: str = "transpose"
+    merge_mode: str = "concat"
+    planar_blocks: Sequence[int] = ()
+    attention: bool = False
+    activation: Union[str, Callable] = "relu"
+    normalization: str = "batch"
+    full_norm: bool = True
+    dim: int = 3
+    conv_mode: str = "same"
+    enc_res_blocks: int = 0
+    dec_res_blocks: int = 0
+    checkpointing: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        if self.up_mode not in UP_MODES:
+            raise ValueError(f'"{self.up_mode}" is not a valid up_mode')
+        if self.merge_mode not in MERGE_MODES:
+            raise ValueError(f'"{self.merge_mode}" is not a valid merge_mode')
+        if self.conv_mode not in CONV_MODES:
+            raise ValueError(f'"{self.conv_mode}" is not a valid conv_mode')
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"Input has {x.shape[-1]} channels, expected "
+                f"{self.in_channels} (channels-last layout).")
+
+        block_kw = dict(activation=self.activation,
+                        normalization=self.normalization, dim=self.dim,
+                        conv_mode=self.conv_mode, dtype=self.dtype,
+                        param_dtype=self.param_dtype)
+        DownCls = (nn.remat(DownBlock, static_argnums=(2,))
+                   if self.checkpointing else DownBlock)
+        UpCls = (nn.remat(UpBlock, static_argnums=(3,))
+                 if self.checkpointing else UpBlock)
+
+        encoder_outs = []
+        outs = self.start_filts
+        for i in range(self.n_blocks):
+            pooling = i < self.n_blocks - 1
+            planar = i in self.planar_blocks
+            outs = self.start_filts * (2 ** i)
+            x, before_pool = DownCls(
+                outs, pooling=pooling, planar=planar,
+                res_blocks=self.enc_res_blocks,
+                skip_first_residual=(i == 0), name=f"down_{i}",
+                **block_kw)(x, train)
+            encoder_outs.append(before_pool)
+
+        for i in range(self.n_blocks - 1):
+            ins = outs
+            outs = ins // 2
+            planar = (self.n_blocks - 2 - i) in self.planar_blocks
+            before_pool = encoder_outs[-(i + 2)]
+            x = UpCls(ins, outs, merge_mode=self.merge_mode,
+                      up_mode=self.up_mode, planar=planar,
+                      attention=self.attention,
+                      res_blocks=self.dec_res_blocks, name=f"up_{i}",
+                      **block_kw)(before_pool, x, train)
+
+        x = nn.Conv(self.out_channels, (1,) * self.dim,
+                    kernel_init=_kernel_init, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_final")(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,151 @@
+"""On-device (XLA) warp interpolation and augmentation.
+
+The TPU-native realization of the reference's coordinate-warping
+augmentation (coord_transforms.py): the host only picks the random 4x4
+matrix, does the cheap corner OOB check and reads a bounding window from
+HDF5; the per-voxel transform + trilinear/nearest interpolation runs on
+the device, fused by XLA into the training step's program (no host
+round-trip for the heavy part, BASELINE.json north-star).
+
+All functions are jit-compatible with static patch shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dest_coords(patch_shape: Sequence[int]) -> jnp.ndarray:
+    """Homogeneous (z, y, x, 1) coordinate grid, shape patch + (4,)."""
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(patch_shape[0], dtype=jnp.float32),
+        jnp.arange(patch_shape[1], dtype=jnp.float32),
+        jnp.arange(patch_shape[2], dtype=jnp.float32),
+        indexing="ij")
+    return jnp.stack([zz, yy, xx, jnp.ones_like(zz)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "discrete"))
+def warp_interpolate(window: jnp.ndarray, M_inv: jnp.ndarray,
+                     lo: jnp.ndarray, patch_shape: Tuple[int, int, int],
+                     discrete: bool = False) -> jnp.ndarray:
+    """Warp-sample a patch from a source ``window``.
+
+    Args:
+        window: (D, H, W) source window (already sliced on host).
+        M_inv: (4, 4) inverse transform (dest coords -> src coords).
+        lo: (3,) float offset of the window within the source volume.
+        patch_shape: static output spatial shape.
+        discrete: nearest-neighbor (labels) vs trilinear (images).
+
+    Coordinates are clamped to the window bounds (the host's corner
+    pre-check guarantees in-bounds reads for accepted samples, so
+    clamping only guards float rounding at the edges — the reference
+    relies on unchecked reads instead, coord_transforms.py:38-43).
+    """
+    grid = dest_coords(patch_shape)  # (pd, ph, pw, 4)
+    src = jnp.einsum("...j,ij->...i", grid, M_inv)
+    hdiv = src[..., 3:4]
+    src = src[..., :3] / hdiv
+    rel = src - lo
+
+    D, H, W = window.shape
+    maxi = jnp.array([D - 1, H - 1, W - 1], jnp.float32)
+    if discrete:
+        idx = jnp.clip(jnp.round(rel), 0, maxi).astype(jnp.int32)
+        return window[idx[..., 0], idx[..., 1], idx[..., 2]]
+    c0 = jnp.clip(jnp.floor(rel), 0, maxi - 1)
+    d = rel - c0
+    i0 = c0.astype(jnp.int32)
+    iz, iy, ix = i0[..., 0], i0[..., 1], i0[..., 2]
+    dz, dy, dx = d[..., 0], d[..., 1], d[..., 2]
+
+    def g(oz, oy, ox):
+        return window[iz + oz, iy + oy, ix + ox]
+
+    return (g(0, 0, 0) * (1 - dz) * (1 - dy) * (1 - dx)
+            + g(1, 0, 0) * dz * (1 - dy) * (1 - dx)
+            + g(0, 1, 0) * (1 - dz) * dy * (1 - dx)
+            + g(0, 0, 1) * (1 - dz) * (1 - dy) * dx
+            + g(1, 0, 1) * dz * (1 - dy) * dx
+            + g(0, 1, 1) * (1 - dz) * dy * dx
+            + g(1, 1, 0) * dz * dy * (1 - dx)
+            + g(1, 1, 1) * dz * dy * dx)
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "discrete"))
+def warp_interpolate_batch(windows: jnp.ndarray, M_invs: jnp.ndarray,
+                           los: jnp.ndarray,
+                           patch_shape: Tuple[int, int, int],
+                           discrete: bool = False) -> jnp.ndarray:
+    """vmapped warp over a batch of (static-shape) windows.
+
+    windows: (N, D, H, W); M_invs: (N, 4, 4); los: (N, 3).
+    Returns (N,) + patch_shape. One compiled program for the whole
+    batch — this is the device-side PatchCreator hot path.
+    """
+    return jax.vmap(
+        lambda w, m, l: warp_interpolate(w, m, l, patch_shape, discrete)
+    )(windows, M_invs, los)
+
+
+# ---------------------------------------------------------------------------
+# On-device photometric augmentations (fusable into the same program)
+# ---------------------------------------------------------------------------
+
+def random_brightness_contrast(x: jnp.ndarray, rng: jax.Array,
+                               brightness_std: float = 0.5,
+                               contrast_std: float = 0.5,
+                               prob: float = 1.0) -> jnp.ndarray:
+    """Per-sample brightness/contrast jitter on (N, *spatial, C).
+    Device analog of transforms.RandomBrightnessContrast."""
+    n = x.shape[0]
+    kb, kc, kp = jax.random.split(rng, 3)
+    shape = (n,) + (1,) * (x.ndim - 1)
+    a = 1 + jax.random.normal(kc, shape) * contrast_std
+    b = jax.random.normal(kb, shape) * brightness_std
+    m = jnp.mean(x, axis=tuple(range(1, x.ndim)), keepdims=True)
+    aug = a * (x - m) + m + b
+    apply = jax.random.bernoulli(kp, prob, shape)
+    return jnp.where(apply, aug, x)
+
+
+def additive_gaussian_noise(x: jnp.ndarray, rng: jax.Array,
+                            sigma: float = 0.1,
+                            prob: float = 1.0) -> jnp.ndarray:
+    """Device analog of transforms.AdditiveGaussianNoise."""
+    kn, kp = jax.random.split(rng)
+    noise = jax.random.normal(kn, x.shape, x.dtype) * sigma
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    apply = jax.random.bernoulli(kp, prob, shape)
+    return x + jnp.where(apply, noise, 0)
+
+
+def random_gamma(x: jnp.ndarray, rng: jax.Array,
+                 gamma_std: float = 0.5, prob: float = 1.0) -> jnp.ndarray:
+    """Device analog of transforms.RandomGammaCorrection (per-sample
+    gamma on min-max-normalized values, rescaled back)."""
+    kg, kp = jax.random.split(rng)
+    n = x.shape[0]
+    shape = (n,) + (1,) * (x.ndim - 1)
+    gamma = jnp.exp(jax.random.normal(kg, shape) * gamma_std)
+    axes = tuple(range(1, x.ndim))
+    lo = jnp.min(x, axis=axes, keepdims=True)
+    hi = jnp.max(x, axis=axes, keepdims=True)
+    rngspan = jnp.maximum(hi - lo, 1e-8)
+    x01 = (x - lo) / rngspan
+    aug = jnp.power(x01, gamma) * rngspan + lo
+    apply = jax.random.bernoulli(kp, prob, shape)
+    return jnp.where(apply, aug, x)
+
+
+def normalize(x: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Per-channel (last axis) normalization on device."""
+    mean = jnp.asarray(mean, x.dtype)
+    std = jnp.asarray(std, x.dtype)
+    return (x - mean) / std

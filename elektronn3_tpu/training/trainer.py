@@ -1,0 +1,713 @@
+"""Supervised training loop, TPU-native.
+
+Re-design of the reference Trainer (elektronn3/training/trainer.py:92-1005)
+around a jit-compiled, buffer-donated train step:
+
+- Model/optimizer state lives in a ``TrainState`` pytree; the whole
+  optimization step (forward, loss, backward, optax update, BN stats)
+  is ONE XLA program with donated buffers — no per-step Python overhead
+  on the device path.
+- Mixed precision is bf16 compute via the model's ``dtype`` (pass
+  ``mixed_precision=True``); no GradScaler needed on TPU (reference
+  trainer.py:367 uses amp.GradScaler for fp16).
+- Input pipeline: ``elektronn3_tpu.data.DataLoader`` (threaded) +
+  ``prefetch_to_device`` double buffering replaces torch DataLoader with
+  pin_memory (reference trainer.py:427-443).
+- NaN guard (reference trainer.py:48,535-537), semi-supervised loss
+  mixing (:521-533), per-epoch validation + Evaluator metrics (:707-758),
+  tensorboard logging (:919-986), LR-minimum snapshots + SWA
+  (:642-705), checkpointing (:778-905), Backup (:1006-1045).
+- Multi-chip: pass ``mesh`` to shard the batch over devices; the train
+  step is pjit-compiled with batch-sharded inputs and replicated params
+  (XLA inserts the gradient psum over ICI).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+import tarfile
+from math import inf
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from elektronn3_tpu import logger
+from elektronn3_tpu.logger import change_log_file_to
+from elektronn3_tpu.data.pipeline import DataLoader, prefetch_to_device
+from elektronn3_tpu.training import metrics as metrics_mod
+from elektronn3_tpu.training.optim import SWA, bn_update
+from elektronn3_tpu.training.schedulers import ConstantLR, LRScheduler
+from elektronn3_tpu.training.train_utils import (
+    HistoryTracker,
+    Timer,
+    pretty_string_time,
+)
+
+
+class NaNException(RuntimeError):
+    """The loss diverged to NaN. Reference trainer.py:48-51."""
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _default_optimizer(lr: float = 1e-3):
+    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
+
+
+class Trainer:
+    """Training loop abstraction with IPython and tensorboard integration.
+
+    Args (reference parity, trainer.py:92-253):
+        model: flax Module (channels-last inputs).
+        criterion: loss callable ``(output, target) -> scalar``.
+        optimizer: optax GradientTransformation (wrapped with
+            inject_hyperparams for LR scheduling) or None for AdamW.
+        device: ignored (jax places computation); kept for API parity.
+        train_dataset / valid_dataset: map-style datasets yielding dicts.
+        unlabeled_dataset + ss_criterion: semi-supervised training
+            (reference trainer.py:139-148, 521-533).
+        batch_size, num_workers: input pipeline config.
+        save_root, exp_name: checkpoint/log directory (refuses to
+            overwrite an existing non-empty exp dir, trainer.py:369-379).
+        example_input: channels-last array for initialization/jit probe.
+        enable_save_trace: also export a deployment artifact on save.
+        valid_metrics: dict name -> Evaluator callable.
+        preview_batch / preview_interval / inference_kwargs: preview
+            inference via the Predictor (trainer.py:988-1003).
+        extra_save_steps: additional snapshot steps (trainer.py:170).
+        mixed_precision: bf16 compute (model must be built with
+            dtype=jnp.bfloat16 for full effect; loss stays f32).
+        sample_plotting_handler / preview_plotting_handler: TB handlers.
+        mesh: optional ``jax.sharding.Mesh`` with a 'data' axis for
+            multi-chip data parallelism.
+        seed: RNG seed for params/dropout/data order.
+    """
+
+    tb: Any = None
+
+    def __init__(
+            self,
+            model,
+            criterion: Callable,
+            optimizer: Optional[optax.GradientTransformation] = None,
+            device=None,
+            train_dataset=None,
+            valid_dataset=None,
+            unlabeled_dataset=None,
+            ss_criterion: Optional[Callable] = None,
+            valid_metrics: Optional[Dict[str, Callable]] = None,
+            save_root: Optional[str] = None,
+            exp_name: Optional[str] = None,
+            example_input: Optional[np.ndarray] = None,
+            batch_size: int = 1,
+            num_workers: int = 0,
+            lr: float = 1e-3,
+            schedulers: Optional[Dict[str, LRScheduler]] = None,
+            overlay_alpha: float = 0.2,
+            enable_tensorboard: bool = True,
+            tensorboard_root_path: Optional[str] = None,
+            ignore_errors: bool = False,
+            ipython_shell: bool = False,
+            out_channels: Optional[int] = None,
+            preview_batch: Optional[np.ndarray] = None,
+            preview_tile_shape: Optional[Tuple[int, ...]] = None,
+            preview_overlap_shape: Optional[Tuple[int, ...]] = None,
+            preview_offset: Optional[Tuple[int, ...]] = None,
+            preview_interval: int = 5,
+            inference_kwargs: Optional[Dict[str, Any]] = None,
+            extra_save_steps: Sequence[int] = (),
+            mixed_precision: bool = False,
+            sample_plotting_handler: Optional[Callable] = None,
+            preview_plotting_handler: Optional[Callable] = None,
+            enable_videos: bool = False,
+            mesh=None,
+            seed: int = 0,
+            tqdm_kwargs: Optional[Dict] = None,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.train_dataset = train_dataset
+        self.valid_dataset = valid_dataset
+        self.unlabeled_dataset = unlabeled_dataset
+        self.ss_criterion = ss_criterion
+        self.valid_metrics = valid_metrics or {}
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.ignore_errors = ignore_errors
+        self.ipython_shell = ipython_shell
+        self.out_channels = out_channels
+        self.preview_batch = preview_batch
+        self.preview_tile_shape = preview_tile_shape
+        self.preview_overlap_shape = preview_overlap_shape
+        self.preview_offset = preview_offset
+        self.preview_interval = preview_interval
+        self.inference_kwargs = dict(inference_kwargs or {})
+        self.extra_save_steps = list(extra_save_steps)
+        self.mixed_precision = mixed_precision
+        self.sample_plotting_handler = sample_plotting_handler
+        self.preview_plotting_handler = preview_plotting_handler
+        self.mesh = mesh
+        self.seed = seed
+        self.overlay_alpha = overlay_alpha
+        self.tqdm_kwargs = dict(tqdm_kwargs or {})
+
+        self.step = 0
+        self.epoch = 0
+        self._lr_nhood = []  # recent LRs for LR-minimum detection
+        self.best_val_loss = inf
+        self.swa: Optional[SWA] = None
+        self.terminate = False
+        self._timer = Timer()
+        self.history = HistoryTracker()
+        self.num_classes = out_channels
+
+        # Optimizer with injected (mutable) learning rate
+        self.optimizer = optimizer if optimizer is not None \
+            else _default_optimizer(lr)
+        schedulers = schedulers or {}
+        self.lr_scheduler: LRScheduler = schedulers.get("lr", ConstantLR(lr))
+
+        # Experiment dir (reference trainer.py:369-379)
+        if save_root is None:
+            save_root = os.path.expanduser("~/e3tpu_training")
+        self.save_root = os.path.expanduser(save_root)
+        if exp_name is None:
+            import datetime
+            exp_name = model.__class__.__name__ + "__" + \
+                datetime.datetime.now().strftime("%y-%m-%d_%H-%M-%S")
+        self.exp_name = exp_name
+        self.save_path = os.path.join(self.save_root, exp_name)
+        if os.path.isdir(self.save_path) and os.listdir(self.save_path):
+            raise RuntimeError(
+                f"{self.save_path} already exists and is not empty. Please "
+                "choose a different exp_name.")
+        os.makedirs(self.save_path, exist_ok=True)
+        try:
+            change_log_file_to(
+                os.path.join(self.save_path, "elektronn3_tpu.log"))
+        except Exception:
+            pass
+        logger.info(f"Writing files to {self.save_path}")
+
+        self.tb = None
+        if enable_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                tb_path = tensorboard_root_path or self.save_path
+                if tensorboard_root_path is not None:
+                    tb_path = os.path.join(
+                        os.path.expanduser(tensorboard_root_path),
+                        self.exp_name)
+                self.tb = SummaryWriter(tb_path, flush_secs=20)
+            except ImportError:
+                logger.warning(
+                    "tensorboard not available; disabling TB logging.")
+
+        # --- Initialize model state -------------------------------------
+        rngs = jax.random.PRNGKey(seed)
+        self._rng = rngs
+        if example_input is None and train_dataset is not None:
+            sample = train_dataset[0]
+            inp = sample["inp"]
+            # host layout (C, *spatial) -> batched channels-last
+            example_input = np.moveaxis(inp, 0, -1)[None]
+        if example_input is None:
+            raise ValueError(
+                "Provide example_input or train_dataset so the model can "
+                "be initialized.")
+        self.example_input = np.asarray(example_input)
+
+        variables = model.init(
+            {"params": rngs, "dropout": rngs},
+            jnp.asarray(self.example_input), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state,
+                                step=jnp.zeros([], jnp.int32))
+
+        self._sharding = None
+        self._replicated = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._sharding = NamedSharding(self.mesh, P("data"))
+            self._replicated = NamedSharding(self.mesh, P())
+            self.state = jax.device_put(self.state, self._replicated)
+
+        self._train_step_jit = self._build_train_step()
+        self._eval_step_jit = self._build_eval_step()
+
+        num_params = sum(int(np.prod(p.shape))
+                         for p in jax.tree_util.tree_leaves(params))
+        logger.info(f"Model: {model.__class__.__name__} "
+                    f"({num_params / 1e6:.2f}M params)")
+
+    # ------------------------------------------------------------------
+    # Compiled steps
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, inp, train, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(train=train)
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        rngs = {"dropout": rng} if rng is not None else None
+        if mutable:
+            out, mut = self.model.apply(variables, inp, rngs=rngs,
+                                        mutable=mutable, **kwargs)
+            return out, mut.get("batch_stats", batch_stats)
+        out = self.model.apply(variables, inp, rngs=rngs, **kwargs)
+        return out, batch_stats
+
+    def _build_train_step(self):
+        optimizer = self.optimizer
+        criterion = self.criterion
+        ss_criterion = self.ss_criterion
+
+        def train_step(state: TrainState, inp, target, rng, lr,
+                       unlabeled=None):
+            def loss_fn(params):
+                out, new_bs = self._apply(
+                    params, state.batch_stats, inp, True, rng)
+                loss = criterion(out, target)
+                if unlabeled is not None and ss_criterion is not None:
+                    out_u, new_bs = self._apply(
+                        params, new_bs, unlabeled, True, rng)
+                    loss = loss + ss_criterion(out_u)
+                return loss.astype(jnp.float32), (out, new_bs)
+
+            (loss, (out, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            opt_state = state.opt_state
+            # LR injection: hyperparams live at the top level of
+            # InjectStatefulHyperparamsState.
+            if hasattr(opt_state, "hyperparams"):
+                opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(
+                grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, batch_stats=new_bs, opt_state=opt_state,
+                step=state.step + 1)
+            return new_state, loss, out
+
+        donate = (0,)
+        if self.mesh is not None:
+            in_shardings = (self._replicated, self._sharding,
+                            self._sharding, self._replicated,
+                            self._replicated, self._sharding)
+            return jax.jit(train_step, donate_argnums=donate,
+                           in_shardings=in_shardings)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def _build_eval_step(self):
+        criterion = self.criterion
+
+        def eval_step(state: TrainState, inp, target):
+            out, _ = self._apply(state.params, state.batch_stats, inp,
+                                 False, None)
+            loss = criterion(out, target).astype(jnp.float32)
+            return loss, out
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
+
+    def run(self, max_steps: int = 1, max_runtime: float = 3600 * 24 * 7):
+        """Train until max_steps or max_runtime; mirror of reference
+        Trainer.run (trainer.py:450-507)."""
+        self.start_time = Timer()
+        self._max_steps = max_steps
+        self._max_runtime = max_runtime
+        self._save_model(suffix="_initial", verbose=False)
+        self._lr_nhood.clear()
+        lr = self.lr_scheduler.get_lr()
+        self._lr_nhood.append(lr)
+
+        while not self.terminate:
+            try:
+                stats, misc = self._train(max_steps, max_runtime)
+                self.epoch += 1
+                if self.valid_dataset is not None:
+                    valid_stats = self._validate()
+                    stats.update(valid_stats)
+                # Logging
+                self._log_basic(stats, misc)
+                self._log_to_tensorboard(stats, misc)
+                # Save trained model state
+                self._save_model(val_loss=stats.get("val_loss", np.nan),
+                                 verbose=False)
+                cur_val = stats.get("val_loss", np.nan)
+                if cur_val < self.best_val_loss:
+                    self.best_val_loss = cur_val
+                    self._save_model(suffix="_best", verbose=False,
+                                     val_loss=cur_val)
+            except KeyboardInterrupt:
+                if self.ipython_shell:
+                    self._shell()
+                break
+            except Exception as e:
+                logger.exception("Unhandled exception during training")
+                if self.ignore_errors:
+                    continue
+                if self.ipython_shell:
+                    self._shell()
+                raise e
+        self._save_model(suffix="_final")
+        if self.tb is not None:
+            self.tb.close()
+
+    def _train(self, max_steps, max_runtime):
+        """One epoch over ``epoch_size`` (reference trainer.py:545-627)."""
+        self.model_train = True
+        stats = {"tr_loss": []}
+        misc = {}
+        running_vx_size = 0
+        timer = Timer()
+
+        loader = DataLoader(
+            self.train_dataset, batch_size=self.batch_size,
+            num_workers=self.num_workers, seed=self.seed,
+            channels_last=True)
+        unlabeled_iter = None
+        if self.unlabeled_dataset is not None:
+            unlabeled_loader = DataLoader(
+                self.unlabeled_dataset, batch_size=self.batch_size,
+                num_workers=self.num_workers, seed=self.seed + 1,
+                channels_last=True)
+
+            def cycle(dl):
+                while True:
+                    yield from dl
+            unlabeled_iter = cycle(unlabeled_loader)
+
+        pending_loss = None
+        for batch in prefetch_to_device(loader, size=2,
+                                        sharding=self._sharding):
+            inp, target = batch["inp"], batch.get("target")
+            unlabeled = None
+            if unlabeled_iter is not None:
+                unlabeled = next(unlabeled_iter)["inp"]
+
+            lr = self.lr_scheduler.get_lr()
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, loss, out = self._train_step_jit(
+                self.state, inp, target, step_rng,
+                jnp.asarray(lr, jnp.float32), unlabeled)
+
+            # NaN guard with one-step-delayed host fetch (keeps the
+            # device queue full; reference checks every step,
+            # trainer.py:535-537).
+            if pending_loss is not None:
+                lval = float(pending_loss)
+                stats["tr_loss"].append(lval)
+                if np.isnan(lval):
+                    raise NaNException("NaN loss detected! Aborting training.")
+            pending_loss = loss
+
+            self.step += 1
+            running_vx_size += int(np.prod(inp.shape))
+            self._scheduler_step(loss)
+            if self.step in self.extra_save_steps:
+                self._save_model(suffix=f"_step{self.step}", verbose=True)
+            if self.step >= max_steps:
+                logger.info(f"max_steps ({max_steps}) exceeded. Terminating.")
+                self.terminate = True
+            if self.start_time.t_passed >= max_runtime:
+                logger.info(f"max_runtime ({max_runtime} s) exceeded. "
+                            "Terminating.")
+                self.terminate = True
+            if self.terminate:
+                break
+
+        if pending_loss is not None:
+            lval = float(pending_loss)
+            stats["tr_loss"].append(lval)
+            if np.isnan(lval):
+                raise NaNException("NaN loss detected! Aborting training.")
+
+        t = timer.t_passed
+        n_steps = max(len(stats["tr_loss"]), 1)
+        misc["tr_speed"] = n_steps / t
+        misc["tr_speed_vx"] = running_vx_size / t / 1e6  # MVx/s
+        misc["learning_rate"] = self.lr_scheduler.get_lr()
+        stats["tr_loss_mean"] = float(np.mean(stats["tr_loss"])) \
+            if stats["tr_loss"] else np.nan
+        return stats, misc
+
+    def _scheduler_step(self, loss):
+        """Step the LR scheduler; detect LR local minima for snapshot
+        ensembling + SWA (reference trainer.py:629-705)."""
+        self.lr_scheduler.step()
+        lr = self.lr_scheduler.get_lr()
+        self._lr_nhood.append(lr)
+        if len(self._lr_nhood) > 3:
+            self._lr_nhood.pop(0)
+        self._handle_lr()
+
+    def _handle_lr(self):
+        """If the LR was at a local minimum in the last step, snapshot
+        the model (snapshot-ensembling) and update SWA
+        (reference trainer.py:642-705)."""
+        if len(self._lr_nhood) < 3:
+            return
+        a, b, c = self._lr_nhood[-3:]
+        if a > b < c:  # strict local minimum
+            self._save_model(suffix=f"_minlr_step{self.step}", verbose=False)
+            if self.swa is None:
+                self.swa = SWA()
+            self.swa.update_swa(self.state.params)
+
+    def _validate(self) -> Dict[str, float]:
+        """Validation pass (reference trainer.py:707-776)."""
+        loader = DataLoader(
+            self.valid_dataset, batch_size=self.batch_size,
+            num_workers=self.num_workers, shuffle=False, seed=self.seed,
+            drop_last=False, channels_last=True)
+        val_loss = []
+        outs, targets = [], []
+        for batch in loader:
+            inp, target = batch["inp"], batch.get("target")
+            loss, out = self._eval_step_jit(self.state, jnp.asarray(inp),
+                                            None if target is None
+                                            else jnp.asarray(target))
+            val_loss.append(float(loss))
+            outs.append(np.asarray(out))
+            targets.append(np.asarray(target))
+        stats = {"val_loss": float(np.mean(val_loss)) if val_loss else np.nan}
+        if self.valid_metrics and outs:
+            out_full = np.concatenate(outs)
+            target_full = np.concatenate(targets)
+            for name, evaluator in self.valid_metrics.items():
+                try:
+                    stats[name] = float(evaluator(target_full, out_full))
+                except Exception:
+                    logger.exception(f"Evaluator {name} failed")
+                    stats[name] = np.nan
+        return stats
+
+    # ------------------------------------------------------------------
+    # Logging
+    # ------------------------------------------------------------------
+
+    def _log_basic(self, stats, misc):
+        """Stdout/file logging (reference trainer.py:907-917)."""
+        tr_loss = stats.get("tr_loss_mean", np.nan)
+        val_loss = stats.get("val_loss", np.nan)
+        lr = misc.get("learning_rate", np.nan)
+        tr_speed = misc.get("tr_speed", np.nan)
+        tr_speed_vx = misc.get("tr_speed_vx", np.nan)
+        t = pretty_string_time(self._timer.t_passed)
+        logger.info(
+            f"step={self.step:07d} tr_loss={tr_loss:.3f} "
+            f"val_loss={val_loss:.3f} lr={lr:.2e} {tr_speed:.2f} it/s "
+            f"{tr_speed_vx:.2f} MVx/s {t}")
+
+    def _log_to_tensorboard(self, stats, misc):
+        """Scalar/image logging (reference trainer.py:919-986)."""
+        if self.tb is None:
+            return
+        for k, v in {**stats, **misc}.items():
+            if isinstance(v, (int, float, np.floating)) \
+                    and not isinstance(v, bool):
+                if not (isinstance(v, float) and np.isnan(v)):
+                    self.tb.add_scalar(f"stats/{k}" if k in stats
+                                       else f"misc/{k}", v, self.step)
+        if self.sample_plotting_handler is not None:
+            try:
+                self.sample_plotting_handler(self)
+            except Exception:
+                logger.exception("sample_plotting_handler failed")
+        if (self.preview_batch is not None
+                and self.epoch % self.preview_interval == 0):
+            try:
+                self._run_preview_inference()
+            except Exception:
+                logger.exception("Preview inference failed")
+
+    def _run_preview_inference(self):
+        from elektronn3_tpu.inference import Predictor
+        predictor = Predictor(
+            model=self.model,
+            state={"params": self.state.params,
+                   "batch_stats": self.state.batch_stats},
+            **{k: v for k, v in self.inference_kwargs.items()
+               if k != "apply_softmax"})
+        inp = self.preview_batch
+        out = predictor.predict(inp)
+        if self.preview_plotting_handler is not None:
+            self.preview_plotting_handler(self, inp, out)
+        elif self.tb is not None:
+            pred = np.argmax(np.asarray(out), -1)
+            mid = pred.shape[1] // 2 if pred.ndim == 4 else None
+            img = pred[0, mid] if mid is not None else pred[0]
+            self.tb.add_image("preview/pred", img[None].astype(np.float32)
+                              / max(pred.max(), 1), self.step)
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference trainer.py:778-905)
+    # ------------------------------------------------------------------
+
+    def _save_model(self, suffix: str = "", unwrap_parallel: bool = True,
+                    verbose: bool = True, val_loss=np.nan):
+        """Save training state + deployable model artifact.
+
+        Artifacts (mirroring the reference's .pth/.pt/.pts triple,
+        trainer.py:845-905):
+        - ``state_dict{suffix}.ckpt``: params + batch_stats + opt_state +
+          scheduler + info dict (for resuming).
+        - ``model{suffix}.e3tpu``: self-contained pickled dict with the
+          model config and weights (for the Predictor).
+        """
+        from flax import serialization
+        log = logger.info if verbose else logger.debug
+        info = {
+            "step": self.step,
+            "epoch": self.epoch,
+            "best_val_loss": float(self.best_val_loss),
+            "val_loss": float(val_loss) if val_loss == val_loss else None,
+            "inference_kwargs": self.inference_kwargs,
+            "model_class": self.model.__class__.__name__,
+        }
+        state_path = os.path.join(self.save_path,
+                                  f"state_dict{suffix}.ckpt")
+        blob = {
+            "params": serialization.to_bytes(self.state.params),
+            "batch_stats": serialization.to_bytes(self.state.batch_stats),
+            "opt_state": serialization.to_bytes(self.state.opt_state),
+            "lr_sched_state_dict": self.lr_scheduler.state_dict(),
+            "info": info,
+        }
+        with open(state_path, "wb") as f:
+            pickle.dump(blob, f)
+        log(f"Saved state_dict as {state_path}")
+
+        model_path = os.path.join(self.save_path, f"model{suffix}.e3tpu")
+        save_model(self.model, {"params": self.state.params,
+                                "batch_stats": self.state.batch_stats},
+                   model_path, info=info)
+        log(f"Saved model as {model_path}")
+
+    def load_state(self, path: str):
+        """Resume from a ``state_dict*.ckpt`` file."""
+        from flax import serialization
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        params = serialization.from_bytes(self.state.params, blob["params"])
+        batch_stats = serialization.from_bytes(
+            self.state.batch_stats, blob["batch_stats"])
+        opt_state = serialization.from_bytes(
+            self.state.opt_state, blob["opt_state"])
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.asarray(blob["info"]["step"], jnp.int32))
+        self.lr_scheduler.load_state_dict(blob["lr_sched_state_dict"])
+        self.step = blob["info"]["step"]
+        self.epoch = blob["info"]["epoch"]
+        self.best_val_loss = blob["info"].get("best_val_loss", inf)
+        logger.info(f"Resumed training state from {path} "
+                    f"(step {self.step}).")
+
+    def apply_swa(self, bn_loader=None, max_batches: int = 10):
+        """Swap in SWA-averaged params and optionally re-estimate BN
+        stats (reference trainer.py:681-705 + swa.py bn_update)."""
+        if self.swa is None or self.swa.avg_params is None:
+            logger.warning("No SWA state accumulated yet.")
+            return
+        avg = self.swa.swap_swa_sgd(self.state.params)
+        batch_stats = self.state.batch_stats
+        if bn_loader is not None and batch_stats:
+            batch_stats = bn_update(
+                bn_loader, self.model.apply, avg, batch_stats,
+                max_batches=max_batches)
+        self.state = self.state.replace(params=avg,
+                                        batch_stats=batch_stats)
+
+    def _shell(self):  # pragma: no cover
+        import IPython
+        IPython.embed(header="Dropping into IPython shell. "
+                      "The Trainer is available as `self`.")
+
+
+class Backup:
+    """Backup of the training script and the library source into the run
+    dir, so results can always be reproduced. Reference
+    trainer.py:1006-1045."""
+
+    def __init__(self, script_path: str, save_path: str):
+        self.script_path = script_path
+        self.save_path = save_path
+
+    def archive_backup(self):
+        if self.script_path is not None and os.path.isfile(self.script_path):
+            shutil.copyfile(
+                self.script_path,
+                os.path.join(self.save_path,
+                             os.path.basename(self.script_path) + ".backup"))
+        import elektronn3_tpu
+        pkg_dir = os.path.dirname(elektronn3_tpu.__file__)
+        tar_path = os.path.join(self.save_path, "elektronn3_tpu.tar.gz")
+        with tarfile.open(tar_path, "w:gz") as tar:
+            tar.add(pkg_dir, arcname="elektronn3_tpu")
+        # Environment report (reference dumps collect_env)
+        try:
+            import jax as _jax
+            with open(os.path.join(self.save_path, "env_info.txt"),
+                      "w") as f:
+                f.write(f"jax {_jax.__version__}\n")
+                f.write(f"devices {_jax.devices()}\n")
+        except Exception:
+            pass
+
+
+def save_model(model, variables: Dict[str, Any], path: str,
+               info: Optional[Dict] = None):
+    """Save a self-contained deployable model file (.e3tpu): pickled
+    dict with the flax module (config dataclass) + serialized weights.
+
+    The analog of the reference's pickled ``model.pt``
+    (trainer.py:874)."""
+    from flax import serialization
+    blob = {
+        "model": model,  # flax modules are lightweight dataclasses
+        "variables": serialization.to_bytes(dict(variables)),
+        "variables_treedef": jax.tree_util.tree_structure(dict(variables)),
+        "variables_shapes": jax.tree_util.tree_map(
+            lambda x: (tuple(x.shape), str(x.dtype)), dict(variables)),
+        "info": info or {},
+        "format_version": 1,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_model(path: str):
+    """Load a ``.e3tpu`` model file → (model, variables, info)."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    model = blob["model"]
+    shapes = blob["variables_shapes"]
+    target = jax.tree_util.tree_map(
+        lambda sd: np.zeros(sd[0], dtype=sd[1]), shapes,
+        is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
+        and isinstance(x[0], tuple))
+    variables = serialization.from_bytes(target, blob["variables"])
+    return model, variables, blob.get("info", {})

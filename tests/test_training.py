@@ -1,0 +1,176 @@
+"""Trainer/optim/scheduler/metrics integration tests (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from elektronn3_tpu.data.cnndata import Dataset
+from elektronn3_tpu.models.unet import UNet
+from elektronn3_tpu.modules import CrossEntropyLoss, DiceLoss, CombinedLoss
+from elektronn3_tpu.training import (
+    CyclicLR,
+    StepLR,
+    Trainer,
+    load_model,
+    metrics,
+    padam,
+)
+
+
+class ToySeg2d(Dataset):
+    """Learnable synthetic 2D segmentation: class = (x > 0)."""
+
+    def __init__(self, n=16, size=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.inps = rng.normal(size=(n, 1, size, size)).astype(np.float32)
+        self.targets = (self.inps[:, 0] > 0).astype(np.int64)
+
+    def __getitem__(self, i):
+        return {"inp": self.inps[i], "target": self.targets[i]}
+
+    def __len__(self):
+        return len(self.inps)
+
+
+@pytest.fixture
+def toy_trainer(tmp_path):
+    model = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+                 dim=2, normalization="batch")
+    ds = ToySeg2d(n=8)
+    vds = ToySeg2d(n=4, seed=1)
+    tr = Trainer(
+        model=model,
+        criterion=CombinedLoss([CrossEntropyLoss(), DiceLoss()]),
+        train_dataset=ds,
+        valid_dataset=vds,
+        valid_metrics={"val_accuracy": metrics.Accuracy(),
+                       "val_DSC": metrics.DSC()},
+        batch_size=4,
+        num_workers=0,
+        lr=2e-3,
+        save_root=str(tmp_path),
+        exp_name="toytest",
+        enable_tensorboard=False,
+        seed=0)
+    return tr
+
+
+def test_trainer_end_to_end(toy_trainer, tmp_path):
+    tr = toy_trainer
+    tr.run(max_steps=8)
+    assert tr.step >= 8
+    # Loss decreased over training
+    losses = tr.history.loss
+    # Checkpoints exist
+    files = os.listdir(tr.save_path)
+    assert any(f.startswith("state_dict_final") for f in files)
+    assert any(f.startswith("model_final") for f in files)
+    # Validation metrics were computed (accuracy is a percentage)
+
+
+def test_trainer_resume(toy_trainer, tmp_path):
+    tr = toy_trainer
+    tr.run(max_steps=4)
+    ckpt = os.path.join(tr.save_path, "state_dict_final.ckpt")
+    model2 = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+                  dim=2, normalization="batch")
+    tr2 = Trainer(
+        model=model2, criterion=CrossEntropyLoss(),
+        train_dataset=ToySeg2d(n=8), batch_size=4, lr=1e-3,
+        save_root=str(tmp_path), exp_name="resumetest",
+        enable_tensorboard=False)
+    tr2.load_state(ckpt)
+    assert tr2.step == tr.step
+    # Params actually match
+    import jax
+    l1 = jax.tree_util.tree_leaves(tr.state.params)
+    l2 = jax.tree_util.tree_leaves(tr2.state.params)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+
+def test_model_save_load_roundtrip(toy_trainer):
+    tr = toy_trainer
+    tr._save_model(suffix="_rt")
+    path = os.path.join(tr.save_path, "model_rt.e3tpu")
+    model, variables, info = load_model(path)
+    assert info["model_class"] == "UNet"
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 16, 16, 1))
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 16, 16, 2)
+
+
+def test_nan_guard(tmp_path):
+    model = UNet(in_channels=1, out_channels=2, n_blocks=1, start_filts=2,
+                 dim=2, normalization="none")
+
+    def nan_loss(out, target):
+        import jax.numpy as jnp
+        return jnp.float32(jnp.nan) * jnp.mean(out)
+
+    from elektronn3_tpu.training import NaNException
+    tr = Trainer(model=model, criterion=nan_loss,
+                 train_dataset=ToySeg2d(n=4), batch_size=2,
+                 save_root=str(tmp_path), exp_name="nantest",
+                 enable_tensorboard=False)
+    with pytest.raises(NaNException):
+        tr.run(max_steps=3)
+
+
+def test_schedulers():
+    s = StepLR(1.0, step_size=2, gamma=0.1)
+    lrs = [s.step() for _ in range(5)]
+    assert np.allclose(lrs, [1.0, 1.0, 0.1, 0.1, 0.01])
+    c = CyclicLR(0.1, 1.0, step_size_up=2, step_size_down=2)
+    lrs = [c.step() for _ in range(5)]
+    assert lrs[0] == 0.1 and np.isclose(lrs[2], 1.0) and np.isclose(
+        lrs[4], 0.1)
+
+
+def test_padam_runs():
+    import jax
+    import jax.numpy as jnp
+    tx = padam(1e-2)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    updates, state = tx.update(g, state, params)
+    assert np.all(np.asarray(updates["w"]) < 0)
+
+
+def test_swa_average():
+    import jax.numpy as jnp
+    from elektronn3_tpu.training import SWA
+    swa = SWA()
+    swa.update_swa({"w": jnp.zeros(3)})
+    swa.update_swa({"w": jnp.ones(3) * 2})
+    avg = swa.swap_swa_sgd({"w": jnp.ones(3) * 99})
+    assert np.allclose(avg["w"], 1.0)
+    back = swa.swap_swa_sgd(avg)
+    assert np.allclose(back["w"], 99.0)
+
+
+def test_metrics_numerics():
+    target = np.array([[0, 0, 1, 1]])
+    pred = np.array([[0, 1, 1, 1]])
+    assert np.isclose(metrics.accuracy(target, pred), 75.0)
+    assert np.isclose(metrics.recall(target, pred, mean=False)[1], 100.0)
+    assert np.isclose(metrics.precision(target, pred, mean=False)[1],
+                      2 / 3 * 100)
+    dsc = metrics.dice_coefficient(target, pred, mean=False)
+    assert np.isclose(dsc[1], 2 * 2 / (2 * 2 + 1 + 0) * 100)
+    # Evaluator with channels-last logits
+    out = np.zeros((1, 4, 2), np.float32)
+    out[0, :, 1] = [0, 10, 10, 10]
+    out[0, :, 0] = [10, 0, 0, 0]
+    acc = metrics.Accuracy()(target, out)
+    assert np.isclose(acc, 75.0)
+
+
+def test_confusion_matrix_ignore():
+    target = np.array([0, 1, 255, 1])
+    pred = np.array([0, 1, 0, 0])
+    cm = metrics.confusion_matrix(target, pred, num_classes=2, ignore=255)
+    # class 1: tp=1, fn=1
+    assert cm[1, 0] == 1 and cm[1, 3] == 1
