@@ -411,7 +411,8 @@ class FixMatchSegLoss:
     ``apply_fn(inp) -> logits`` instead of an nn.Module.
     """
 
-    def __init__(self, apply_fn: Callable, rng_key: jax.Array = None,
+    def __init__(self, apply_fn: Optional[Callable] = None,
+                 rng_key: jax.Array = None,
                  enable_pseudo_label: bool = True,
                  confidence_threshold: float = 0.9,
                  consistency: str = "mse"):
@@ -452,7 +453,13 @@ class FixMatchSegLoss:
             out = jnp.where(flips[i], jnp.flip(out, axis=ax), out)
         return out
 
-    def __call__(self, inp, rng: Optional[jax.Array] = None):
+    def __call__(self, inp, rng: Optional[jax.Array] = None,
+                 apply_fn: Optional[Callable] = None):
+        if apply_fn is None:
+            apply_fn = self.apply_fn
+        if apply_fn is None:
+            raise ValueError(
+                "FixMatchSegLoss needs an apply_fn (constructor or call).")
         key = rng if rng is not None else self._key
         kf, kr = jax.random.split(key)
         n_spatial = inp.ndim - 2
@@ -462,9 +469,9 @@ class FixMatchSegLoss:
         flips = jax.random.bernoulli(kf, 0.5, (n_spatial,))
         k_rot = jax.random.randint(kr, (), 0, 4) if square else jnp.array(0)
 
-        out_plain = self.apply_fn(inp)
+        out_plain = apply_fn(inp)
         aug_inp = self._augment(inp, flips, k_rot)
-        out_aug = self.apply_fn(aug_inp)
+        out_aug = apply_fn(aug_inp)
         out_aug_de = self._deaugment(out_aug, flips, k_rot)
 
         target_probs = jax.lax.stop_gradient(

@@ -286,9 +286,25 @@ class Trainer:
                     params, state.batch_stats, inp, True, rng)
                 loss = criterion(out, target)
                 if unlabeled is not None and ss_criterion is not None:
-                    out_u, new_bs = self._apply(
-                        params, new_bs, unlabeled, True, rng)
-                    loss = loss + ss_criterion(out_u)
+                    # FixMatch-style criteria run the model themselves
+                    # (consistency across augmentations); plain criteria
+                    # get the unlabeled logits (reference
+                    # trainer.py:521-533).
+                    if hasattr(ss_criterion, "apply_fn"):
+                        bs_holder = [new_bs]
+
+                        def unl_apply(t):
+                            o, bs_holder[0] = self._apply(
+                                params, bs_holder[0], t, True, rng)
+                            return o
+
+                        loss = loss + ss_criterion(
+                            unlabeled, rng=rng, apply_fn=unl_apply)
+                        new_bs = bs_holder[0]
+                    else:
+                        out_u, new_bs = self._apply(
+                            params, new_bs, unlabeled, True, rng)
+                        loss = loss + ss_criterion(out_u)
                 return loss.astype(jnp.float32), (out, new_bs)
 
             (loss, (out, new_bs)), grads = jax.value_and_grad(
