@@ -415,8 +415,16 @@ class Trainer:
             unlabeled_iter = cycle(unlabeled_loader)
 
         pending_loss = None
-        for batch in prefetch_to_device(loader, size=2,
-                                        sharding=self._sharding):
+        batch_iter = prefetch_to_device(loader, size=2,
+                                        sharding=self._sharding)
+        try:
+            from tqdm import tqdm
+            batch_iter = tqdm(batch_iter, total=len(loader),
+                              leave=False, dynamic_ncols=True,
+                              disable=None, **self.tqdm_kwargs)
+        except ImportError:
+            pass
+        for batch in batch_iter:
             inp, target = batch["inp"], batch.get("target")
             unlabeled = None
             if unlabeled_iter is not None:
@@ -427,6 +435,7 @@ class Trainer:
             self.state, loss, out = self._train_step_jit(
                 self.state, inp, target, step_rng,
                 jnp.asarray(lr, jnp.float32), unlabeled)
+            self._last_sample = (inp, target, out)
 
             # NaN guard with one-step-delayed host fetch (keeps the
             # device queue full; reference checks every step,
@@ -551,6 +560,22 @@ class Trainer:
                 self.sample_plotting_handler(self)
             except Exception:
                 logger.exception("sample_plotting_handler failed")
+        elif getattr(self, "_last_sample", None) is not None:
+            # Default sample-image logging (reference
+            # handlers._tb_log_sample_images, trainer.py:925-929).
+            try:
+                from elektronn3_tpu.training import handlers
+                inp, target, out = self._last_sample
+                images = {
+                    "inp": np.moveaxis(np.asarray(inp), -1, 1),
+                    "target": None if target is None
+                    else np.asarray(target),
+                    "out": np.moveaxis(np.asarray(out), -1, 1),
+                }
+                handlers._tb_log_sample_images(self, images,
+                                               group="train_samples")
+            except Exception:
+                logger.exception("default sample plotting failed")
         if (self.preview_batch is not None
                 and self.epoch % self.preview_interval == 0):
             try:
