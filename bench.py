@@ -18,6 +18,7 @@ throughput on its target GPU (V100-class, AMP): ~3.2 it/s * 2.72 MVx =
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,7 @@ import numpy as np
 import optax
 
 from elektronn3_tpu.models.unet import UNet
-from elektronn3_tpu.modules import CombinedLoss, CrossEntropyLoss, DiceLoss
+from elektronn3_tpu.modules import CEDiceLoss
 
 REFERENCE_GPU_BASELINE_VOX_S = 8.7e6  # documented estimate, see docstring
 
@@ -39,7 +40,7 @@ def main():
     model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
                  planar_blocks=(0,), dim=3, normalization="batch",
                  dtype=jnp.bfloat16)
-    crit = CombinedLoss([CrossEntropyLoss(), DiceLoss()])
+    crit = CEDiceLoss(1.0, 1.0)
     shape = (BATCH,) + PATCH + (1,)
 
     rng = np.random.default_rng(0)
@@ -53,7 +54,7 @@ def main():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, y):
         def loss_fn(p):
             out, mut = model.apply(

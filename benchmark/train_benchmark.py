@@ -20,6 +20,9 @@ parser.add_argument("--bf16", action="store_true")
 parser.add_argument("-j", "--num-workers", type=int, default=4)
 parser.add_argument("--synthetic", action="store_true",
                     help="use synthetic data (no neuro_data download)")
+parser.add_argument("--patch", type=int, nargs=3, default=(44, 88, 88),
+                    help="patch shape (smoke tests can shrink this)")
+parser.add_argument("--batch", type=int, default=8)
 args = parser.parse_args()
 
 import jax.numpy as jnp
@@ -30,7 +33,7 @@ from elektronn3_tpu.models.unet import UNet
 from elektronn3_tpu.modules import CombinedLoss, CrossEntropyLoss, DiceLoss
 from elektronn3_tpu.training import Trainer
 
-patch_shape = (44, 88, 88)
+patch_shape = tuple(args.patch)
 
 if args.synthetic:
     from elektronn3_tpu.data.cnndata import Dataset
@@ -82,7 +85,7 @@ trainer = Trainer(
                            weight=[0.5, 0.5]),
     lr=1e-3,
     train_dataset=train_dataset,
-    batch_size=8,
+    batch_size=args.batch,
     num_workers=args.num_workers,
     exp_name=f"train_benchmark_{time.strftime('%y%m%d_%H%M%S')}",
     save_root=os.path.expanduser("~/e3tpu_benchmarks"),
@@ -92,6 +95,6 @@ trainer = Trainer(
 start = time.time()
 trainer.run(max_steps=args.max_steps)
 dt = time.time() - start
-vox = args.max_steps * 8 * int(np.prod(patch_shape))
+vox = args.max_steps * args.batch * int(np.prod(patch_shape))
 print(f"Benchmark completed in {dt / 60:.2f} min "
       f"({args.max_steps} steps, {vox / dt / 1e6:.2f} MVx/s)")

@@ -5,6 +5,7 @@ Public interface parity with the reference
 """
 
 from elektronn3_tpu.modules.loss import (
+    CEDiceLoss,
     ACLoss,
     CombinedLoss,
     CrossEntropyLoss,

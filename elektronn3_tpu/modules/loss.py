@@ -188,6 +188,46 @@ class SoftmaxBCELoss:
         return jnp.mean(bce)
 
 
+class CEDiceLoss:
+    """Fused weighted CrossEntropy + Dice loss sharing ONE softmax pass.
+
+    Functionally identical to
+    ``CombinedLoss([CrossEntropyLoss(), DiceLoss()], weight=[a, b])``
+    (the canonical training loss, reference
+    examples/train_unet_neurodata.py:294-296) but the softmax over the
+    large logit volume is computed once instead of twice — on
+    bandwidth-bound TPU steps this trims measurable HBM traffic.
+    """
+
+    def __init__(self, ce_weight: float = 0.5, dice_weight: float = 0.5,
+                 class_weight=None, smooth: float = 0.0):
+        self.ce_weight = ce_weight
+        self.dice_weight = dice_weight
+        self.class_weight = None if class_weight is None \
+            else jnp.asarray(class_weight)
+        self.smooth = smooth
+
+    def __call__(self, output, target):
+        onehot = _as_onehot(output, target)
+        logp = jax.nn.log_softmax(output, axis=-1)
+        probs = jnp.exp(logp)
+        # CE part
+        nll = -jnp.sum(onehot * logp, axis=-1)
+        if self.class_weight is not None:
+            w = self.class_weight.astype(output.dtype)
+            pix_w = jnp.sum(onehot * w, axis=-1)
+            ce = jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
+        else:
+            ce = jnp.mean(nll)
+        # Dice part
+        numerator = 2 * _channelwise_sum(probs * onehot) + self.smooth
+        denominator = _channelwise_sum(probs + onehot) + self.smooth + 1e-4
+        dice = jnp.mean(
+            (1.0 if self.class_weight is None else self.class_weight)
+            * (1 - numerator / denominator))
+        return self.ce_weight * ce + self.dice_weight * dice
+
+
 # ---------------------------------------------------------------------------
 # Combined losses (reference loss.py:19-49, :608-637)
 # ---------------------------------------------------------------------------

@@ -173,3 +173,18 @@ def test_fixmatch_consistency_zero_for_equivariant_fn(rng):
     crit = L.FixMatchSegLoss(lambda x: x, enable_pseudo_label=False)
     v = crit(inp, rng=jax.random.PRNGKey(1))
     assert float(v) < 1e-10
+
+
+def test_cedice_fused_matches_combined(rng):
+    logits, target = make_seg_batch(rng)
+    fused = L.CEDiceLoss(0.5, 0.5)(logits, target)
+    ref = L.CombinedLoss([L.CrossEntropyLoss(), L.DiceLoss()],
+                         weight=[0.5, 0.5])(logits, target)
+    assert np.isclose(float(fused), float(ref), rtol=1e-5)
+    # Weighted variant
+    w = np.array([0.3, 1.0, 2.0], np.float32)
+    fused_w = L.CEDiceLoss(1.0, 1.0, class_weight=w)(logits, target)
+    ref_w = L.CombinedLoss(
+        [L.CrossEntropyLoss(weight=w), L.DiceLoss(weight=w)],
+        weight=[1.0, 1.0])(logits, target)
+    assert np.isclose(float(fused_w), float(ref_w), rtol=1e-4)
