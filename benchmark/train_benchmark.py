@@ -68,6 +68,7 @@ else:
         aniso_factor=2,
         train=True,
         epoch_size=200,
+        target_dtype=np.uint8,
         warp_prob=0.2,
         warp_kwargs=dict(sample_aniso=True, warp_amount=1.0),
         transform=transforms.Compose([

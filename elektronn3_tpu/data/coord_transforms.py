@@ -261,19 +261,30 @@ def warp_slice(
     inp_src_shape = np.array(inp_src.shape[-3:])
 
     M_inv = np.linalg.inv(M.astype(np.float64)).astype(floatX)
+    perspective = bool(np.any(M[3, :3] != 0))
     dest_corners = make_dest_corners(patch_shape)
     src_corners = np.dot(M_inv, dest_corners.T).T
-    if np.any(M[3, :3] != 0):  # homogeneous divide
+    if perspective:  # homogeneous divide
         src_corners /= src_corners[:, 3][:, None]
     src_corners = src_corners[:, :3]
     lo = np.min(np.floor(src_corners), 0).astype(np.int64)
     hi = np.max(np.ceil(src_corners + 1), 0).astype(np.int64)
 
-    dest_coords = make_dest_coords(patch_shape)
-    src_coords = np.tensordot(dest_coords, M_inv, axes=[[-1], [1]])
-    if np.any(M[3, :3] != 0):
-        src_coords /= src_coords[..., 3][..., None]
-    src_coords = src_coords[..., :3]
+    # Fast path: affine transforms (the overwhelmingly common case) use
+    # the fused native C++ transform+interpolate kernels — the dense
+    # (P, 3) source-coordinate array is never materialized. Corner-based
+    # bounds are exact for affine maps (extrema at box vertices). The
+    # numpy dense-coordinate path remains for perspective transforms and
+    # debug mode.
+    fused = _native_available() and not debug and not perspective
+    if fused:
+        src_coords = None
+    else:
+        dest_coords = make_dest_coords(patch_shape)
+        src_coords = np.tensordot(dest_coords, M_inv, axes=[[-1], [1]])
+        if perspective:
+            src_coords /= src_coords[..., 3][..., None]
+        src_coords = src_coords[..., :3]
 
     if target_src is not None:
         target_src_shape = np.array(target_src.shape[-3:])
@@ -289,14 +300,24 @@ def warp_slice(
             raise ValueError("targets must be centered w.r.t. images")
         target_offset //= 2
 
-        src_coords_target = src_coords[
-            target_offset[0]:target_offset[0] + target_patch_shape[0],
-            target_offset[1]:target_offset[1] + target_patch_shape[1],
-            target_offset[2]:target_offset[2] + target_patch_shape[2]]
-        lo_targ = np.floor(src_coords_target.reshape(-1, 3).min(0)
-                           - target_src_offset).astype(np.int64)
-        hi_targ = np.ceil(src_coords_target.reshape(-1, 3).max(0)
-                          + 1 - target_src_offset).astype(np.int64)
+        if fused:
+            # Bounds from the target subregion's corners.
+            t_corners = make_dest_corners(target_patch_shape).copy()
+            t_corners[:, :3] += target_offset
+            src_t_corners = (M_inv @ t_corners.T).T[:, :3]
+            lo_targ = np.floor(src_t_corners.min(0)
+                               - target_src_offset).astype(np.int64)
+            hi_targ = np.ceil(src_t_corners.max(0)
+                              + 1 - target_src_offset).astype(np.int64)
+        else:
+            src_coords_target = src_coords[
+                target_offset[0]:target_offset[0] + target_patch_shape[0],
+                target_offset[1]:target_offset[1] + target_patch_shape[1],
+                target_offset[2]:target_offset[2] + target_patch_shape[2]]
+            lo_targ = np.floor(src_coords_target.reshape(-1, 3).min(0)
+                               - target_src_offset).astype(np.int64)
+            hi_targ = np.ceil(src_coords_target.reshape(-1, 3).max(0)
+                              + 1 - target_src_offset).astype(np.int64)
         if np.any(lo_targ < 0) or np.any(hi_targ >= target_src_shape - 1):
             raise WarpingOOBError("Out of bounds for target_src")
 
@@ -323,7 +344,10 @@ def warp_slice(
     inp = np.empty((n_f,) + patch_shape, dtype=floatX)
     use_native = _native_available() and not debug
     for k, discr in enumerate(in_discrete):
-        if use_native:
+        if fused:
+            inp[k] = _native.warp_interp(
+                img_cut[k], M_inv, patch_shape, lo_f, False, discr)
+        elif use_native:
             inp[k] = _native.map_coordinates_linear(
                 img_cut[k], src_coords, lo_f) if not discr else \
                 _native.map_coordinates_nearest(img_cut[k], src_coords, lo_f)
@@ -343,8 +367,16 @@ def warp_slice(
         t_discrete = [True] * n_f_t
     else:
         t_discrete = [i in target_discrete_ix for i in range(n_f_t)]
+    if fused:
+        # Compose the target-subregion offset into the matrix:
+        # dest' in [0, tps) maps to dest = dest' + target_offset.
+        M_inv_target = M_inv @ translate(*target_offset)
     for k, discr in enumerate(t_discrete):
-        if use_native:
+        if fused:
+            target[k] = _native.warp_interp(
+                target_cut[k], M_inv_target, target_patch_shape,
+                lo_targ_f, False, discr)
+        elif use_native:
             target[k] = _native.map_coordinates_nearest(
                 target_cut[k], src_coords_target, lo_targ_f) if discr else \
                 _native.map_coordinates_linear(

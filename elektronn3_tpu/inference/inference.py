@@ -102,29 +102,57 @@ def tiled_apply(
 
     out = np.empty(out_shape, dtype=np.float32)
     tiles = np.ceil(out_shape[2:] / tile_shape).astype(int)
-    num_tiles = int(np.prod(tiles))
+    tile_positions = [np.array(p) for p in itertools.product(
+        *[range(t) for t in tiles])]
+    num_tiles = len(tile_positions)
+    n = inp_padded.shape[0]
     t0 = time.time()
-    for i, tile_pos in enumerate(itertools.product(
-            *[range(t) for t in tiles])):
-        tile_pos = np.array(tile_pos)
+
+    # Batched tile execution: all tiles share one static shape, so they
+    # are packed along the batch axis and streamed through the device in
+    # large batches — ONE compiled program, few host-device round trips
+    # (the reference runs tiles one by one, inference.py:165-197).
+    tile_batch: list = []
+    positions_batch: list = []
+    # Per-call batch target: ~64 MB of input tiles.
+    in_tile_spatial = tile_shape + 2 * overlap_shape
+    tile_bytes = (n * inp_padded.shape[1]
+                  * int(np.prod(in_tile_spatial)) * 4)
+    max_batch_tiles = max(1, int(64e6 // max(tile_bytes, 1)))
+
+    def flush():
+        if not tile_batch:
+            return
+        stacked = np.concatenate(tile_batch)  # (B*n, C, *in_tile)
+        res = np.asarray(func(stacked))
+        if np.any(crop_low > 0):
+            res = res[_extend_nc(
+                [slice(c, c + t) for c, t in zip(crop_low, tile_shape)])]
+        for bi, pos in enumerate(positions_batch):
+            out_lo = pos * tile_shape
+            out_hi = out_lo + tile_shape
+            out[_extend_nc([slice(lo, hi)
+                            for lo, hi in zip(out_lo, out_hi)])] = \
+                res[bi * n:(bi + 1) * n]
+        tile_batch.clear()
+        positions_batch.clear()
+
+    for i, tile_pos in enumerate(tile_positions):
         out_lo = tile_pos * tile_shape
         out_hi = out_lo + tile_shape
         # Input tile in padded space: output region + overlap on both
         # sides (offset is *inside* the overlap).
         in_lo = out_lo
         in_hi = out_hi + 2 * overlap_shape
-        inp_tile = inp_padded[_extend_nc(
-            [slice(lo, hi) for lo, hi in zip(in_lo, in_hi)])]
-        out_tile = np.asarray(func(inp_tile))
-        # Crop away the overlap borders that remain after model shrinkage
-        if np.any(crop_low > 0):
-            out_tile = out_tile[_extend_nc(
-                [slice(c, c + t) for c, t in zip(crop_low, tile_shape)])]
-        out[_extend_nc([slice(lo, hi)
-                        for lo, hi in zip(out_lo, out_hi)])] = out_tile
-        if verbose and (i + 1) % max(1, num_tiles // 10) == 0:
-            logger.info(f"tiled_apply: {i + 1}/{num_tiles} tiles "
-                        f"({time.time() - t0:.1f} s)")
+        tile_batch.append(inp_padded[_extend_nc(
+            [slice(lo, hi) for lo, hi in zip(in_lo, in_hi)])])
+        positions_batch.append(tile_pos)
+        if len(tile_batch) >= max_batch_tiles:
+            flush()
+            if verbose:
+                logger.info(f"tiled_apply: {i + 1}/{num_tiles} tiles "
+                            f"({time.time() - t0:.1f} s)")
+    flush()
     return out
 
 
@@ -363,10 +391,24 @@ class Predictor:
             offset, out_shape, verbose=self.verbose)
 
     def _splitbatch_predict(self, inp: np.ndarray) -> np.ndarray:
-        """Split over-long batches (reference :552-567)."""
+        """Split over-long batches (reference :552-567).
+
+        The final ragged chunk is zero-padded to the full batch size so
+        every device call shares ONE compiled shape."""
         n = inp.shape[0]
         bs = self.batch_size or n
         if n <= bs:
             return self._predict(inp)
-        outs = [self._predict(inp[i:i + bs]) for i in range(0, n, bs)]
+        outs = []
+        for i in range(0, n, bs):
+            chunk = inp[i:i + bs]
+            pad = bs - chunk.shape[0]
+            if pad > 0:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            res = self._predict(chunk)
+            if pad > 0:
+                res = res[:res.shape[0] - pad]
+            outs.append(res)
         return np.concatenate(outs)

@@ -166,6 +166,7 @@ class Trainer:
 
         self.step = 0
         self.epoch = 0
+        self._loss_fetch_interval = 10  # batched device->host loss reads
         self._lr_nhood = []  # recent LRs for LR-minimum detection
         self.best_val_loss = inf
         self.swa: Optional[SWA] = None
@@ -414,7 +415,7 @@ class Trainer:
                     yield from dl
             unlabeled_iter = cycle(unlabeled_loader)
 
-        pending_loss = None
+        pending_losses = []
         batch_iter = prefetch_to_device(loader, size=2,
                                         sharding=self._sharding)
         try:
@@ -437,15 +438,18 @@ class Trainer:
                 jnp.asarray(lr, jnp.float32), unlabeled)
             self._last_sample = (inp, target, out)
 
-            # NaN guard with one-step-delayed host fetch (keeps the
-            # device queue full; reference checks every step,
+            # NaN guard with delayed, batched host fetches: losses stay
+            # on device and are pulled every few steps in one transfer,
+            # keeping the device queue full and avoiding a host-device
+            # round trip per step (the reference syncs every step,
             # trainer.py:535-537).
-            if pending_loss is not None:
-                lval = float(pending_loss)
-                stats["tr_loss"].append(lval)
-                if np.isnan(lval):
+            pending_losses.append(loss)
+            if len(pending_losses) >= self._loss_fetch_interval:
+                lvals = [float(l) for l in pending_losses]
+                pending_losses.clear()
+                stats["tr_loss"].extend(lvals)
+                if any(np.isnan(l) for l in lvals):
                     raise NaNException("NaN loss detected! Aborting training.")
-            pending_loss = loss
 
             self.step += 1
             running_vx_size += int(np.prod(inp.shape))
@@ -462,10 +466,10 @@ class Trainer:
             if self.terminate:
                 break
 
-        if pending_loss is not None:
-            lval = float(pending_loss)
-            stats["tr_loss"].append(lval)
-            if np.isnan(lval):
+        if pending_losses:
+            lvals = [float(l) for l in pending_losses]
+            stats["tr_loss"].extend(lvals)
+            if any(np.isnan(l) for l in lvals):
                 raise NaNException("NaN loss detected! Aborting training.")
 
         t = timer.t_passed
