@@ -131,6 +131,13 @@ def get_normalization(
         return nn.BatchNorm(
             use_running_average=None, momentum=0.9, epsilon=1e-5,
             dtype=dtype, param_dtype=param_dtype)
+    if norm == "batchp":
+        # Pallas fused batch norm (ops/pallas_bn.py): same semantics as
+        # 'batch' with a kernel-fused stats+normalize implementation.
+        from elektronn3_tpu.modules.pallas_norm import PallasBatchNorm
+        return PallasBatchNorm(use_running_average=None, momentum=0.9,
+                               epsilon=1e-5, dtype=dtype,
+                               param_dtype=param_dtype)
     if norm == "instance":
         # Instance norm == group norm with one group per channel.
         return nn.GroupNorm(num_groups=None, group_size=1,
@@ -147,6 +154,9 @@ def apply_norm(norm_layer, x, *, train: bool):
     if norm_layer is None:
         return x
     if isinstance(norm_layer, nn.BatchNorm):
+        return norm_layer(x, use_running_average=not train)
+    from elektronn3_tpu.modules.pallas_norm import PallasBatchNorm
+    if isinstance(norm_layer, PallasBatchNorm):
         return norm_layer(x, use_running_average=not train)
     return norm_layer(x)
 
