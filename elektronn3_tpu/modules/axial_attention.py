@@ -190,62 +190,47 @@ class ReversibleSequence(nn.Module):
 
     Splits channels into two halves (x1, x2), runs
     ``y1 = x1 + f(x2); y2 = x2 + g(y1)`` per block, concatenates halves.
-    Backward reconstructs activations instead of storing them.
+    Backward reconstructs activations instead of storing them
+    (``_rev_sequence``'s custom vjp saves only the outputs).
     Reference axial_attention.py:344-351 + :257-342.
     """
-    blocks: Sequence[Tuple[nn.Module, nn.Module]]
+    blocks: Any  # factory () -> [(f_mod, g_mod), ...], or a list thereof
 
-    @nn.compact
+    def setup(self):
+        # A factory is required so sublayers are constructed inside THIS
+        # module's scope (instances built in another module's compact
+        # __call__ get parented there and can't be re-owned).
+        blocks = self.blocks() if callable(self.blocks) else self.blocks
+        self._n_blocks = len(blocks)
+        self.f_layers = [f for f, _ in blocks]
+        self.g_layers = [g for _, g in blocks]
+
     def __call__(self, x):
         x1, x2 = jnp.split(x, 2, axis=-1)
-        # Initialize all block params by binding each module once.
-        params_seq = []
-        apply_fns = []
-        for i, (f_mod, g_mod) in enumerate(self.blocks):
-            f_name, g_name = f"f_{i}", f"g_{i}"
-            if self.is_initializing():
-                # Run once to create params (non-reversible path).
-                y1 = x1 + _SubLayer(f_mod, name=f_name)(x2)
-                y2 = x2 + _SubLayer(g_mod, name=g_name)(y1)
-                x1, x2 = y1, y2
-            else:
-                params_seq.append({
-                    "f": self.scope.get_variable("params", f_name),
-                    "g": self.scope.get_variable("params", g_name),
-                })
-                apply_fns.append((f_mod, g_mod))
         if self.is_initializing():
+            # Run the plain residual path once to create params.
+            for f_mod, g_mod in zip(self.f_layers, self.g_layers):
+                x1 = x1 + f_mod(x2)
+                x2 = x2 + g_mod(x1)
             return jnp.concatenate([x1, x2], axis=-1)
 
-        f_mod, g_mod = self.blocks[0]
+        # Collect bound params without executing the sublayers, then run
+        # the custom-vjp reversible core with pure functional applies.
+        params_seq = [
+            {"f": f.variables.get("params", {}),
+             "g": g.variables.get("params", {})}
+            for f, g in zip(self.f_layers, self.g_layers)]
+        f0 = self.f_layers[0].clone()
+        g0 = self.g_layers[0].clone()
 
         def apply_f(p, a):
-            return f_mod.apply({"params": p["sub"]}, a)
+            return f0.apply({"params": p}, a)
 
         def apply_g(p, a):
-            return g_mod.apply({"params": p["sub"]}, a)
+            return g0.apply({"params": p}, a)
 
         y1, y2 = _rev_sequence(apply_f, apply_g, params_seq, x1, x2)
         return jnp.concatenate([y1, y2], axis=-1)
-
-
-class _SubLayer(nn.Module):
-    """Wraps a sub-module under a 'sub' scope so its params can be
-    retrieved and re-applied functionally inside the reversible vjp."""
-    mod: nn.Module
-
-    @nn.compact
-    def __call__(self, x):
-        # The child is stored under <name>/sub in the params tree.
-        return _Named(self.mod, name="sub")(x)
-
-
-class _Named(nn.Module):
-    mod: nn.Module
-
-    @nn.compact
-    def __call__(self, x):
-        return self.mod(x)
 
 
 class Rezero(nn.Module):
@@ -275,22 +260,25 @@ class AxialImageTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        def make_block(i):
-            attn = Rezero(AxialAttention(
-                self.dim, self.num_dimensions, self.heads, self.dim_heads,
-                dtype=self.dtype, param_dtype=self.param_dtype))
-            ff = Rezero(_ConvFF(self.dim, self.num_dimensions,
-                                dtype=self.dtype,
-                                param_dtype=self.param_dtype))
-            return attn, ff
+        def make_blocks():
+            out = []
+            for i in range(self.depth):
+                attn = Rezero(AxialAttention(
+                    self.dim, self.num_dimensions, self.heads,
+                    self.dim_heads, dtype=self.dtype,
+                    param_dtype=self.param_dtype))
+                ff = Rezero(_ConvFF(self.dim, self.num_dimensions,
+                                    dtype=self.dtype,
+                                    param_dtype=self.param_dtype))
+                out.append((attn, ff))
+            return out
 
-        blocks = [make_block(i) for i in range(self.depth)]
         if self.reversible:
             xx = jnp.concatenate([x, x], axis=-1)
-            out = ReversibleSequence(blocks)(xx)
+            out = ReversibleSequence(make_blocks)(xx)
             o1, o2 = jnp.split(out, 2, axis=-1)
             return (o1 + o2) / 2
-        for attn, ff in blocks:
+        for attn, ff in make_blocks():
             x = x + attn(x)
             x = x + ff(x)
         return x
