@@ -212,6 +212,9 @@ class Predictor:
             argmax_with_threshold: Union[None, bool, float] = None,
             strict_shapes: bool = False,
             verbose: bool = False,
+            mesh=None,
+            shard_axis: int = 2,
+            halo: Optional[int] = None,
     ):
         self.batch_size = batch_size
         self.tile_shape = None if tile_shape is None else tuple(tile_shape)
@@ -230,7 +233,10 @@ class Predictor:
         self.augmentations = augmentations
 
         # Resolve the model into an apply callable on channels-last
-        if isinstance(model, str):
+        if isinstance(model, str) and model.endswith(".stablehlo"):
+            from elektronn3_tpu.training.trainer import load_stablehlo
+            model = load_stablehlo(model)
+        elif isinstance(model, str):
             from elektronn3_tpu.training.trainer import load_model
             model, state, info = load_model(model)
             if self.out_channels is None:
@@ -258,7 +264,30 @@ class Predictor:
             self._auto_offset = False
         self.offset = None if offset is None else tuple(offset)
 
-        self._jit_forward = jax.jit(self._forward_cl)
+        # Multi-chip spatial sharding: shard one spatial axis of the
+        # volume over the mesh's 'space' axis with halo exchange
+        # (elektronn3_tpu.parallel.halo) — scale-out alternative to
+        # single-device tiling. Requires a same-conv model; ``halo``
+        # must cover the receptive-field half width.
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self.halo = halo
+        if mesh is not None:
+            if halo is None:
+                raise ValueError("halo is required with mesh sharding")
+            if self.augmentations:
+                raise ValueError(
+                    "flip-TTA is not supported with spatial mesh "
+                    "sharding (flips across the sharded axis would be "
+                    "device-local)")
+            from elektronn3_tpu.parallel.halo import sharded_spatial_apply
+            # shard_axis is in NC(D)HW terms (like tile axes); on the
+            # channels-last device layout spatial axis k maps to k-1.
+            self._jit_forward = jax.jit(sharded_spatial_apply(
+                self._forward_cl, mesh, halo,
+                spatial_axis=shard_axis - 1, axis_name="space"))
+        else:
+            self._jit_forward = jax.jit(self._forward_cl)
 
     # -- device-side forward on channels-last tiles ---------------------
 

@@ -2,6 +2,8 @@
 elektronn3/training/__init__.py:1-3."""
 
 from elektronn3_tpu.training.trainer import (
+    export_stablehlo,
+    load_stablehlo,
     Backup,
     NaNException,
     Trainer,

@@ -650,6 +650,22 @@ class Trainer:
                    model_path, info=info)
         log(f"Saved model as {model_path}")
 
+        # Deployment artifact (StableHLO; analog of the reference's
+        # TorchScript .pts) — only for terminal snapshots, export
+        # requires a fresh trace.
+        if suffix in ("_final", "_best") and self.example_input is not None:
+            try:
+                hlo_path = os.path.join(self.save_path,
+                                        f"model{suffix}.stablehlo")
+                export_stablehlo(
+                    self.model,
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats},
+                    self.example_input.shape, hlo_path)
+                log(f"Saved StableHLO artifact as {hlo_path}")
+            except Exception:
+                logger.exception("StableHLO export failed")
+
     def load_state(self, path: str):
         """Resume from a ``state_dict*.ckpt`` file."""
         from flax import serialization
@@ -720,6 +736,37 @@ class Backup:
                 f.write(f"devices {_jax.devices()}\n")
         except Exception:
             pass
+
+
+def export_stablehlo(model, variables: Dict[str, Any],
+                     input_shape: Sequence[int], path: str,
+                     platforms: Optional[Sequence[str]] = None) -> None:
+    """Export the model's inference function as a serialized StableHLO
+    artifact (jax.export) — the analog of the reference's TorchScript
+    ``model.pts`` (trainer.py:876-887). The artifact is loadable with
+    :func:`load_stablehlo` in any environment with jax, independent of
+    this package's model code.
+    """
+    import jax.export
+
+    def fn(x):
+        return model.apply(variables, x, train=False)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax.export.export(jax.jit(fn), **kwargs)(
+        jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32))
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_stablehlo(path: str):
+    """Load a StableHLO artifact -> jittable callable ``fn(x)``."""
+    import jax.export
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return jax.jit(exported.call)
 
 
 def save_model(model, variables: Dict[str, Any], path: str,

@@ -93,3 +93,33 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_predictor_mesh_sharded(rng):
+    """Predictor with spatial mesh sharding matches single-device
+    prediction (same-conv UNet, halo covers receptive field)."""
+    from elektronn3_tpu.inference import Predictor
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    model = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+                 dim=2, normalization="none")
+    variables = init_unet(model, (1, 64, 16, 1))
+    inp = rng.normal(size=(1, 1, 64, 16)).astype(np.float32)
+
+    single = Predictor(model=model, state=variables).predict(inp)
+    mesh = make_mesh({"space": 4})
+    sharded = Predictor(model=model, state=variables, mesh=mesh,
+                        shard_axis=2, halo=16).predict(inp)
+    assert sharded.shape == single.shape
+    # Interior (away from the volume edge by the receptive field) must
+    # match the whole-image prediction.
+    assert np.allclose(single[:, :, 16:-16], sharded[:, :, 16:-16],
+                       atol=1e-3), \
+        np.abs(single[:, :, 16:-16] - sharded[:, :, 16:-16]).max()
+    # Globally, sharding must be EXACTLY equivalent to single-device
+    # tiled inference with the same window extension (both see
+    # zero-extended 48-row windows).
+    tiled = Predictor(model=model, state=variables, tile_shape=(16, 16),
+                      overlap_shape=(16, 0)).predict(inp)
+    assert np.allclose(tiled, sharded, atol=1e-4), \
+        np.abs(tiled - sharded).max()

@@ -174,3 +174,19 @@ def test_confusion_matrix_ignore():
     cm = metrics.confusion_matrix(target, pred, num_classes=2, ignore=255)
     # class 1: tp=1, fn=1
     assert cm[1, 0] == 1 and cm[1, 3] == 1
+
+
+def test_stablehlo_export_roundtrip(tmp_path, toy_trainer):
+    import jax.numpy as jnp
+    from elektronn3_tpu.training import export_stablehlo, load_stablehlo
+    tr = toy_trainer
+    path = str(tmp_path / "m.stablehlo")
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+    export_stablehlo(tr.model, variables, (1, 16, 16, 1), path)
+    fn = load_stablehlo(path)
+    x = jnp.ones((1, 16, 16, 1))
+    out_exported = fn(x)
+    out_direct = tr.model.apply(variables, x, train=False)
+    assert np.allclose(np.asarray(out_exported), np.asarray(out_direct),
+                       atol=1e-5)
