@@ -12,6 +12,7 @@ from elektronn3_tpu.data.cnndata import (
     calculate_class_weights,
     get_preview_batch,
 )
+from elektronn3_tpu.data.device_pipeline import DeviceWarpPatchLoader
 from elektronn3_tpu.data.pipeline import (
     DataLoader,
     default_collate,

@@ -1,0 +1,179 @@
+"""Fully on-device warp-augmentation pipeline.
+
+The BASELINE.json north star: "elektronn3.data's HDF5 patch sampling
+plus elastic warping, rotation, and grey-value augmentations fuse into a
+single on-device XLA/Pallas preprocessing pipeline feeding HBM with no
+host round-trips".
+
+Division of labor (SURVEY.md §7 hard parts):
+- HOST (cheap, control-flow heavy): random cube choice, random 4x4
+  matrix, corner-based OOB pre-check with retry, HDF5 window read. The
+  window is padded to ONE static shape so the device program never
+  recompiles.
+- DEVICE (bandwidth/compute heavy): per-voxel inverse transform +
+  trilinear/nearest interpolation for the whole batch in one vmapped
+  program (`ops.warp.warp_interpolate_batch`) + photometric
+  augmentations — all fusable with the subsequent train step.
+
+Compared to the host pipeline (`DataLoader` over `PatchCreator`), this
+moves the O(batch x patch-voxels) interpolation off the host CPU; the
+host only streams raw windows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from elektronn3_tpu import floatX, logger
+from elektronn3_tpu.data import coord_transforms as ct
+from elektronn3_tpu.data.sources import DataSource, slice_3d
+from elektronn3_tpu.ops import warp as warp_ops
+
+
+class DeviceWarpPatchLoader:
+    """Batched patch loader with on-device warp interpolation.
+
+    Args:
+        inputs / targets: lists of DataSources ((C?,) D, H, W).
+        patch_shape: (D, H, W) output patch shape.
+        batch_size: patches per batch.
+        window_shape: static host-read window shape; must be large
+            enough for the warped bounding boxes (samples whose bounding
+            box exceeds it are retried like OOB). Defaults to
+            ``ceil(1.5 * patch_shape) + 8``.
+        warp_prob / warp_kwargs / aniso_factor: as in PatchCreator.
+        epoch_size: batches per epoch.
+        augment_fn: optional device-side augmentation
+            ``fn(inp (N, pd, ph, pw), rng) -> inp`` applied after
+            interpolation (see ops.warp photometric helpers).
+        normalize: optional (mean, std) applied on device.
+        seed: RNG seed.
+    """
+
+    def __init__(
+            self,
+            inputs: Sequence[DataSource],
+            targets: Optional[Sequence[DataSource]],
+            patch_shape: Tuple[int, int, int],
+            batch_size: int = 8,
+            window_shape: Optional[Tuple[int, int, int]] = None,
+            warp_prob: float = 0.2,
+            warp_kwargs: Optional[Dict] = None,
+            aniso_factor: int = 2,
+            epoch_size: int = 100,
+            augment_fn: Optional[Callable] = None,
+            normalize: Optional[Tuple[float, float]] = None,
+            seed: int = 0,
+    ):
+        self.inputs = list(inputs)
+        self.targets = None if targets is None else list(targets)
+        self.patch_shape = tuple(patch_shape)
+        self.batch_size = batch_size
+        if window_shape is None:
+            window_shape = tuple(
+                int(np.ceil(1.5 * s)) + 8 for s in patch_shape)
+        self.window_shape = tuple(window_shape)
+        self.warp_prob = warp_prob
+        self.warp_kwargs = dict(warp_kwargs or {})
+        self.aniso_factor = aniso_factor
+        self.epoch_size = epoch_size
+        self.augment_fn = augment_fn
+        self.normalize = normalize
+        self.rng = np.random.default_rng(seed)
+        self._jax_key = jax.random.PRNGKey(seed)
+        self.n_failed = 0
+        self.n_ok = 0
+
+    def __len__(self):
+        return self.epoch_size
+
+    # -- host side -----------------------------------------------------
+
+    def _sample_one(self):
+        """Pick cube + matrix; corner-check; read a static window.
+
+        Returns (window, t_window, M_inv, lo) with window shapes fixed
+        to ``self.window_shape``.
+        """
+        ws = np.array(self.window_shape)
+        while True:
+            i = self.rng.integers(0, len(self.inputs))
+            src = self.inputs[i]
+            tsrc = None if self.targets is None else self.targets[i]
+            wk = dict(self.warp_kwargs)
+            if not (self.warp_prob and self.rng.random() < self.warp_prob):
+                wk["warp_amount"] = 0
+            try:
+                M = ct.get_warped_coord_transform(
+                    inp_src_shape=src.shape,
+                    patch_shape=self.patch_shape,
+                    aniso_factor=self.aniso_factor,
+                    rng=self.rng, **wk)
+            except RuntimeError:
+                raise
+            M_inv = np.linalg.inv(M.astype(np.float64)).astype(np.float32)
+            corners = ct.make_dest_corners(self.patch_shape)
+            src_corners = (M_inv @ corners.T).T[:, :3]
+            lo = np.floor(src_corners.min(0)).astype(np.int64)
+            hi = np.ceil(src_corners.max(0) + 1).astype(np.int64) + 1
+            shape3 = np.array(src.shape[-3:])
+            if np.any(lo < 0) or np.any(hi > shape3) \
+                    or np.any(hi - lo > ws):
+                self.n_failed += 1
+                continue
+            self.n_ok += 1
+            # Read and pad to the static window shape.
+            cut = slice_3d(src, lo, hi, dtype=floatX)
+            if cut.ndim == 4:
+                cut = cut[0]
+            pad = [(0, int(w - s)) for w, s in zip(ws, cut.shape)]
+            window = np.pad(cut, pad)
+            t_window = None
+            if tsrc is not None:
+                tcut = slice_3d(tsrc, lo, hi, dtype=floatX)
+                if tcut.ndim == 4:
+                    tcut = tcut[0]
+                t_window = np.pad(tcut, pad)
+            return window, t_window, M_inv, lo.astype(np.float32)
+
+    # -- device side ---------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _device_process(self, windows, t_windows, M_invs, los, key):
+        inp = warp_ops.warp_interpolate_batch(
+            windows, M_invs, los, self.patch_shape, discrete=False)
+        if self.normalize is not None:
+            mean, std = self.normalize
+            inp = (inp - mean) / std
+        if self.augment_fn is not None:
+            inp = self.augment_fn(inp, key)
+        out = {"inp": inp[..., None]}  # channels-last (N, pd, ph, pw, 1)
+        if t_windows is not None:
+            tgt = warp_ops.warp_interpolate_batch(
+                t_windows, M_invs, los, self.patch_shape, discrete=True)
+            out["target"] = tgt.astype(jnp.int32)
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+        for _ in range(self.epoch_size):
+            ws, tws, ms, los = [], [], [], []
+            for _ in range(self.batch_size):
+                w, tw, m, lo = self._sample_one()
+                ws.append(w)
+                ms.append(m)
+                los.append(lo)
+                if tw is not None:
+                    tws.append(tw)
+            self._jax_key, key = jax.random.split(self._jax_key)
+            yield self._device_process(
+                jnp.asarray(np.stack(ws)),
+                jnp.asarray(np.stack(tws)) if tws else None,
+                jnp.asarray(np.stack(ms)),
+                jnp.asarray(np.stack(los)),
+                key)

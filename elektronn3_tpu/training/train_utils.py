@@ -12,6 +12,31 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def create_preview_batch_from_knossos(
+        knossos_preview_config: Dict) -> np.ndarray:
+    """Load a (N, C, D, H, W) preview batch from KNOSSOS dataset(s).
+
+    Reference train_utils.py:23-48. Requires knossos_utils.
+    """
+    from knossos_utils import KnossosDataset
+    config = knossos_preview_config
+    for k in ("dataset", "size", "offset", "mag", "target_mags"):
+        if k not in config:
+            raise ValueError(
+                f"Required key {k} missing from knossos_preview_config.")
+    datasets = config["dataset"]
+    if isinstance(datasets, str):
+        datasets = [datasets]
+    inp_np = []
+    for dataset_path in datasets:
+        ds = KnossosDataset(dataset_path)
+        inp_np.append(ds.load_raw(
+            offset=config["offset"], size=config["size"],
+            mag=config["mag"], datatype=np.float32))
+    inp_np = np.stack(inp_np, axis=0)[None]  # (N, C, D, H, W)
+    return inp_np / config.get("scale_brightness", 1.0)
+
+
 class AccumulationArray:
     """Growing record array with O(1) amortized append.
     Reference train_utils.py:112-221."""
