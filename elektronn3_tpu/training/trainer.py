@@ -220,7 +220,8 @@ class Trainer:
         # --- Initialize model state -------------------------------------
         rngs = jax.random.PRNGKey(seed)
         self._rng = rngs
-        if example_input is None and train_dataset is not None:
+        if example_input is None and train_dataset is not None \
+                and hasattr(train_dataset, "__getitem__"):
             sample = train_dataset[0]
             inp = sample["inp"]
             # host layout (C, *spatial) -> batched channels-last
@@ -399,10 +400,16 @@ class Trainer:
         running_vx_size = 0
         timer = Timer()
 
-        loader = DataLoader(
-            self.train_dataset, batch_size=self.batch_size,
-            num_workers=self.num_workers, seed=self.seed,
-            channels_last=True)
+        if hasattr(self.train_dataset, "__iter__") and \
+                not hasattr(self.train_dataset, "__getitem__"):
+            # Loader-style dataset (e.g. DeviceWarpPatchLoader): yields
+            # ready channels-last batches itself.
+            loader = self.train_dataset
+        else:
+            loader = DataLoader(
+                self.train_dataset, batch_size=self.batch_size,
+                num_workers=self.num_workers, seed=self.seed,
+                channels_last=True)
         unlabeled_iter = None
         if self.unlabeled_dataset is not None:
             unlabeled_loader = DataLoader(

@@ -307,3 +307,24 @@ def test_sources_slice_3d(rng):
         slice_3d(src, (-1, 0, 0), (5, 5, 5))
     with pytest.raises(RuntimeError):
         slice_3d(src, (0, 0, 0), (11, 5, 5))
+
+
+def test_dataloader_ragged_last_batch(synthetic_h5):
+    """drop_last=False must yield exactly ceil(n/bs) non-empty batches."""
+    inp_path, lab_path = synthetic_h5
+    ds = PatchCreator(
+        input_sources=[(inp_path, "raw")],
+        target_sources=[(lab_path, "lab")],
+        patch_shape=(8, 8, 8), epoch_size=10)
+    dl = DataLoader(ds, batch_size=8, num_workers=0, drop_last=False,
+                    shuffle=False, seed=0)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["inp"].shape[0] == 8
+    assert batches[1]["inp"].shape[0] == 2
+    # Exactly-divisible case: no empty extra batch
+    ds.epoch_size = 8
+    dl = DataLoader(ds, batch_size=8, num_workers=0, drop_last=False,
+                    shuffle=False, seed=0)
+    batches = list(dl)
+    assert len(batches) == 1

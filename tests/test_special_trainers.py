@@ -125,3 +125,29 @@ def test_recalibrate_bn(tmp_path, rng):
     new = jax.tree_util.tree_leaves(new_vars["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
     assert all(np.all(np.isfinite(b)) for b in new)
+
+
+def test_trainer_with_device_pipeline(tmp_path, rng):
+    """Trainer accepts a loader-style dataset (DeviceWarpPatchLoader)."""
+    import numpy as np
+    from elektronn3_tpu.data.device_pipeline import DeviceWarpPatchLoader
+    from elektronn3_tpu.data.sources import ArrayDataSource
+    from elektronn3_tpu.modules import CrossEntropyLoss
+    from elektronn3_tpu.training import Trainer
+
+    vol = rng.normal(size=(48, 64, 64)).astype(np.float32)
+    lab = (vol > 0).astype(np.float32)
+    loader = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol)], targets=[ArrayDataSource(lab)],
+        patch_shape=(8, 16, 16), batch_size=2, epoch_size=3,
+        warp_prob=0.3, seed=0)
+    model = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+                 dim=3, normalization="none")
+    tr = Trainer(
+        model=model, criterion=CrossEntropyLoss(),
+        train_dataset=loader, batch_size=2,
+        example_input=np.zeros((1, 8, 16, 16, 1), np.float32),
+        save_root=str(tmp_path), exp_name="devpipe",
+        enable_tensorboard=False)
+    tr.run(max_steps=3)
+    assert tr.step >= 3
