@@ -32,7 +32,6 @@ inp_path = os.path.join(data_root, "raw_0.h5")
 target_path = os.path.join(data_root, "barrier_int16_0.h5")
 
 common_transforms = [
-    transforms.SqueezeTarget(dim=0),
     transforms.Normalize(mean=155.291411, std=41.812504),
 ]
 train_transform = transforms.Compose(common_transforms + [
