@@ -35,6 +35,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 from flax import linen as nn
 
@@ -128,6 +129,7 @@ class DownConv(nn.Module):
         y = nn.Conv(self.out_channels, ks, padding=padding,
                     kernel_init=_kernel_init, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(x)
+        y = checkpoint_name(y, "conv_out")
         if self.full_norm:
             y = apply_norm(get_normalization(self.normalization, **norm_kw),
                            y, train=train)
@@ -135,6 +137,7 @@ class DownConv(nn.Module):
         y = nn.Conv(self.out_channels, ks, padding=padding,
                     kernel_init=_kernel_init, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(y)
+        y = checkpoint_name(y, "conv_out")
         y = apply_norm(get_normalization(self.normalization, **norm_kw),
                        y, train=train)
         y = act(y)
@@ -237,6 +240,7 @@ class UpConv(nn.Module):
         y = nn.Conv(self.out_channels, ks, padding=padding,
                     kernel_init=_kernel_init, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(mrg)
+        y = checkpoint_name(y, "conv_out")
         if self.full_norm:
             y = apply_norm(get_normalization(self.normalization, **norm_kw),
                            y, train=train)
@@ -244,6 +248,7 @@ class UpConv(nn.Module):
         y = nn.Conv(self.out_channels, ks, padding=padding,
                     kernel_init=_kernel_init, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(y)
+        y = checkpoint_name(y, "conv_out")
         y = apply_norm(get_normalization(self.normalization, **norm_kw),
                        y, train=train)
         y = act(y)
@@ -272,7 +277,7 @@ class UNet(nn.Module):
     full_norm: bool = True
     dim: int = 3
     conv_mode: str = "same"
-    checkpointing: bool = False
+    checkpointing: Union[bool, str] = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -321,9 +326,17 @@ class UNet(nn.Module):
         # Gradient checkpointing after each block (reference
         # forward_gradcp, unet.py:918-935) via flax's jax.checkpoint
         # lifting. static_argnums counts the module itself as 0.
-        DownCls = (nn.remat(DownConv, static_argnums=(2,))
+        # checkpointing=True: full-block remat (max memory savings).
+        # checkpointing='policy': save only conv outputs; norms and
+        # activations are recomputed in the backward pass (trades cheap
+        # VPU recompute for HBM activation traffic).
+        remat_kw = {}
+        if self.checkpointing == "policy":
+            remat_kw["policy"] = \
+                jax.checkpoint_policies.save_only_these_names("conv_out")
+        DownCls = (nn.remat(DownConv, static_argnums=(2,), **remat_kw)
                    if self.checkpointing else DownConv)
-        UpCls = (nn.remat(UpConv, static_argnums=(3,))
+        UpCls = (nn.remat(UpConv, static_argnums=(3,), **remat_kw)
                  if self.checkpointing else UpConv)
 
         encoder_outs = []
