@@ -95,6 +95,97 @@ def warp_interpolate_batch(windows: jnp.ndarray, M_invs: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# On-device elastic deformation (reference WIP inline elastic,
+# coord_transforms.py:395-418: smoothed random displacement added to the
+# source coordinates so augmentation needs no second interpolation pass)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(sigma: float) -> jnp.ndarray:
+    radius = max(1, int(3.0 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _smooth3d(field: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable gaussian smoothing of a (D, H, W) field (zero-padded
+    borders, like scipy mode='constant')."""
+    k = _gaussian_kernel1d(sigma)
+    r = (k.shape[0] - 1) // 2
+    x = field[None, ..., None]  # (1, D, H, W, 1)
+    for axis in range(3):
+        kshape = [1, 1, 1]
+        kshape[axis] = k.shape[0]
+        kern = k.reshape(kshape + [1, 1])
+        x = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1, 1),
+            padding=[(r, r) if a == axis else (0, 0) for a in range(3)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return x[0, ..., 0]
+
+
+def elastic_displacement(key: jax.Array, patch_shape: Tuple[int, int, int],
+                         sigma: float = 4.0, alpha: float = 40.0,
+                         aniso_factor: float = 1.0) -> jnp.ndarray:
+    """Random smoothed displacement field, shape patch + (3,).
+
+    Per-dimension: gaussian_filter(U(-1,1), sigma) * alpha, with the z
+    component divided by ``aniso_factor`` (reference
+    coord_transforms.py:400-414).
+    """
+    keys = jax.random.split(key, 3)
+    comps = []
+    for i in range(3):
+        noise = jax.random.uniform(keys[i], patch_shape, jnp.float32,
+                                   -1.0, 1.0)
+        d = _smooth3d(noise, sigma) * alpha
+        if i == 0 and aniso_factor != 1.0:
+            d = d / aniso_factor
+        comps.append(d)
+    return jnp.stack(comps, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "discrete"))
+def warp_interpolate_elastic(window: jnp.ndarray, M_inv: jnp.ndarray,
+                             lo: jnp.ndarray,
+                             displacement: jnp.ndarray,
+                             patch_shape: Tuple[int, int, int],
+                             discrete: bool = False) -> jnp.ndarray:
+    """warp_interpolate with an additive source-coordinate displacement
+    field (elastic deformation fused into the same gather — no second
+    interpolation pass). Displaced coordinates are clamped to the window
+    (reference clips to the read bounds, coord_transforms.py:415-418).
+    """
+    grid = dest_coords(patch_shape)
+    src = jnp.einsum("...j,ij->...i", grid, M_inv)
+    src = src[..., :3] / src[..., 3:4]
+    rel = src - lo + displacement
+
+    D, H, W = window.shape
+    maxi = jnp.array([D - 1, H - 1, W - 1], jnp.float32)
+    if discrete:
+        idx = jnp.clip(jnp.round(rel), 0, maxi).astype(jnp.int32)
+        return window[idx[..., 0], idx[..., 1], idx[..., 2]]
+    c0 = jnp.clip(jnp.floor(rel), 0, maxi - 1)
+    d = jnp.clip(rel, 0, maxi) - c0
+    i0 = c0.astype(jnp.int32)
+    iz, iy, ix = i0[..., 0], i0[..., 1], i0[..., 2]
+    dz, dy, dx = d[..., 0], d[..., 1], d[..., 2]
+
+    def g(oz, oy, ox):
+        return window[iz + oz, iy + oy, ix + ox]
+
+    return (g(0, 0, 0) * (1 - dz) * (1 - dy) * (1 - dx)
+            + g(1, 0, 0) * dz * (1 - dy) * (1 - dx)
+            + g(0, 1, 0) * (1 - dz) * dy * (1 - dx)
+            + g(0, 0, 1) * (1 - dz) * (1 - dy) * dx
+            + g(1, 0, 1) * dz * (1 - dy) * dx
+            + g(0, 1, 1) * (1 - dz) * dy * dx
+            + g(1, 1, 0) * dz * dy * (1 - dx)
+            + g(1, 1, 1) * dz * dy * dx)
+
+
+# ---------------------------------------------------------------------------
 # On-device photometric augmentations (fusable into the same program)
 # ---------------------------------------------------------------------------
 

@@ -128,3 +128,43 @@ def test_device_loader_with_augment(rng):
     b = next(iter(loader))
     assert "target" not in b
     assert b["inp"].shape == (2, 8, 8, 8, 1)
+
+
+def test_elastic_displacement_and_warp(rng):
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(0)
+    disp = W.elastic_displacement(key, (8, 12, 12), sigma=2.0, alpha=5.0,
+                                  aniso_factor=2.0)
+    assert disp.shape == (8, 12, 12, 3)
+    d = np.asarray(disp)
+    assert np.all(np.isfinite(d))
+    # z-displacement is aniso-damped
+    assert np.abs(d[..., 0]).mean() < np.abs(d[..., 1]).mean()
+    # Smoothness: neighbor diffs are much smaller than field amplitude
+    diffs = np.abs(np.diff(d[..., 1], axis=1)).mean()
+    amp = np.abs(d[..., 1]).mean()
+    assert diffs < amp
+
+    vol = rng.normal(size=(24, 28, 32)).astype(np.float32)
+    M_inv = np.eye(4, dtype=np.float32)
+    out_plain = W.warp_interpolate(jnp.asarray(vol), jnp.asarray(M_inv),
+                                   jnp.zeros(3), (8, 12, 12))
+    out_el = W.warp_interpolate_elastic(
+        jnp.asarray(vol), jnp.asarray(M_inv), jnp.zeros(3), disp,
+        (8, 12, 12))
+    assert out_el.shape == (8, 12, 12)
+    assert np.all(np.isfinite(np.asarray(out_el)))
+    assert not np.allclose(np.asarray(out_el), np.asarray(out_plain))
+    # Zero displacement reduces to the plain warp
+    out_zero = W.warp_interpolate_elastic(
+        jnp.asarray(vol), jnp.asarray(M_inv), jnp.zeros(3),
+        jnp.zeros((8, 12, 12, 3)), (8, 12, 12))
+    assert np.allclose(np.asarray(out_zero), np.asarray(out_plain),
+                       atol=1e-5)
+    # Discrete variant keeps the label set
+    lab = rng.integers(0, 3, size=(24, 28, 32)).astype(np.float32)
+    out_lab = W.warp_interpolate_elastic(
+        jnp.asarray(lab), jnp.asarray(M_inv), jnp.zeros(3), disp,
+        (8, 12, 12), discrete=True)
+    assert set(np.unique(np.asarray(out_lab))).issubset({0.0, 1.0, 2.0})
