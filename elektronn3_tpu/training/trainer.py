@@ -136,6 +136,7 @@ class Trainer:
             mesh=None,
             seed: int = 0,
             tqdm_kwargs: Optional[Dict] = None,
+            profile_steps: Optional[Tuple[int, int]] = None,
     ):
         self.model = model
         self.criterion = criterion
@@ -163,6 +164,10 @@ class Trainer:
         self.seed = seed
         self.overlay_alpha = overlay_alpha
         self.tqdm_kwargs = dict(tqdm_kwargs or {})
+        # (start_step, end_step) window traced with jax.profiler into
+        # save_path/profile (SURVEY.md §5: first-class trace support).
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         self.step = 0
         self.epoch = 0
@@ -460,6 +465,19 @@ class Trainer:
 
             self.step += 1
             running_vx_size += int(np.prod(inp.shape))
+            if self.profile_steps is not None:
+                start, end = self.profile_steps
+                if self.step == start and not self._profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(self.save_path, "profile"))
+                    self._profiling = True
+                elif self.step >= end and self._profiling:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    logger.info(
+                        f"Wrote profiler trace for steps {start}-{end} to "
+                        f"{os.path.join(self.save_path, 'profile')}")
             self._scheduler_step(loss)
             if self.step in self.extra_save_steps:
                 self._save_model(suffix=f"_step{self.step}", verbose=True)

@@ -190,3 +190,19 @@ def test_stablehlo_export_roundtrip(tmp_path, toy_trainer):
     out_direct = tr.model.apply(variables, x, train=False)
     assert np.allclose(np.asarray(out_exported), np.asarray(out_direct),
                        atol=1e-5)
+
+
+def test_profile_steps(tmp_path):
+    model = UNet(in_channels=1, out_channels=2, n_blocks=1, start_filts=2,
+                 dim=2, normalization="none")
+    tr = Trainer(model=model, criterion=CrossEntropyLoss(),
+                 train_dataset=ToySeg2d(n=8), batch_size=2,
+                 save_root=str(tmp_path), exp_name="proftest",
+                 enable_tensorboard=False, profile_steps=(2, 3))
+    tr.run(max_steps=4)
+    prof_dir = os.path.join(tr.save_path, "profile")
+    assert os.path.isdir(prof_dir)
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found.extend(files)
+    assert any("xplane" in f or "trace" in f for f in found), found
