@@ -70,8 +70,9 @@ class CosineAnnealingLR(LRScheduler):
         self.eta_min = eta_min
 
     def _compute_lr(self):
-        t = self.last_step % (2 * self.t_max)
-        cos = math.cos(math.pi * min(t, self.t_max) / self.t_max)
+        # Periodic like torch CosineAnnealingLR: past T_max the LR
+        # cosine-rises back toward base_lr (period 2*T_max).
+        cos = math.cos(math.pi * self.last_step / self.t_max)
         return self.eta_min + (self.base_lr - self.eta_min) * (1 + cos) / 2
 
 

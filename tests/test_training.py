@@ -206,3 +206,46 @@ def test_profile_steps(tmp_path):
     for root, _, files in os.walk(prof_dir):
         found.extend(files)
     assert any("xplane" in f or "trace" in f for f in found), found
+
+
+def test_schedulers_match_torch():
+    """Scheduler curves must match torch's (the reference's scheduler
+    semantics) exactly."""
+    import torch
+    from elektronn3_tpu.training.schedulers import (
+        CosineAnnealingLR, CyclicLR, ExponentialLR)
+
+    def torch_lrs(cls, kw, n=50):
+        p = [torch.nn.Parameter(torch.zeros(1))]
+        opt = torch.optim.SGD(p, lr=kw.pop("_lr", 1.0))
+        s = cls(opt, **kw)
+        out = []
+        for _ in range(n):
+            out.append(opt.param_groups[0]["lr"])
+            opt.step()
+            s.step()
+        return np.array(out)
+
+    mine = np.array([CyclicLR(1e-4, 1e-3, step_size_up=10,
+                              mode="exp_range", gamma=0.99).step()
+                     for _ in range(1)])  # smoke init
+    ours = CyclicLR(1e-4, 1e-3, step_size_up=10, mode="exp_range",
+                    gamma=0.99)
+    mine = np.array([ours.step() for _ in range(50)])
+    theirs = torch_lrs(torch.optim.lr_scheduler.CyclicLR,
+                       dict(_lr=1e-4, base_lr=1e-4, max_lr=1e-3,
+                            step_size_up=10, mode="exp_range",
+                            gamma=0.99, cycle_momentum=False))
+    assert np.allclose(mine, theirs)
+
+    ours = CosineAnnealingLR(1.0, t_max=20)
+    mine = np.array([ours.step() for _ in range(50)])
+    theirs = torch_lrs(torch.optim.lr_scheduler.CosineAnnealingLR,
+                       dict(T_max=20))
+    assert np.allclose(mine, theirs)
+
+    ours = ExponentialLR(1.0, gamma=0.95)
+    mine = np.array([ours.step() for _ in range(50)])
+    theirs = torch_lrs(torch.optim.lr_scheduler.ExponentialLR,
+                       dict(gamma=0.95))
+    assert np.allclose(mine, theirs)
