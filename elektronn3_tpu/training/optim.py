@@ -29,9 +29,13 @@ class ScaleByPadamState(NamedTuple):
 
 def scale_by_padam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                    partial: float = 0.125) -> optax.GradientTransformation:
-    """Partially adaptive Adam: update = m_hat / (v_hat^partial + eps)
-    with partial in (0, 0.5]; partial=0.5 == Adam, partial→0 == SGD+mom.
-    Reference padam.py:12-96."""
+    """Partially adaptive Adam with the exact reference update rule
+    (padam.py:79-94):
+
+    ``p -= lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v) + eps)^(2*partial)``
+
+    partial in (0, 0.5]; partial=0.5 == Adam, partial→0 == SGD+momentum.
+    """
 
     def init_fn(params):
         mu = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -45,13 +49,13 @@ def scale_by_padam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         nu = jax.tree_util.tree_map(
             lambda v, g: b2 * v + (1 - b2) * (g * g), state.nu, updates)
         count = state.count + 1
-        mu_hat = jax.tree_util.tree_map(
-            lambda m: m / (1 - b1 ** count), mu)
-        nu_hat = jax.tree_util.tree_map(
-            lambda v: v / (1 - b2 ** count), nu)
+        bc1 = 1 - b1 ** count
+        bc2 = 1 - b2 ** count
+        step_scale = jnp.sqrt(bc2) / bc1
         updates = jax.tree_util.tree_map(
-            lambda m, v: m / (jnp.power(jnp.maximum(v, 0.0), partial) + eps),
-            mu_hat, nu_hat)
+            lambda m, v: step_scale * m / jnp.power(
+                jnp.sqrt(jnp.maximum(v, 0.0)) + eps, 2 * partial),
+            mu, nu)
         return updates, ScaleByPadamState(count, mu, nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

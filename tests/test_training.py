@@ -249,3 +249,45 @@ def test_schedulers_match_torch():
     theirs = torch_lrs(torch.optim.lr_scheduler.ExponentialLR,
                        dict(gamma=0.95))
     assert np.allclose(mine, theirs)
+
+
+def test_padam_matches_reference():
+    """Padam trajectory must match the reference implementation."""
+    # Load the reference module directly by path (its package __init__
+    # pulls in numba, which is unavailable).
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_padam", "/root/reference/elektronn3/training/padam.py")
+    if spec is None:
+        pytest.skip("reference padam.py not found")
+    ref_padam = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref_padam)
+    except Exception:
+        pytest.skip("reference Padam not importable")
+    RefPadam = ref_padam.Padam
+    import torch
+    import jax.numpy as jnp
+    from elektronn3_tpu.training import padam
+
+    w0 = np.random.default_rng(0).normal(size=(5,)).astype(np.float32)
+    grads = np.random.default_rng(1).normal(
+        size=(10, 5)).astype(np.float32)
+
+    # torch reference
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = RefPadam([p], lr=1e-2, partial=0.25)
+    for g in grads:
+        p.grad = torch.tensor(g)
+        opt.step()
+    ref_w = p.detach().numpy()
+
+    # ours
+    tx = padam(1e-2, partial=0.25)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    assert np.allclose(np.asarray(params["w"]), ref_w, atol=1e-5), \
+        (np.asarray(params["w"]), ref_w)
