@@ -95,6 +95,34 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_env():
+    """Replicate the DRIVER's conditions (VERDICT.md round-1 miss): the
+    jax backend in the calling process is already initialized with a
+    single device before dryrun_multichip(n) is invoked. The dry run
+    must self-bootstrap a subprocess mesh rather than erroring."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"  # backend up, 1 dev
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(4)\n"
+        "print('DRYRUN_DRIVER_ENV_OK')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd="/root/repo", capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_DRIVER_ENV_OK" in proc.stdout
+
+
 def test_predictor_mesh_sharded(rng):
     """Predictor with spatial mesh sharding matches single-device
     prediction (same-conv UNet, halo covers receptive field)."""
