@@ -68,7 +68,13 @@ class DataLoader:
             channels-last per batch.
         drop_last: drop the final incomplete batch.
         seed: base seed; sample i of epoch e is produced under seed
-            ``seed + e * len(dataset) + i`` for reproducibility.
+            ``seed + e * len(dataset) + i`` for reproducibility. The
+            seeding targets the process-global numpy RNG (datasets and
+            transforms draw from it, like the reference), so it is only
+            deterministic with ``num_workers <= 1`` — same contract as
+            the reference (train_unet_neurodata.py:326-327 asserts
+            deterministic mode uses at most one worker). A warning is
+            logged if seed is combined with more workers.
         timeout: seconds to wait for a batch before raising (mirrors the
             reference's 60 s worker timeout).
         channels_last_keys: batch keys to convert to channels-last.
@@ -90,6 +96,13 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.channels_last_keys = tuple(channels_last_keys)
         self._epoch = 0
+        if seed is not None and num_workers > 1:
+            import logging
+            logging.getLogger("elektronn3_tpu").warning(
+                "DataLoader(seed=%s, num_workers=%d): per-sample "
+                "determinism requires num_workers <= 1 (worker threads "
+                "interleave draws from the global numpy RNG).",
+                seed, num_workers)
 
     def __len__(self):
         n = len(self.dataset)

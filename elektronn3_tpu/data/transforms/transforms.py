@@ -265,17 +265,36 @@ class RandomBrightnessContrast:
         return inp, target
 
 
-class RandomGammaCorrection:
-    """Random gamma correction on [0, 1]-normalized data.
-    Reference transforms.py:457-509."""
+def _rescale_intensity(x: np.ndarray, out_range) -> np.ndarray:
+    """skimage.exposure.rescale_intensity with in_range='image':
+    linearly map [x.min(), x.max()] onto ``out_range``. Constant images
+    map to the lower output bound (matching skimage's 0-division -> 0
+    then scale behavior is NaN; we guard to the lower bound instead)."""
+    lo, hi = float(x.min()), float(x.max())
+    omin, omax = out_range
+    if hi <= lo:
+        return np.full_like(x, omin)
+    return (x - lo) / (hi - lo) * (omax - omin) + omin
 
-    def __init__(self, gamma_std: float = 0.5,
-                 channels: Optional[Sequence[int]] = None, prob: float = 1.0,
-                 rescale: bool = True):
-        self.gamma_std = gamma_std
+
+class RandomGammaCorrection:
+    """Random per-channel gamma correction.
+
+    Numeric parity with reference transforms.py:457-509: per channel,
+    ``gamma ~ clip(Normal(mean=1, gamma_std), gamma_min, inf)``; the
+    channel is rescaled to (0, 1), raised to ``gamma``
+    (skimage.exposure.adjust_gamma) and rescaled back to its original
+    intensity range.
+    """
+
+    def __init__(self, gamma_std: float = 0.5, gamma_min: float = 0.25,
+                 channels: Optional[Sequence[int]] = None, prob: float = 1.0):
+        if not channels:
+            channels = None
         self.channels = channels
         self.prob = prob
-        self.rescale = rescale
+        self.gamma_std = gamma_std
+        self.gamma_min = gamma_min
 
     def __call__(self, inp, target):
         if np.random.rand() > self.prob:
@@ -283,25 +302,33 @@ class RandomGammaCorrection:
         inp = np.array(inp, dtype=floatX, copy=True)
         channels = range(inp.shape[0]) if self.channels is None else self.channels
         for c in channels:
-            gamma = np.exp(np.random.normal(0, self.gamma_std))
+            # reference gamma_generator: Normal(mean=1, sigma=gamma_std,
+            # bounds=(gamma_min, inf)) — a clipped draw, not lognormal.
+            gamma = np.clip(np.random.normal(1.0, self.gamma_std),
+                            self.gamma_min, np.inf)
             x = inp[c]
-            lo, hi = x.min(), x.max()
-            rng_ = hi - lo
-            if rng_ <= 0:
-                continue
-            x01 = (x - lo) / rng_
-            x01 = x01 ** gamma
-            inp[c] = x01 * rng_ + lo if self.rescale else x01
+            orig = (x.min(), x.max())
+            x01 = _rescale_intensity(x, (0.0, 1.0))
+            x01 = x01 ** gamma  # skimage.exposure.adjust_gamma(, gamma)
+            inp[c] = _rescale_intensity(x01, orig)
         return inp, target
 
 
 class RandomGrayAugment:
-    """ELEKTRONN2-style gray value augmentation: per-channel linear
-    remap with random slope/offset, on data roughly in [0, 1].
-    Reference transforms.py:512-575."""
+    """ELEKTRONN2-style gray value augmentation.
+
+    Numeric parity with reference transforms.py:512-575: per channel,
+    rescale to [0, 1]; then with per-channel draws
+    ``alpha = 1 + (U-0.5)*0.3`` (contrast), ``beta = (U-0.5)*0.3``
+    (brightness) and ``gamma = 2**U[-1,1]``, compute
+    ``clip(x*alpha + beta, 0, 1) ** gamma`` and rescale the result back
+    to the channel's original intensity range.
+    """
 
     def __init__(self, channels: Optional[Sequence[int]] = None,
                  prob: float = 1.0):
+        if not channels:
+            channels = None
         self.channels = channels
         self.prob = prob
 
@@ -309,15 +336,19 @@ class RandomGrayAugment:
         if np.random.rand() > self.prob:
             return inp, target
         inp = np.array(inp, dtype=floatX, copy=True)
-        channels = range(inp.shape[0]) if self.channels is None else self.channels
-        alpha = 1 + (np.random.rand() - 0.5) * 0.3
-        c_ = (np.random.rand() - 0.5) * 0.3
-        m = (np.random.rand() - 0.5) * 0.2 + 1
+        channels = list(range(inp.shape[0])) if self.channels is None \
+            else list(self.channels)
+        nc = len(channels)
+        origs = [(inp[c].min(), inp[c].max()) for c in channels]
         for c in channels:
-            x = inp[c]
-            x = (x - 0.5) * m + 0.5 + c_
-            x = np.sign(x) * np.abs(x) ** alpha
-            inp[c] = x
+            inp[c] = _rescale_intensity(inp[c], (0.0, 1.0))
+        # Draw order matches the reference exactly (three rand(nc) calls)
+        alpha = 1 + (np.random.rand(nc) - 0.5) * 0.3
+        beta = (np.random.rand(nc) - 0.5) * 0.3
+        gamma = 2.0 ** (np.random.rand(nc) * 2 - 1)
+        for i, c in enumerate(channels):
+            x = np.clip(inp[c] * alpha[i] + beta[i], 0, 1) ** gamma[i]
+            inp[c] = _rescale_intensity(x, origs[i])
         return inp, target
 
 

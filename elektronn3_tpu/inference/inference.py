@@ -228,8 +228,9 @@ class Predictor:
         self.argmax_with_threshold = argmax_with_threshold
         self.strict_shapes = strict_shapes
         self.verbose = verbose
-        if isinstance(augmentations, int):
-            augmentations = DEFAULT_AUGMENTATIONS_3D[:augmentations]
+        # Integer specs are resolved lazily in predict(): the 2D vs 3D
+        # default table depends on the input rank (a 3D axis id of 4
+        # would be the channel axis of a channels-last 2D tensor).
         self.augmentations = augmentations
 
         # Resolve the model into an apply callable on channels-last
@@ -346,6 +347,20 @@ class Predictor:
         elif inp.ndim in (3, 4) and self.out_shape is not None:
             while inp.ndim < len(self.out_shape):
                 inp = inp[None]
+
+        if isinstance(self.augmentations, int):
+            defaults = (DEFAULT_AUGMENTATIONS_3D if inp.ndim >= 5
+                        else DEFAULT_AUGMENTATIONS_2D)
+            self.augmentations = defaults[:self.augmentations]
+        if self.augmentations:
+            # Axis ids are NC(D)HW-based; spatial axes are 2..ndim-1.
+            for axes in self.augmentations:
+                bad = [a for a in axes if not 2 <= a < inp.ndim]
+                if bad:
+                    raise ValueError(
+                        f"TTA augmentation axes {axes} contain "
+                        f"non-spatial axis ids {bad} for a {inp.ndim}-d "
+                        "(N, C, *spatial) input")
 
         if self.transform is not None:
             tr = []

@@ -293,6 +293,15 @@ class DistanceWeightedMSELoss:
     weighted by ``fg_weight`` and optional zeroed borders.
 
     Reference loss.py:125-155 (used with DistanceTransformTarget).
+
+    Deliberate divergence from the reference: ``mask_borders`` here
+    zeroes the full border *bands* of width ``o`` on every spatial axis.
+    The reference only zeroes the top-left and bottom-right corner
+    blocks (``weight[..., :o, :o]`` and ``weight[..., -o:, -o:]``,
+    reference loss.py:150-152), which looks like a slicing bug — border
+    artifacts from valid-region cropping occur along entire edges, not
+    just two corners. Loss values therefore differ from the reference
+    when ``mask_borders`` is set.
     """
 
     def __init__(self, fg_weight: float = 100.0, mask_borders: Optional[int] = 40):

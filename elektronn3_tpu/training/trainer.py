@@ -180,10 +180,16 @@ class Trainer:
         self.history = HistoryTracker()
         self.num_classes = out_channels
 
-        # Optimizer with injected (mutable) learning rate
+        # Optimizer with injected (mutable) learning rate. Only drive
+        # opt_state.hyperparams['learning_rate'] from the scheduler when
+        # the Trainer owns the schedule (an explicit 'lr' scheduler was
+        # given, or the Trainer built the default optimizer itself);
+        # otherwise a user-supplied inject_hyperparams optimizer keeps
+        # its own configured learning rate/schedule untouched.
+        schedulers = schedulers or {}
+        self._inject_lr = ("lr" in schedulers) or (optimizer is None)
         self.optimizer = optimizer if optimizer is not None \
             else _default_optimizer(lr)
-        schedulers = schedulers or {}
         self.lr_scheduler: LRScheduler = schedulers.get("lr", ConstantLR(lr))
 
         # Experiment dir (reference trainer.py:369-379)
@@ -243,6 +249,12 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         opt_state = self.optimizer.init(params)
+        if not self._inject_lr and hasattr(opt_state, "hyperparams") \
+                and "learning_rate" in opt_state.hyperparams:
+            # Log the user optimizer's actual LR instead of the unused
+            # Trainer default.
+            self.lr_scheduler = ConstantLR(
+                float(opt_state.hyperparams["learning_rate"]))
         self.state = TrainState(params=params, batch_stats=batch_stats,
                                 opt_state=opt_state,
                                 step=jnp.zeros([], jnp.int32))
@@ -285,6 +297,7 @@ class Trainer:
         optimizer = self.optimizer
         criterion = self.criterion
         ss_criterion = self.ss_criterion
+        inject_lr = self._inject_lr
 
         def train_step(state: TrainState, inp, target, rng, lr,
                        unlabeled=None):
@@ -319,7 +332,7 @@ class Trainer:
             opt_state = state.opt_state
             # LR injection: hyperparams live at the top level of
             # InjectStatefulHyperparamsState.
-            if hasattr(opt_state, "hyperparams"):
+            if inject_lr and hasattr(opt_state, "hyperparams"):
                 opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = optimizer.update(
                 grads, opt_state, state.params)
@@ -625,7 +638,10 @@ class Trainer:
         if self.preview_plotting_handler is not None:
             self.preview_plotting_handler(self, inp, out)
         elif self.tb is not None:
-            pred = np.argmax(np.asarray(out), -1)
+            # Predictor.predict returns channels-FIRST (N, C, *spatial);
+            # argmax over the class axis, then take the middle z-plane
+            # for 3D outputs (mirrors handlers._tb_log_preview).
+            pred = np.argmax(np.asarray(out), 1)
             mid = pred.shape[1] // 2 if pred.ndim == 4 else None
             img = pred[0, mid] if mid is not None else pred[0]
             self.tb.add_image("preview/pred", img[None].astype(np.float32)

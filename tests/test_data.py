@@ -204,6 +204,69 @@ def test_photometric_transforms_run(rng):
         assert out.shape == inp.shape and np.all(np.isfinite(out))
 
 
+def _ref_rescale_intensity(x, out_range):
+    """skimage.exposure.rescale_intensity(in_range='image') formula."""
+    lo, hi = float(x.min()), float(x.max())
+    omin, omax = out_range
+    if hi <= lo:
+        return np.full_like(x, omin)
+    return (x - lo) / (hi - lo) * (omax - omin) + omin
+
+
+def test_random_gamma_correction_reference_parity():
+    """Golden test vs reference transforms.py:457-509 with the RNG
+    pinned at the parameter level: same global-seed stream, same draw
+    order (prob rand, then one Normal(1, std) clipped to gamma_min per
+    channel), same rescale->gamma->rescale chain (skimage is not
+    installed here, so the reference formula chain is replicated
+    inline; scipy norm.rvs and np.random.normal consume the same legacy
+    RandomState stream)."""
+    import scipy.stats
+
+    base = np.random.default_rng(11).uniform(
+        -1, 3, size=(2, 7, 9)).astype(np.float32)
+    np.random.seed(123)
+    out, _ = T.RandomGammaCorrection(gamma_std=0.5, prob=1.0)(base, None)
+
+    np.random.seed(123)
+    assert np.random.rand() <= 1.0  # the prob draw
+    gamma_gen = scipy.stats.norm(loc=1.0, scale=0.5)
+    expect = base.copy()
+    for c in range(base.shape[0]):
+        gamma = np.clip(gamma_gen.rvs(), 0.25, np.inf)
+        orig = (base[c].min(), base[c].max())
+        x01 = _ref_rescale_intensity(base[c], (0.0, 1.0))
+        expect[c] = _ref_rescale_intensity(x01 ** gamma, orig)
+    assert np.allclose(out, expect, atol=1e-6)
+
+
+def test_random_gray_augment_reference_parity():
+    """Golden test vs reference transforms.py:512-575 (ELEKTRONN2
+    greyAugment semantics): per-channel rescale to [0,1], then
+    clip(x*alpha + beta, 0, 1) ** gamma with alpha=1+(U-.5)*.3,
+    beta=(U-.5)*.3, gamma=2**U[-1,1] drawn as three rand(nc) vectors,
+    then rescale back to each channel's original range."""
+    base = np.random.default_rng(5).uniform(
+        0, 255, size=(3, 6, 8)).astype(np.float32)
+    np.random.seed(77)
+    out, _ = T.RandomGrayAugment(prob=1.0)(base, None)
+
+    np.random.seed(77)
+    assert np.random.rand() <= 1.0  # the prob draw
+    nc = base.shape[0]
+    origs = [(base[c].min(), base[c].max()) for c in range(nc)]
+    aug = np.stack([_ref_rescale_intensity(base[c], (0.0, 1.0))
+                    for c in range(nc)])
+    alpha = 1 + (np.random.rand(nc) - 0.5) * 0.3
+    beta = (np.random.rand(nc) - 0.5) * 0.3
+    gamma = 2.0 ** (np.random.rand(nc) * 2 - 1)
+    aug = np.clip(aug * alpha[:, None, None] + beta[:, None, None],
+                  0, 1) ** gamma[:, None, None]
+    expect = np.stack([_ref_rescale_intensity(aug[c], origs[c])
+                       for c in range(nc)])
+    assert np.allclose(out, expect, atol=1e-5)
+
+
 def test_distance_transform_target():
     target = np.zeros((8, 8), np.int64)
     target[3:5, 3:5] = 1
