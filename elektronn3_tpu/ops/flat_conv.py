@@ -1,0 +1,483 @@
+"""Flat-layout direct convolution: the TPU-native U-Net conv executor.
+
+Motivation (measured on v5e, benchmark/conv_microbench.py + layout
+probes): the headline U-Net's full-resolution convs (C = 32, reference
+benchmark/train_benchmark.py:96-107) are bound by lane-padding — XLA
+stores/streams (.., W, 32) activations at ~185 GB/s effective vs
+~300 GB/s for dense 128-minor arrays, and its conv emitter reaches only
+~8.8 TF/s there. This module keeps activations in a *flat* layout
+
+    (B, D, R, 128)   with row r = h * G + g,  lane l = j * 32 + ci,
+                     w = Jg * g + j,  G = W' * 32 / 128,  Jg = 4
+
+i.e. rows are 128-lane groups of four w-positions x 32 channels of a
+(zero-padded to W') width-W image. Channels beyond 32 are represented
+as a LIST of 32-channel chunks — so `concat([a, b], channel)` is just
+list concatenation and never materializes.
+
+The conv becomes a sum of row-shifted 128x128 matmuls: for kernel tap
+(z=kd, t=kh, kw) and out lane (j2, co), the input lane is
+(j1 = j2 + kw - 1 - 4*delta, ci) of row r + (t-1)*G + delta. Packing
+the tap weights into (128, 128) blocks per (z, t, delta) gives matmuls
+with K = N = 128 (MXU fully occupied; 25% of MACs are structural zeros
+from the delta decomposition — the ceiling is ~49 TF/s bf16, ~5x the
+measured XLA L0 throughput, with dense HBM traffic).
+
+Width padding contract: the image occupies w in [W_OFF, W_OFF + W);
+columns outside are ZERO and every consumer must keep them zero (the
+kernel masks its output; see `width_mask`). W_OFF = 2 so 'same'
+conv taps never wrap into the previous/next h row. Row padding: P =
+G + 1 zero rows before/after each (b, d) slab; kd handled by z-shifted
+views of a depth-padded array.
+
+Used by elektronn3_tpu.models.unet (flat executor path). Backward =
+dgrad via the same kernel with flipped/transposed weights + a wgrad
+kernel accumulating A^T @ dY per tap block (see conv_flat_vjp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CC = 32         # channel chunk size
+JG = 128 // CC  # w-positions per row-group
+W_OFF = 2       # first valid w column inside the padded width
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers
+# ---------------------------------------------------------------------------
+
+def pad_width(W: int) -> int:
+    """Padded width W' (multiple of JG) fitting w in [2, W+2) plus one
+    zero column on the right. Prefers W' with G = W'/JG a multiple of 8
+    (8-aligned row offsets -> cheap vector loads) when the extra width
+    stays under 12.5%."""
+    wp_min = -(-(W + W_OFF + 1) // JG) * JG
+    wp_aligned = -(-wp_min // (8 * JG)) * (8 * JG)
+    return wp_aligned if wp_aligned <= wp_min * 1.125 else wp_min
+
+
+def flat_geometry(H: int, W: int) -> Tuple[int, int, int]:
+    """Returns (G, R, P): row-groups per h row, rows per slab, row pad.
+    P = G + 8 so the delta=0 row offsets P + (t-1)*G are 8-aligned
+    whenever G is a multiple of 8."""
+    Wp = pad_width(W)
+    G = Wp // JG
+    return G, H * G, G + 8
+
+
+def width_mask(W: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(G, 128) mask: 1 on valid w columns, 0 on pad columns."""
+    Wp = pad_width(W)
+    G = Wp // JG
+    w_of_lane = (np.arange(128) // CC)[None, :] + JG * np.arange(G)[:, None]
+    valid = (w_of_lane >= W_OFF) & (w_of_lane < W_OFF + W)
+    return jnp.asarray(valid, dtype)
+
+
+def to_flat(x: jnp.ndarray, kd: int = 1) -> Tuple[jnp.ndarray, ...]:
+    """(B, D, H, W, C) -> tuple of C//CC flat chunks (B, Dp, Rp, 128).
+
+    Pads width to W', splits channels into CC-chunks, flattens (H, G)
+    rows, pads P zero rows on both sides and (kd-1)//2 slabs along D.
+    """
+    B, D, H, W, C = x.shape
+    assert C % CC == 0, C
+    Wp = pad_width(W)
+    G, R, P = flat_geometry(H, W)
+    zpad = (kd - 1) // 2
+    xpadded = jnp.pad(x, ((0, 0), (zpad, zpad), (0, 0),
+                          (W_OFF, Wp - W - W_OFF), (0, 0)))
+    chunks = []
+    for c0 in range(0, C, CC):
+        xc = xpadded[..., c0:c0 + CC]                    # (B, Dp, H, Wp, CC)
+        xc = xc.reshape(B, D + 2 * zpad, R, 128)
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (P, P), (0, 0)))
+        chunks.append(xc)
+    return tuple(chunks)
+
+
+def from_flat(chunks: Sequence[jnp.ndarray], H: int, W: int,
+              padded: bool = False) -> jnp.ndarray:
+    """Inverse of to_flat (expects unpadded-D chunks unless padded)."""
+    G, R, P = flat_geometry(H, W)
+    Wp = pad_width(W)
+    outs = []
+    for xc in chunks:
+        B, D, Rp, _ = xc.shape
+        body = xc[:, :, P:P + R] if padded or Rp != R else xc
+        outs.append(body.reshape(B, D, H, Wp, CC)[:, :, :,
+                                                  W_OFF:W_OFF + W, :])
+    return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+def pack_flat_weights(w: jnp.ndarray):
+    """(kd, 3, 3, Cin, Cout) -> (w0, wplus, wminus).
+
+    w0 (nin, nout, kd, 3, 128, 128): the delta=0 block — entries
+    [(j1, ci), (j2, co)] = w[z, t, kw, ...] for j1 = j2 + kw - 1 in
+    [0, JG). The two group-crossing taps live in dedicated CCxCC corner
+    blocks instead of nearly-empty 128x128 blocks (2.7x fewer MACs):
+    wplus (nin, nout, kd, 3, CC, CC) = w[z, t, kw=2] applied to A rows
+    off+1 lanes j1=0 -> out j2=JG-1; wminus = w[z, t, kw=0], A rows
+    off-1 lanes j1=JG-1 -> out j2=0.
+    """
+    kd, kh, kw_, cin, cout = w.shape
+    assert kh == 3 and kw_ == 3
+    nin, nout = cin // CC, cout // CC
+
+    def chunked(kw):
+        blk = w[:, :, kw].reshape(kd, 3, nin, CC, nout, CC)
+        return jnp.transpose(blk, (2, 4, 0, 1, 3, 5))  # nin,nout,kd,t,ci,co
+
+    w0 = jnp.zeros((nin, nout, kd, 3, 128, 128), w.dtype)
+    for j2 in range(JG):
+        for kw in range(3):
+            j1 = j2 + kw - 1
+            if not 0 <= j1 < JG:
+                continue
+            w0 = w0.at[:, :, :, :,
+                       j1 * CC:(j1 + 1) * CC,
+                       j2 * CC:(j2 + 1) * CC].set(chunked(kw))
+    return w0, chunked(2), chunked(0)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _flat_conv_kernel(*refs, kd: int, nin: int, nout: int, G: int, R: int,
+                      P: int, H: int, out_dtype, has_bias: bool):
+    """Grid step (b, d): all nout out chunks for one output slab."""
+    n_in_refs = nin * kd
+    ins = refs[:n_in_refs]           # [z * nin + i] -> (1, 1, Rp, 128)
+    w0_ref = refs[n_in_refs]         # (nin, nout, kd, 3, 128, 128)
+    wp_ref = refs[n_in_refs + 1]     # (nin, nout, kd, 3, CC, CC)
+    wm_ref = refs[n_in_refs + 2]     # (nin, nout, kd, 3, CC, CC)
+    mask_ref = refs[n_in_refs + 3]   # (G, 128)
+    idx = n_in_refs + 4
+    bias_ref = refs[idx] if has_bias else None  # (nout, 128)
+    outs = refs[idx + int(has_bias):]
+
+    dims = (((1,), (0,)), ((), ()))
+    for o in range(nout):
+        y = jnp.zeros((R, 128), jnp.float32)
+        yc0 = jnp.zeros((R, CC), jnp.float32)   # -> out lanes [0, CC)
+        yc3 = jnp.zeros((R, CC), jnp.float32)   # -> out lanes [3CC, 4CC)
+        for z in range(kd):
+            for i in range(nin):
+                a_ref = ins[z * nin + i]
+                for t in range(3):
+                    off = P + (t - 1) * G
+                    a = a_ref[0, 0, pl.ds(off, R), :]
+                    y = y + jax.lax.dot_general(
+                        a, w0_ref[i, o, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    # group-crossing taps (kw = 2 from the next group's
+                    # first w; kw = 0 from the previous group's last w)
+                    a_hi = a_ref[0, 0, pl.ds(off + 1, R), 0:CC]
+                    yc3 = yc3 + jax.lax.dot_general(
+                        a_hi, wp_ref[i, o, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    a_lo = a_ref[0, 0, pl.ds(off - 1, R), 128 - CC:128]
+                    yc0 = yc0 + jax.lax.dot_general(
+                        a_lo, wm_ref[i, o, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+        y = y + jnp.concatenate(
+            [yc0, jnp.zeros((R, 128 - 2 * CC), jnp.float32), yc3], axis=-1)
+        if has_bias:
+            y = y + bias_ref[o][None, :]
+        y = (y.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        # Output carries its own zeroed row padding (P rows both sides)
+        # so chained convs and the VJP never pay a jnp.pad copy.
+        outs[o][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+        outs[o][0, 0, pl.ds(P, R)] = y.astype(out_dtype)
+        outs[o][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kd", "H"))
+def conv_flat(xs: Sequence[jnp.ndarray], wp, mask: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None, *, kd: int, H: int):
+    """Flat-layout 'same' stride-1 conv.
+
+    Args:
+        xs: nin flat chunks (B, D + kd - 1, Rp, 128), zero-padded
+            (P rows both sides, zero pad columns, kd-1 extra D slabs).
+        wp: packed weights (w0, wplus, wminus) from pack_flat_weights.
+        mask: (G, 128) width mask (width_mask(W)).
+        bias: optional (nout, 128) lane bias (tile(bias_co, JG)).
+        kd: depth taps (1 planar / 3).
+        H: image height (R = H * G).
+    Returns:
+        tuple of nout chunks (B, D, R, 128), dtype of xs[0].
+    """
+    w0, wplus, wminus = wp
+    nin = len(xs)
+    B, Dp, Rp, _ = xs[0].shape
+    D = Dp - (kd - 1)
+    G = mask.shape[0]
+    R = H * G
+    P = (Rp - R) // 2
+    nout = w0.shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(
+        _flat_conv_kernel, kd=kd, nin=nin, nout=nout, G=G, R=R, P=P, H=H,
+        out_dtype=dtype, has_bias=bias is not None)
+
+    def in_spec(z):
+        return pl.BlockSpec((1, 1, Rp, 128),
+                            lambda b, d, z=z: (b, d + z, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = []
+    operands = []
+    for z in range(kd):
+        for i in range(nin):
+            in_specs.append(in_spec(z))
+            operands.append(xs[i])
+    for warr in (w0, wplus, wminus):
+        in_specs.append(pl.BlockSpec(warr.shape,
+                                     lambda b, d, nd=warr.ndim: (0,) * nd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(warr.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), lambda b, d: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask.astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((nout, 128), lambda b, d: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.astype(jnp.float32))
+
+    flops = 2 * B * D * R * 128 * (128 + 2 * CC) * nin * nout * kd * 3
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, R + 2 * P, 128), lambda b, d: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(nout)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
+            for _ in range(nout)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(nin * kd * B * D * Rp + nout * B * D * R)
+            * 128 * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*operands)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weight/bias gradient kernel
+# ---------------------------------------------------------------------------
+
+def _wgrad_kernel(*refs, kd: int, nin: int, nout: int, G: int, R: int,
+                  P: int):
+    """Accumulates tap-block gradients across (b, d) grid steps:
+    M0[i,o,z,t] += A[off]^T dY ; corners Mp/Mm ; db += sum(dY rows)."""
+    n_in_refs = nin * kd
+    ins = refs[:n_in_refs]
+    dys = refs[n_in_refs:n_in_refs + nout]   # (1, 1, Rp, 128) padded
+    m0, mp, mm, db = refs[n_in_refs + nout:]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        m0[...] = jnp.zeros_like(m0)
+        mp[...] = jnp.zeros_like(mp)
+        mm[...] = jnp.zeros_like(mm)
+        db[...] = jnp.zeros_like(db)
+
+    cdims = (((0,), (0,)), ((), ()))  # contract over rows
+    for o in range(nout):
+        dy = dys[o][0, 0, pl.ds(P, R), :]  # body rows only
+        db[o, :] += jnp.sum(dy.astype(jnp.float32), axis=0)
+        for z in range(kd):
+            for i in range(nin):
+                a_ref = ins[z * nin + i]
+                for t in range(3):
+                    off = P + (t - 1) * G
+                    a = a_ref[0, 0, pl.ds(off, R), :]
+                    m0[i, o, z, t] += jax.lax.dot_general(
+                        a, dy, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+                    a_hi = a_ref[0, 0, pl.ds(off + 1, R), 0:CC]
+                    mp[i, o, z, t] += jax.lax.dot_general(
+                        a_hi, dy[:, 128 - CC:128], dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+                    a_lo = a_ref[0, 0, pl.ds(off - 1, R), 128 - CC:128]
+                    mm[i, o, z, t] += jax.lax.dot_general(
+                        a_lo, dy[:, 0:CC], dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("kd", "H"))
+def _wgrad(xs, dys, mask, *, kd: int, H: int):
+    """Returns (dw (kd,3,3,cin,cout) f32, db (cout,) f32)."""
+    nin, nout = len(xs), len(dys)
+    B, Dp, Rp, _ = xs[0].shape
+    D = Dp - (kd - 1)
+    G = mask.shape[0]
+    R = H * G
+    P = (Rp - R) // 2
+
+    kernel = functools.partial(_wgrad_kernel, kd=kd, nin=nin, nout=nout,
+                               G=G, R=R, P=P)
+    in_specs = []
+    operands = []
+    for z in range(kd):
+        for i in range(nin):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, Rp, 128), lambda b, d, z=z: (b, d + z, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(xs[i])
+    for o in range(nout):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, R + 2 * P, 128), lambda b, d: (b, d, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(dys[o])
+
+    const = lambda *idx: tuple(0 for _ in idx)
+    m0, mp, mm, db = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((nin, nout, kd, 3, 128, 128),
+                         lambda b, d: (0,) * 6, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nin, nout, kd, 3, CC, CC),
+                         lambda b, d: (0,) * 6, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nin, nout, kd, 3, CC, CC),
+                         lambda b, d: (0,) * 6, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nout, 128), lambda b, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nin, nout, kd, 3, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nin, nout, kd, 3, CC, CC), jnp.float32),
+            jax.ShapeDtypeStruct((nin, nout, kd, 3, CC, CC), jnp.float32),
+            jax.ShapeDtypeStruct((nout, 128), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+    # Unpack tap blocks -> dw. Each weight w[z,t,kw,ci,co] was used at
+    # every (j1 = j2 + kw - 1, j2) block of w0 plus its corner block.
+    cin, cout = nin * CC, nout * CC
+    dw = jnp.zeros((kd, 3, 3, cin, cout), jnp.float32)
+    for kw in range(3):
+        acc = jnp.zeros((nin, nout, kd, 3, CC, CC), jnp.float32)
+        for j2 in range(JG):
+            j1 = j2 + kw - 1
+            if 0 <= j1 < JG:
+                acc = acc + m0[:, :, :, :,
+                               j1 * CC:(j1 + 1) * CC,
+                               j2 * CC:(j2 + 1) * CC]
+        if kw == 2:
+            acc = acc + mp
+        if kw == 0:
+            acc = acc + mm
+        # (nin, nout, kd, t, ci, co) -> (kd, t, ci-full, co-full)
+        blk = jnp.transpose(acc, (2, 3, 0, 4, 1, 5)).reshape(
+            kd, 3, cin, cout)
+        dw = dw.at[:, :, kw].set(blk)
+    # db lanes (nout, (j2, co)) -> (cout,): sum over j2
+    dbc = jnp.sum(db.reshape(nout, JG, CC), axis=1).reshape(cout)
+    return dw, dbc
+
+
+# ---------------------------------------------------------------------------
+# Differentiable op
+# ---------------------------------------------------------------------------
+
+def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
+    """dgrad weights: flip all taps, swap ci<->co."""
+    return jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+
+
+def _lane_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """(cout,) -> (nout, 128) lane bias."""
+    return jnp.tile(b.reshape(-1, CC), (1, JG))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flat_conv3(xs, w, b, kd: int, H: int, W: int):
+    """'same' stride-1 3x3(x3) conv on flat chunks, differentiable.
+
+    Args:
+        xs: tuple of nin padded flat chunks (B, D + kd - 1, Rp, 128).
+        w: raw weights (kd, 3, 3, cin, cout).
+        b: bias (cout,) or None.
+        kd, H, W: depth taps / image height / image width (static).
+    Returns:
+        tuple of nout padded flat chunks (B, D, Rp, 128).
+    """
+    mask = width_mask(W)
+    return conv_flat(xs, pack_flat_weights(w), mask,
+                     None if b is None else _lane_bias(b), kd=kd, H=H)
+
+
+def _flat_conv3_fwd(xs, w, b, kd, H, W):
+    return flat_conv3(xs, w, b, kd, H, W), (xs, w, b is not None)
+
+
+def _flat_conv3_bwd(kd, H, W, res, dys):
+    xs, w, has_b = res
+    mask = width_mask(W)
+    # dgrad: 'same' conv of dy with flipped, ci/co-swapped weights.
+    # dy chunks are padded with zero rows (conv_flat contract); width
+    # pads are zero because the forward masked them — but the incoming
+    # cotangent may be nonzero there, so mask it via the conv's own
+    # output mask + a pre-mask on dy.
+    dys = tuple(
+        (dy.reshape(dy.shape[0], dy.shape[1], -1, 128)
+         ).astype(xs[0].dtype) for dy in dys)
+    dym = []
+    B, D, Rp, _ = dys[0].shape
+    G = mask.shape[0]
+    R = H * G
+    P = (Rp - R) // 2
+    rowmask = jnp.pad(jnp.tile(mask, (H, 1)), ((P, P), (0, 0)))
+    for dy in dys:
+        dym.append(dy * rowmask.astype(dy.dtype)[None, None])
+    dym = tuple(dym)  # masked, unpadded-D (for wgrad)
+    dym_dg = dym
+    if kd > 1:
+        zpad = (kd - 1) // 2
+        dym_dg = tuple(jnp.pad(dy, ((0, 0), (zpad, zpad), (0, 0), (0, 0)))
+                       for dy in dym)
+    dxs = conv_flat(dym_dg, pack_flat_weights(_flip_transpose(w)), mask,
+                    None, kd=kd, H=H)
+    if kd > 1:
+        # Primal inputs are D-padded; their pad slabs are structural
+        # zeros, so their cotangents are dropped (zeros).
+        zpad = (kd - 1) // 2
+        dxs = tuple(jnp.pad(dx, ((0, 0), (zpad, zpad), (0, 0), (0, 0)))
+                    for dx in dxs)
+    dw, db = _wgrad(xs, dym, mask, kd=kd, H=H)
+    return (dxs, dw.astype(w.dtype),
+            db.astype(w.dtype) if has_b else None)
+
+
+flat_conv3.defvjp(_flat_conv3_fwd, _flat_conv3_bwd)
