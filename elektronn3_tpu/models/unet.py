@@ -49,8 +49,15 @@ from elektronn3_tpu.modules.layers import (
     resize_linear,
     resize_nearest,
 )
+from elektronn3_tpu.modules.flat_norm import FlatBatchNorm
+from elektronn3_tpu.ops import flat_conv as _fc
 
 Dtype = Any
+
+# Activations that map 0 -> 0 (required to preserve the flat layout's
+# zero-padding contract, ops/flat_conv.py module docstring).
+_FLAT_SAFE_ACTS = ("relu", "leaky", "lrelu", "prelu", "silu", "swish",
+                   "tanh", "gelu")
 
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
             "resizeconv_nearest1", "resizeconv_linear1")
@@ -106,6 +113,104 @@ def autocrop(from_down: jnp.ndarray,
     return from_down, from_up
 
 
+class _Conv1IntoFlat(nn.Module):
+    """Planar 3x3 conv from a small-C_in 5D input straight into flat
+    chunks (ops/flat_conv.conv3_into_flat). Param tree matches
+    nn.Conv."""
+    features: int
+    H: int
+    W: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x5):
+        cin = x5.shape[-1]
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 3, 3, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _fc.conv3_into_flat(x5.astype(self.dtype),
+                                   kernel.astype(self.dtype),
+                                   bias.astype(self.dtype),
+                                   self.H, self.W)
+
+
+class _UpconvToFlat(nn.Module):
+    """Planar (1,2,2)-stride-2 transposed conv from the small deeper
+    tensor straight into flat chunks. Param tree matches
+    nn.ConvTranspose."""
+    features: int
+    H: int
+    W: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dec):
+        cin = dec.shape[-1]
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 2, 2, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _fc.upconv2_transpose_to_flat(
+            dec.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.H, self.W)
+
+
+class _Conv1x1FromFlat(nn.Module):
+    """1x1 conv head consuming flat chunks, emitting 5D logits. Param
+    tree matches nn.Conv((1,1,1))."""
+    features: int
+    H: int
+    W: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, chunks):
+        cin = _fc.CC * len(chunks)
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 1, 1, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        chunks = tuple(c.astype(self.dtype) for c in chunks)
+        return _fc.conv1x1_from_flat(chunks, kernel.astype(self.dtype),
+                                     bias.astype(self.dtype),
+                                     self.H, self.W)
+
+
+class _FlatConv(nn.Module):
+    """3x3 (planar) 'same' conv on flat chunks via the Pallas flat-
+    layout kernel (ops/flat_conv.py). Param tree matches nn.Conv
+    (kernel (kd,3,3,cin,cout) + bias (cout,)) for checkpoint interop."""
+    features: int
+    kd: int
+    H: int
+    W: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, chunks):
+        cin = _fc.CC * len(chunks)
+        kernel = self.param("kernel", _kernel_init,
+                            (self.kd, 3, 3, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _fc.flat_conv3(tuple(chunks), kernel.astype(self.dtype),
+                              bias.astype(self.dtype),
+                              self.kd, self.H, self.W)
+
+
+def _flat_act(act, chunks):
+    return tuple(act(c) for c in chunks)
+
+
 class DownConv(nn.Module):
     """Two convolutions + optional max-pool. Reference unet.py:202-253."""
     out_channels: int
@@ -116,6 +221,7 @@ class DownConv(nn.Module):
     full_norm: bool = True
     dim: int = 3
     conv_mode: str = "same"
+    flat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -125,6 +231,41 @@ class DownConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.flat:
+            # Flat-layout executor (ops/flat_conv.py): everything at
+            # this level's full resolution stays in the flat layout —
+            # no 5D materialization (a single seam costs ~7.5 ms at the
+            # headline L0 size). Norm names mirror the non-flat path's
+            # flax auto-naming for checkpoint interop.
+            H, W = x.shape[2], x.shape[3]
+            if x.shape[-1] <= 4:
+                chunks = _Conv1IntoFlat(self.out_channels, H, W,
+                                        dtype=self.dtype,
+                                        param_dtype=self.param_dtype,
+                                        name="conv1")(x)
+            else:
+                y = nn.Conv(self.out_channels, ks, padding=padding,
+                            kernel_init=_kernel_init, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="conv1")(x)
+                chunks = _fc.to_flat(y)
+            nidx = 0
+            if self.full_norm and self.normalization == "batch":
+                chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                    chunks, H=H, W=W, use_running_average=not train)
+                nidx += 1
+            chunks = _flat_act(act, chunks)
+            chunks = _FlatConv(self.out_channels, 1, H, W,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="conv2")(chunks)
+            if self.normalization == "batch":
+                chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                    chunks, H=H, W=W, use_running_average=not train)
+            chunks = _flat_act(act, chunks)
+            y = (_fc.pool_flat(chunks, H, W) if self.pooling
+                 else _fc.from_flat(chunks, H, W, padded=True))
+            return y, chunks
 
         y = nn.Conv(self.out_channels, ks, padding=padding,
                     kernel_init=_kernel_init, dtype=self.dtype,
@@ -193,6 +334,8 @@ class UpConv(nn.Module):
     dim: int = 3
     conv_mode: str = "same"
     attention: bool = False
+    flat: bool = False
+    flat_hw: Tuple[int, int] = (0, 0)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -202,6 +345,41 @@ class UpConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.flat:
+            # Flat-layout executor: enc arrives as flat chunks; the
+            # upsampling conv runs in XLA on the (small) deeper-level
+            # tensor, everything at this level's full resolution runs
+            # on dense flat chunks.
+            H, W = self.flat_hw
+            up_chunks = _UpconvToFlat(self.out_channels, H, W,
+                                      dtype=self.dtype,
+                                      param_dtype=self.param_dtype,
+                                      name="upconv")(dec)
+            nidx = 0
+            if self.full_norm and self.normalization == "batch":
+                up_chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                    up_chunks, H=H, W=W, use_running_average=not train)
+                nidx += 1
+            up_chunks = _flat_act(act, up_chunks)
+            if self.merge_mode == "concat":
+                mrg = tuple(up_chunks) + tuple(enc)
+            else:
+                mrg = tuple(u + e for u, e in zip(up_chunks, enc))
+            y = _FlatConv(self.out_channels, 1, H, W, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv1")(mrg)
+            if self.full_norm and self.normalization == "batch":
+                y = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                    y, H=H, W=W, use_running_average=not train)
+                nidx += 1
+            y = _flat_act(act, y)
+            y = _FlatConv(self.out_channels, 1, H, W, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv2")(y)
+            if self.normalization == "batch":
+                y = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                    y, H=H, W=W, use_running_average=not train)
+            y = _flat_act(act, y)
+            return y, None  # flat chunks; UNet handles the head/seam
 
         # Upsample decoder features
         if self.up_mode == "transpose":
@@ -278,8 +456,32 @@ class UNet(nn.Module):
     dim: int = 3
     conv_mode: str = "same"
     checkpointing: Union[bool, str] = False
+    # Flat-layout Pallas executor for full-resolution planar levels
+    # (ops/flat_conv.py). The conv kernels beat XLA convs 2.5-3.3x in
+    # isolation (docs/design.md round-2 notes), but XLA's layout glue
+    # at the flat<->5D seams (pool/upconv/head) currently costs more
+    # than the kernels save, so 'auto' resolves to OFF until those are
+    # kernel-fused as well. True forces the flat path (tests use the
+    # interpreter off-TPU); False disables.
+    pallas_flat: Union[bool, str] = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _flat_level_ok(self, planar: bool, channels: int, H: int,
+                       W: int) -> bool:
+        """Is the flat-layout executor applicable + profitable here?"""
+        if self.pallas_flat is not True:
+            # 'auto' currently resolves to off: measured on the v5e,
+            # the XLA seam ops outweigh the kernel wins (see field doc).
+            return False
+        act_ok = isinstance(self.activation, str) and \
+            self.activation in _FLAT_SAFE_ACTS
+        return (self.dim == 3 and self.conv_mode == "same" and planar
+                and not self.attention
+                and self.normalization in ("batch", "none")
+                and act_ok
+                and channels % _fc.CC == 0 and channels <= 64
+                and H % 2 == 0 and W % 2 == 0)
 
     def _validate(self):
         if self.n_blocks < 1:
@@ -340,29 +542,57 @@ class UNet(nn.Module):
                  if self.checkpointing else UpConv)
 
         encoder_outs = []
+        encoder_hw = []   # (H, W) of each level (python ints, trace-time)
         outs = self.start_filts
         for i in range(self.n_blocks):
             pooling = i < self.n_blocks - 1
             planar = i in self.planar_blocks
             outs = self.start_filts * (2 ** i)
+            H, W = (x.shape[2], x.shape[3]) if self.dim == 3 \
+                else (x.shape[1], x.shape[2])
+            flat = self._flat_level_ok(planar, outs, H, W)
             down = DownCls(outs, pooling=pooling, planar=planar,
-                           name=f"down_{i}", **block_kw)
+                           flat=flat, name=f"down_{i}", **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
+            encoder_hw.append((H, W))
 
+        up_hw = None
         for i in range(self.n_blocks - 1):
             ins = outs
             outs = ins // 2
-            planar = (self.n_blocks - 2 - i) in self.planar_blocks
+            level = self.n_blocks - 2 - i
+            planar = level in self.planar_blocks
+            before_pool = encoder_outs[-(i + 2)]
+            H, W = encoder_hw[level]
+            skip_flat = isinstance(before_pool, tuple)
+            # The upsampled decoder tensor must match the skip exactly
+            # for the crop-free flat path (even dims guarantee it).
+            up_flat = (skip_flat
+                       and self._flat_level_ok(planar, outs, H, W)
+                       and self.up_mode == "transpose"
+                       and self.merge_mode in ("concat", "add"))
+            if skip_flat and not up_flat:
+                before_pool = _fc.from_flat(before_pool, H, W, padded=True)
+            if isinstance(x, tuple):  # previous up emitted flat chunks
+                x = _fc.from_flat(x, *up_hw, padded=True)
             up = UpCls(ins, outs, merge_mode=self.merge_mode,
                        up_mode=self.up_mode, planar=planar,
-                       attention=self.attention, name=f"up_{i}", **block_kw)
-            before_pool = encoder_outs[-(i + 2)]
+                       attention=self.attention, flat=up_flat,
+                       flat_hw=(H, W), name=f"up_{i}", **block_kw)
             x, _att = up(before_pool, x, train)
+            up_hw = (H, W)
 
-        x = nn.Conv(self.out_channels, (1,) * self.dim,
-                    kernel_init=_kernel_init, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv_final")(x)
+        if isinstance(x, tuple):
+            # Flat head: 1x1 conv straight from flat chunks.
+            x = _Conv1x1FromFlat(self.out_channels, *up_hw,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="conv_final")(x)
+        else:
+            x = nn.Conv(self.out_channels, (1,) * self.dim,
+                        kernel_init=_kernel_init, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_final")(x)
         return x.astype(jnp.float32)
 
 

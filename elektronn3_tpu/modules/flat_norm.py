@@ -1,0 +1,92 @@
+"""BatchNorm over flat-layout activation chunks (ops/flat_conv.py).
+
+Drop-in semantic equivalent of ``nn.BatchNorm`` (momentum 0.9, eps
+1e-5, per-channel stats) for activations stored as tuples of flat
+(B, D, Rp, 128) chunks. Variable tree matches nn.BatchNorm — params
+scale/bias (C,), batch_stats mean/var (C,) — so checkpoints interop
+with the non-flat model path.
+
+Correctness notes:
+- Stats reduce over lanes first (dense 128-minor reduction = full
+  memory bandwidth), then fold the JG w-phases per channel. Zero pad
+  rows/columns contribute nothing to the sums; the divisor is the TRUE
+  element count (B * D * H * W), so statistics are exactly those of the
+  unpadded tensor.
+- The affine shift beta would break the flat-layout zero-padding
+  contract, so the output is re-masked (pad rows and pad width columns
+  forced back to zero).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from elektronn3_tpu.ops.flat_conv import (
+    CC, JG, flat_geometry, width_mask,
+)
+
+
+class FlatBatchNorm(nn.Module):
+    """BatchNorm on flat chunks. Call with (chunks, H, W, train)."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype = jnp.float32
+    param_dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, chunks: Sequence[jnp.ndarray], *, H: int, W: int,
+                 use_running_average: bool) -> Tuple[jnp.ndarray, ...]:
+        n = len(chunks)
+        C = n * CC
+        B, D, Rp, _ = chunks[0].shape
+        G, R, P = flat_geometry(H, W)
+        count = B * D * H * W
+
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            sums = []
+            sqs = []
+            for xc in chunks:
+                xf = xc.astype(jnp.float32)
+                sums.append(jnp.sum(xf, axis=(0, 1, 2)))       # (128,)
+                sqs.append(jnp.sum(xf * xf, axis=(0, 1, 2)))
+            # fold (j, ci) lanes -> per-channel
+            s = jnp.concatenate(
+                [v.reshape(JG, CC).sum(0) for v in sums])      # (C,)
+            sq = jnp.concatenate(
+                [v.reshape(JG, CC).sum(0) for v in sqs])
+            mean = s / count
+            var = sq / count - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean * inv
+
+        # Per-lane vectors + combined (row, lane) zero mask
+        wmask = width_mask(W)                                  # (G, 128)
+        rowmask = jnp.pad(jnp.tile(wmask, (H, 1)), ((P, P), (0, 0)))
+        outs = []
+        for i, xc in enumerate(chunks):
+            inv_l = jnp.tile(inv[i * CC:(i + 1) * CC], JG)     # (128,)
+            shift_l = jnp.tile(shift[i * CC:(i + 1) * CC], JG)
+            y = (xc.astype(jnp.float32) * inv_l + shift_l) \
+                * rowmask[None, None]
+            outs.append(y.astype(xc.dtype))
+        return tuple(outs)

@@ -481,3 +481,132 @@ def _flat_conv3_bwd(kd, H, W, res, dys):
 
 
 flat_conv3.defvjp(_flat_conv3_fwd, _flat_conv3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Seam-free XLA companions (no full-resolution 5D materialization)
+# ---------------------------------------------------------------------------
+# The ops below keep the level's full-resolution data in the flat
+# layout end-to-end. Every reshape is a dense row-major regrouping
+# (free/fusable in XLA); the only big copies read or write DENSE flat
+# arrays at full memory bandwidth. Measured motivation: a single
+# 5D (.., W, 32) <-> flat conversion costs ~7.5 ms at (8,44,88,88,32)
+# on the v5e, more than the conv it serves.
+
+def _row_pad(x: jnp.ndarray, P: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (0, 0), (P, P), (0, 0)))
+
+
+def conv3_into_flat(x5: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                    H: int, W: int):
+    """Planar 3x3 'same' conv from a SMALL-C_in 5D input directly into
+    padded flat chunks (used for the level's first conv, C_in <= 4:
+    the im2col patches tensor is tiny, the output is written flat).
+
+    x5 (B, D, H, W, cin); w (1, 3, 3, cin, cout); b (cout,) or None.
+    """
+    B, D, _, _, cin = x5.shape
+    cout = w.shape[-1]
+    Wp = pad_width(W)
+    G, R, P = flat_geometry(H, W)
+    xpad = jnp.pad(x5, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    pats = [xpad[:, :, t:t + H, s:s + W, :]
+            for t in range(3) for s in range(3)]
+    pat = jnp.concatenate(pats, -1)                     # (B,D,H,W,9cin)
+    pat = jnp.pad(pat, ((0, 0), (0, 0), (0, 0),
+                        (W_OFF, Wp - W - W_OFF), (0, 0)))
+    pat = pat.reshape(B, D, R, JG, 9 * cin)
+    wm = w.reshape(9 * cin, cout).astype(x5.dtype)      # (t,s,ci) major
+    y = jnp.einsum("bdrjk,kc->bdrjc", pat, wm,
+                   preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    # width mask: pad columns got pat=0 but bias must not leak there
+    wmask = width_mask(W, y.dtype).reshape(G, JG, CC)[:, :, :1]
+    y = y.reshape(B, D, H, G, JG, cout) * wmask[None, None, None]
+    y = y.reshape(B, D, R, JG, cout)
+    chunks = []
+    for c0 in range(0, cout, CC):
+        yc = y[..., c0:c0 + CC].reshape(B, D, R, 128)
+        chunks.append(_row_pad(yc, P).astype(x5.dtype))
+    return tuple(chunks)
+
+
+def pool_flat(chunks, H: int, W: int) -> jnp.ndarray:
+    """(1, 2, 2) max-pool from padded flat chunks -> pooled 5D
+    (B, D, H//2, W//2, C). Reads dense flat, writes the small pooled
+    tensor; all reshapes are row-major regroupings."""
+    G, R, P = flat_geometry(H, W)
+    outs = []
+    for xc in chunks:
+        B, D, Rp, _ = xc.shape
+        v = xc[:, :, P:P + R].reshape(B, D, H, G, 2, 2, CC)
+        u = jnp.max(v, axis=5)                          # pool w pairs
+        u = u.reshape(B, D, H // 2, 2, G * 2, CC)
+        u = jnp.max(u, axis=3)                          # pool h pairs
+        # pooled w' = w // 2; valid w in [W_OFF, W_OFF+W) -> w' in
+        # [W_OFF//2, W_OFF//2 + W//2)
+        outs.append(u[:, :, :, W_OFF // 2:W_OFF // 2 + W // 2, :])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def upconv2_transpose_to_flat(dec: jnp.ndarray, w: jnp.ndarray,
+                              b: jnp.ndarray, H: int, W: int):
+    """Planar (1,2,2)-stride-2 transposed conv from the SMALL deeper-
+    level 5D tensor directly into padded flat chunks at this level.
+
+    Equivalent to four 1x1 convs (one per output phase (a, bb)) on the
+    small input + a dense interleave into the flat layout. dec
+    (B, D, H1, W1, cin) with H1 = H//2, W1 = W//2; w (1, 2, 2, cin,
+    cout) (flax ConvTranspose kernel); b (cout,) or None.
+    """
+    B, D, H1, W1, cin = dec.shape
+    cout = w.shape[-1]
+    Wp = pad_width(W)
+    G, R, P = flat_geometry(H, W)
+    G2 = Wp // JG  # == G
+    # out w2 = 2*(w1 + W_OFF//2) + bb; pad dec so w2 spans [0, Wp)
+    left = W_OFF // 2
+    decp = jnp.pad(dec, ((0, 0), (0, 0), (0, 0),
+                         (left, Wp // 2 - W1 - left), (0, 0)))
+    # flax ConvTranspose places in[h,w]*K[1-a, 1-p] at out[2h+a, 2w+p]
+    # (gradient-of-conv convention) -> flip the phase taps.
+    z = jnp.einsum("ndhwc,apco->ndhwapo", decp,
+                   w[0, ::-1, ::-1].astype(dec.dtype),
+                   preferred_element_type=jnp.float32)  # a=kh phase, b=kw phase
+    if b is not None:
+        z = z + b.astype(z.dtype)
+    # rows (h, a, k), lanes (m, bb, co): w2 = 2*(2k + m) + bb
+    z = z.reshape(B, D, H1, Wp // 4, 2, 2, 2, cout)  # h, k, m, a, bb, co
+    z = jnp.transpose(z, (0, 1, 2, 5, 3, 4, 6, 7))   # b d h a k m bb co
+    z = z.reshape(B, D, R, 2, 2, cout)
+    wmask = width_mask(W, z.dtype)
+    chunks = []
+    for c0 in range(0, cout, CC):
+        yc = z[..., c0:c0 + CC].reshape(B, D, H, G, 128) \
+            * wmask[None, None, None]
+        chunks.append(_row_pad(yc.reshape(B, D, R, 128), P)
+                      .astype(dec.dtype))
+    return tuple(chunks)
+
+
+def conv1x1_from_flat(chunks, w: jnp.ndarray, b: jnp.ndarray,
+                      H: int, W: int) -> jnp.ndarray:
+    """1x1 conv consuming padded flat chunks, emitting a (small) 5D
+    (B, D, H, W, cout) tensor (the network head)."""
+    G, R, P = flat_geometry(H, W)
+    Wp = pad_width(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout)  # (cin, cout)
+    ys = []
+    for i, xc in enumerate(chunks):
+        B, D, Rp, _ = xc.shape
+        v = xc[:, :, P:P + R].reshape(B, D, R, JG, CC)
+        ys.append(jnp.einsum("bdrjc,co->bdrjo", v,
+                             w2[i * CC:(i + 1) * CC].astype(xc.dtype),
+                             preferred_element_type=jnp.float32))
+    y = sum(ys)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
+    return y
