@@ -78,13 +78,20 @@ class DataLoader:
         timeout: seconds to wait for a batch before raising (mirrors the
             reference's 60 s worker timeout).
         channels_last_keys: batch keys to convert to channels-last.
+        worker_type: 'thread' (default; fine when numpy/h5py release
+            the GIL) or 'process' (fork-based pool like the reference's
+            DataLoader workers; use for heavy Python transform chains
+            on multi-core hosts). Process workers seed per sample
+            inside the worker, so seeded runs are deterministic even
+            with many workers.
     """
 
     def __init__(self, dataset, batch_size: int = 1, num_workers: int = 2,
                  channels_last: bool = True, drop_last: bool = True,
                  shuffle: bool = True, seed: Optional[int] = None,
                  timeout: float = 120.0, collate_fn=default_collate,
-                 channels_last_keys: Sequence[str] = ("inp", "target_f")):
+                 channels_last_keys: Sequence[str] = ("inp", "target_f"),
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -95,8 +102,13 @@ class DataLoader:
         self.timeout = timeout
         self.collate_fn = collate_fn
         self.channels_last_keys = tuple(channels_last_keys)
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be 'thread' or 'process', "
+                             f"got {worker_type!r}")
+        self.worker_type = worker_type
         self._epoch = 0
-        if seed is not None and num_workers > 1:
+        if seed is not None and num_workers > 1 \
+                and worker_type == "thread":
             import logging
             logging.getLogger("elektronn3_tpu").warning(
                 "DataLoader(seed=%s, num_workers=%d): per-sample "
@@ -138,6 +150,8 @@ class DataLoader:
         if self.num_workers <= 0:
             for bidx in batches:
                 yield self._make_batch(bidx)
+        elif self.worker_type == "process":
+            yield from self._process_iter(batches)
         else:
             yield from self._threaded_iter(batches)
         self._epoch += 1
@@ -233,3 +247,57 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
             buf.append(place(next(it)))
         except StopIteration:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Process-pool workers (GIL-free transform chains)
+# ---------------------------------------------------------------------------
+# The reference uses torch DataLoader worker PROCESSES
+# (trainer.py:427-443); heavy Python/numpy transform chains are
+# GIL-bound under thread workers. Fork-started workers inherit the
+# dataset (HDF5 sources reopen per access, so forking is safe —
+# sources.py). Per-sample seeding happens inside the worker process, so
+# seeded runs stay deterministic even with many process workers (unlike
+# thread workers, which share the global RNG).
+
+_WORKER_DATASET = None
+
+
+def _proc_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_fetch(args):
+    idx, sample_seed = args
+    if sample_seed is not None:
+        np.random.seed(sample_seed % (2 ** 32))
+    return _WORKER_DATASET[idx]
+
+
+def _dataloader_process_iter(self, batches):
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = mp.get_context("fork")
+    n = len(self.dataset)
+    with ProcessPoolExecutor(max_workers=self.num_workers,
+                             mp_context=ctx,
+                             initializer=_proc_worker_init,
+                             initargs=(self.dataset,)) as ex:
+        futures = []
+        for bidx in batches:
+            args = [(int(i),
+                     None if self.seed is None
+                     else self.seed + self._epoch * n + int(i))
+                    for i in bidx]
+            futures.append([ex.submit(_proc_fetch, a) for a in args])
+        for fs in futures:
+            samples = [f.result(timeout=self.timeout) for f in fs]
+            batch = self.collate_fn(samples)
+            if self.channels_last:
+                batch = to_channels_last(batch, self.channels_last_keys)
+            yield batch
+
+
+DataLoader._process_iter = _dataloader_process_iter

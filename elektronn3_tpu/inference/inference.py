@@ -213,6 +213,7 @@ class Predictor:
             strict_shapes: bool = False,
             verbose: bool = False,
             mesh=None,
+            shard_mode: str = "spatial",
             shard_axis: int = 2,
             halo: Optional[int] = None,
     ):
@@ -265,17 +266,25 @@ class Predictor:
             self._auto_offset = False
         self.offset = None if offset is None else tuple(offset)
 
-        # Multi-chip spatial sharding: shard one spatial axis of the
-        # volume over the mesh's 'space' axis with halo exchange
-        # (elektronn3_tpu.parallel.halo) — scale-out alternative to
-        # single-device tiling. Requires a same-conv model; ``halo``
-        # must cover the receptive-field half width.
+        # Multi-chip sharding (SURVEY.md §7 step 6):
+        # - shard_mode='spatial': shard one spatial axis of the volume
+        #   over the mesh's 'space' axis with ppermute halo exchange
+        #   (elektronn3_tpu.parallel.halo). Requires a same-conv model;
+        #   ``halo`` must cover the receptive-field half width.
+        # - shard_mode='tiles': shard the batched TILE GRID over the
+        #   mesh's 'data' axis — tiled_apply packs tiles along the batch
+        #   dim, so each device runs an equal slice of the tile batch
+        #   (the TPU-native replacement for the reference's
+        #   InferenceModel(multi_gpu=True) DataParallel path,
+        #   models/base.py:48-50). No halo needed; flip-TTA works.
         self.mesh = mesh
+        self.shard_mode = shard_mode
         self.shard_axis = shard_axis
         self.halo = halo
-        if mesh is not None:
+        self._n_shards = 1
+        if mesh is not None and shard_mode == "spatial":
             if halo is None:
-                raise ValueError("halo is required with mesh sharding")
+                raise ValueError("halo is required with spatial sharding")
             if self.augmentations:
                 raise ValueError(
                     "flip-TTA is not supported with spatial mesh "
@@ -287,6 +296,17 @@ class Predictor:
             self._jit_forward = jax.jit(sharded_spatial_apply(
                 self._forward_cl, mesh, halo,
                 spatial_axis=shard_axis - 1, axis_name="space"))
+        elif mesh is not None and shard_mode == "tiles":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._n_shards = mesh.shape["data"]
+            self._jit_forward = jax.jit(
+                self._forward_cl,
+                in_shardings=NamedSharding(mesh, P("data")),
+                out_shardings=NamedSharding(mesh, P("data")))
+        elif mesh is not None:
+            raise ValueError(
+                f"shard_mode must be 'spatial' or 'tiles', "
+                f"got {shard_mode!r}")
         else:
             self._jit_forward = jax.jit(self._forward_cl)
 
@@ -325,9 +345,16 @@ class Predictor:
     def _predict(self, inp_ncf: np.ndarray) -> np.ndarray:
         """Forward an (N, C, *spatial) numpy batch → (N, C', *spatial')
         numpy (device roundtrip)."""
+        n = inp_ncf.shape[0]
+        if self._n_shards > 1 and n % self._n_shards:
+            # tile-grid sharding needs an even batch split: pad with
+            # repeats of the last tile and drop them afterwards.
+            pad = self._n_shards - n % self._n_shards
+            inp_ncf = np.concatenate(
+                [inp_ncf] + [inp_ncf[-1:]] * pad)
         x_cl = jnp.asarray(np.moveaxis(inp_ncf, 1, -1))
         out = self._jit_forward(x_cl)
-        return np.moveaxis(np.asarray(out), -1, 1)
+        return np.moveaxis(np.asarray(out), -1, 1)[:n]
 
     # -- public API ------------------------------------------------------
 

@@ -138,6 +138,19 @@ def run_dryrun(n_devices: int) -> None:
     assert np.all(np.isfinite(np.asarray(out))), \
         "spatial-sharded forward produced non-finite values"
 
+    # Tile-grid-parallel inference (SURVEY.md §7 step 6): the Predictor
+    # shards the batched tile grid over the 'data' mesh axis — the
+    # TPU-native replacement for DataParallel batched inference.
+    from elektronn3_tpu.inference import Predictor
+
+    pred = Predictor(
+        model=model, state=variables_eval, tile_shape=(4, 16, 16),
+        overlap_shape=(2, 4, 4), mesh=mesh, shard_mode="tiles")
+    tin = np.asarray(rng.normal(size=(1, 1, 8, 32, 32)), np.float32)
+    tout = pred.predict(tin)
+    assert np.all(np.isfinite(tout)), \
+        "tile-sharded inference produced non-finite values"
+
 
 def _broadcast_opt_shardings(tx, params, param_shardings, replicated):
     """Shardings for the optimizer state: param-shaped leaves inherit

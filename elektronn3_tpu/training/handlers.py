@@ -136,16 +136,81 @@ def _tb_log_sample_images(trainer, images: dict,
                          overlay_alpha=trainer.overlay_alpha, cmap="gray",
                          filename="overlay")
         _fig_to_tb(trainer.tb, f"{group}/overlay", fig, trainer.step)
+    if inp.ndim == 5 and getattr(trainer, "enable_videos", False):
+        _tb_log_sample_videos(trainer, images, group=group)
+
+
+def _tb_log_sample_videos(trainer, images: dict,
+                          group: str = "sample") -> None:
+    """3D samples as 2D videos over the D axis (reference
+    handlers.py:181-195: add_video of the input and of each output
+    channel). Requires a writer with add_video (torch TB has one;
+    moviepy is needed for actual encoding — failures are logged, not
+    raised)."""
+    from elektronn3_tpu.data.utils import squash01
+    if trainer.tb is None or not hasattr(trainer.tb, "add_video"):
+        return
+    try:
+        import torch
+        inp = images["inp"]  # (N, C, D, H, W)
+        vid = np.swapaxes(squash01(np.asarray(inp, np.float32)), 1, 2)
+        trainer.tb.add_video(f"{group}_vid/inp",
+                             torch.from_numpy(np.ascontiguousarray(vid)),
+                             global_step=trainer.step)
+        out = images.get("out")
+        if out is not None:
+            for c in range(out.shape[1]):
+                v = squash01(np.asarray(out[:, c][None], np.float32))
+                v = np.moveaxis(v, 1, 2)
+                trainer.tb.add_video(
+                    f"{group}_vid/out{c}",
+                    torch.from_numpy(np.ascontiguousarray(v)),
+                    global_step=trainer.step)
+    except Exception:
+        logger.exception("video logging failed (is moviepy installed?)")
 
 
 def write_to_kzip(trainer, pred_batch: np.ndarray) -> None:
-    """Export a prediction to a KNOSSOS .k.zip annotation file.
-    Reference handlers.py:124-158. Requires knossos_utils (optional)."""
+    """Export a preview prediction to a KNOSSOS .k.zip annotation file
+    with the movement area set around it. Reference handlers.py:124-158.
+    Requires knossos_utils and trainer.knossos_preview_config with
+    'dataset', 'offset' and 'size' keys."""
     try:
-        from knossos_utils import KnossosDataset  # noqa: F401
+        from knossos_utils import KnossosDataset
     except ImportError:
         logger.warning("knossos_utils not available; skipping kzip export")
         return
-    raise NotImplementedError(
-        "kzip export requires a configured KNOSSOS dataset; see "
-        "trainer.knossos_preview_config")
+    ks = getattr(trainer, "knossos_preview_config", None)
+    if not ks:
+        raise ValueError(
+            "kzip export requires trainer.knossos_preview_config with "
+            "'dataset', 'offset' and 'size' keys")
+    dataset_path = ks["dataset"] if isinstance(ks["dataset"], str) \
+        else ks["dataset"][0]
+    ds = KnossosDataset(dataset_path)
+    # (N, D, H, W) -> (W, H, D) for the KNOSSOS axis convention
+    seg = np.asarray(pred_batch)[0].swapaxes(0, 2)
+    area_min, area_sz = ks["offset"], ks["size"]
+    anno_str = f"""<?xml version="1.0" encoding="UTF-8"?>
+<things>
+    <parameters>
+        <MovementArea min.x="{area_min[0]}" min.y="{area_min[1]}" \
+min.z="{area_min[2]}" size.x="{area_sz[0]}" size.y="{area_sz[1]}" \
+size.z="{area_sz[2]}"/>
+    </parameters>
+    <comments/>
+    <branchpoints/>
+</things>"""
+    kzip_path = f"{trainer.save_path}/preview_{trainer.step}.k.zip"
+    logger.info(f"Writing preview inference to {kzip_path}")
+    ds.save_to_kzip(
+        data=seg,
+        data_mag=ks.get("mag", 1),
+        kzip_path=kzip_path,
+        offset=ks["offset"],
+        mags=ks.get("target_mags", [1, 2]),
+        gen_mergelist=False,
+        upsample=False,
+        fast_resampling=False,
+        annotation_str=anno_str,
+    )

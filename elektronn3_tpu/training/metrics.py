@@ -21,6 +21,9 @@ from typing import Callable, Optional
 import numpy as np
 
 
+_CM_LAMBDAS = {}  # metric_fn -> ((tp, tn, fp, fn) -> value); see Evaluator
+
+
 def _as_np(x) -> np.ndarray:
     return np.asarray(x)
 
@@ -99,6 +102,19 @@ def iou(target, pred, num_classes=2, mean=True, ignore=None):
         cm, lambda tp, tn, fp, fn: tp / (tp + fp + fn), mean)
 
 
+def _fill_cm_lambdas():
+    _CM_LAMBDAS.update({
+        precision: lambda tp, tn, fp, fn: tp / (tp + fp),
+        recall: lambda tp, tn, fp, fn: tp / (tp + fn),
+        accuracy: lambda tp, tn, fp, fn: (tp + tn) / (tp + tn + fp + fn),
+        dice_coefficient: lambda tp, tn, fp, fn: 2 * tp / (2 * tp + fp + fn),
+        iou: lambda tp, tn, fp, fn: tp / (tp + fp + fn),
+    })
+
+
+_fill_cm_lambdas()
+
+
 def auroc(target, probs, mean=True):
     """Area under ROC curve from class probabilities (N, *sp, C).
     sklearn-backed; reference metrics.py:172-196."""
@@ -170,6 +186,30 @@ class Evaluator:
         pred = np.argmax(out, -1)
         m = self.metric_fn(target, pred, num_classes=num_classes,
                            mean=self.index is None, ignore=self.ignore)
+        if self.index is not None:
+            m = m[self.index]
+        return m
+
+    # -- streaming interface (confusion-matrix-based metrics only) ------
+    # Binary confusion counts are additive across batches, so the
+    # Trainer accumulates one (C, 4) count matrix per validation run
+    # and memory stays independent of the validation-set size
+    # (the reference concatenates all outputs instead).
+
+    @property
+    def supports_streaming(self) -> bool:
+        return self.metric_fn in _CM_LAMBDAS
+
+    def from_cm(self, counts: np.ndarray) -> float:
+        """Compute the metric from accumulated raw confusion counts
+        (C, 4) as produced by ``confusion_matrix(nan_when_empty=False)``
+        summed over batches. Classes absent from the targets (tp + fn
+        == 0) become NaN, matching confusion_matrix's nan_when_empty."""
+        cm = np.asarray(counts, np.float64).copy()
+        absent = (cm[:, 0] + cm[:, 3]) == 0
+        cm[absent] = np.nan
+        m = _metric_from_cm(cm, _CM_LAMBDAS[self.metric_fn],
+                            mean=self.index is None)
         if self.index is not None:
             m = m[self.index]
         return m

@@ -114,6 +114,7 @@ class Trainer:
             example_input: Optional[np.ndarray] = None,
             batch_size: int = 1,
             num_workers: int = 0,
+            worker_type: str = "thread",
             lr: float = 1e-3,
             schedulers: Optional[Dict[str, LRScheduler]] = None,
             overlay_alpha: float = 0.2,
@@ -133,6 +134,9 @@ class Trainer:
             sample_plotting_handler: Optional[Callable] = None,
             preview_plotting_handler: Optional[Callable] = None,
             enable_videos: bool = False,
+            hparams: Optional[Dict[str, Any]] = None,
+            knossos_preview_config: Optional[Dict[str, Any]] = None,
+            tb_hist_interval: int = 1,
             mesh=None,
             seed: int = 0,
             tqdm_kwargs: Optional[Dict] = None,
@@ -147,6 +151,7 @@ class Trainer:
         self.valid_metrics = valid_metrics or {}
         self.batch_size = batch_size
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self.ignore_errors = ignore_errors
         self.ipython_shell = ipython_shell
         self.out_channels = out_channels
@@ -160,6 +165,13 @@ class Trainer:
         self.mixed_precision = mixed_precision
         self.sample_plotting_handler = sample_plotting_handler
         self.preview_plotting_handler = preview_plotting_handler
+        # 3D sample videos in tensorboard (reference handlers.py:181-195)
+        self.enable_videos = enable_videos
+        self.hparams = dict(hparams or {})
+        self.knossos_preview_config = knossos_preview_config
+        # Param/grad histograms every N epochs; 0 disables (reference
+        # _tb_log_histograms, trainer.py:977-986).
+        self.tb_hist_interval = tb_hist_interval
         self.mesh = mesh
         self.seed = seed
         self.overlay_alpha = overlay_alpha
@@ -224,6 +236,10 @@ class Trainer:
                         os.path.expanduser(tensorboard_root_path),
                         self.exp_name)
                 self.tb = SummaryWriter(tb_path, flush_secs=20)
+                if self.hparams:
+                    # reference trainer.py:424-425
+                    self.tb.add_hparams(hparam_dict=self.hparams,
+                                        metric_dict={})
             except ImportError:
                 logger.warning(
                     "tensorboard not available; disabling TB logging.")
@@ -427,12 +443,14 @@ class Trainer:
             loader = DataLoader(
                 self.train_dataset, batch_size=self.batch_size,
                 num_workers=self.num_workers, seed=self.seed,
+                worker_type=self.worker_type,
                 channels_last=True)
         unlabeled_iter = None
         if self.unlabeled_dataset is not None:
             unlabeled_loader = DataLoader(
                 self.unlabeled_dataset, batch_size=self.batch_size,
                 num_workers=self.num_workers, seed=self.seed + 1,
+                worker_type=self.worker_type,
                 channels_last=True)
 
             def cycle(dl):
@@ -543,11 +561,29 @@ class Trainer:
             self.swa.update_swa(self.state.params)
 
     def _validate(self) -> Dict[str, float]:
-        """Validation pass (reference trainer.py:707-776)."""
+        """Validation pass (reference trainer.py:707-776).
+
+        Confusion-matrix-based evaluators stream: one (C, 4) count
+        matrix is accumulated per batch, so validation memory is
+        independent of the validation-set size. Evaluators that need
+        the full score arrays (AUROC, AveragePrecision, clustering
+        metrics) fall back to accumulating outputs like the reference.
+        """
+        from elektronn3_tpu.training.metrics import confusion_matrix
+
         loader = DataLoader(
             self.valid_dataset, batch_size=self.batch_size,
             num_workers=self.num_workers, shuffle=False, seed=self.seed,
+            worker_type=self.worker_type,
             drop_last=False, channels_last=True)
+        streaming = {
+            name: ev for name, ev in self.valid_metrics.items()
+            if getattr(ev, "supports_streaming", False)}
+        nonstreaming = {name: ev for name, ev in self.valid_metrics.items()
+                        if name not in streaming}
+        # one accumulated raw-count matrix per distinct `ignore` value
+        cm_acc: Dict[Any, np.ndarray] = {}
+
         val_loss = []
         outs, targets = [], []
         for batch in loader:
@@ -556,13 +592,34 @@ class Trainer:
                                             None if target is None
                                             else jnp.asarray(target))
             val_loss.append(float(loss))
-            outs.append(np.asarray(out))
-            targets.append(np.asarray(target))
+            if target is None:
+                continue
+            if streaming:
+                out_np = np.asarray(out)
+                pred = np.argmax(out_np, -1)
+                num_classes = out_np.shape[-1]
+                for ign in {ev.ignore for ev in streaming.values()}:
+                    counts = confusion_matrix(
+                        np.asarray(target), pred, num_classes,
+                        nan_when_empty=False, ignore=ign)
+                    if ign in cm_acc:
+                        cm_acc[ign] += counts
+                    else:
+                        cm_acc[ign] = counts
+            if nonstreaming:
+                outs.append(np.asarray(out))
+                targets.append(np.asarray(target))
         stats = {"val_loss": float(np.mean(val_loss)) if val_loss else np.nan}
-        if self.valid_metrics and outs:
+        for name, ev in streaming.items():
+            try:
+                stats[name] = float(ev.from_cm(cm_acc[ev.ignore]))
+            except Exception:
+                logger.exception(f"Evaluator {name} failed")
+                stats[name] = np.nan
+        if nonstreaming and outs:
             out_full = np.concatenate(outs)
             target_full = np.concatenate(targets)
-            for name, evaluator in self.valid_metrics.items():
+            for name, evaluator in nonstreaming.items():
                 try:
                     stats[name] = float(evaluator(target_full, out_full))
                 except Exception:
@@ -618,12 +675,56 @@ class Trainer:
                                                group="train_samples")
             except Exception:
                 logger.exception("default sample plotting failed")
+        if self.tb_hist_interval \
+                and self.epoch % self.tb_hist_interval == 0:
+            try:
+                self._tb_log_histograms()
+            except Exception:
+                logger.exception("histogram logging failed")
         if (self.preview_batch is not None
                 and self.epoch % self.preview_interval == 0):
             try:
                 self._run_preview_inference()
             except Exception:
                 logger.exception("Preview inference failed")
+
+    def _tb_log_histograms(self):
+        """Histograms of all parameters and their current gradients
+        (reference _tb_log_histograms, trainer.py:977-986). Gradients
+        are recomputed on the last training batch with a dedicated
+        jitted grad function (the training step donates its buffers, so
+        gradients are not retained)."""
+        if self.tb is None:
+            return
+
+        def _names(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in flat:
+                name = "/".join(
+                    getattr(k, "key", str(k)) for k in path)
+                yield name, np.asarray(leaf, np.float32)
+
+        for name, p in _names(self.state.params):
+            self.tb.add_histogram(f"param/{name}", p, self.step)
+        if getattr(self, "_last_sample", None) is None:
+            return
+        inp, target, _ = self._last_sample
+        if target is None:
+            return
+        if getattr(self, "_grad_fn", None) is None:
+            criterion = self.criterion
+
+            def grad_fn(state, inp, target, rng):
+                def loss_fn(params):
+                    out, _ = self._apply(
+                        params, state.batch_stats, inp, True, rng)
+                    return criterion(out, target).astype(jnp.float32)
+                return jax.grad(loss_fn)(state.params)
+
+            self._grad_fn = jax.jit(grad_fn)
+        grads = self._grad_fn(self.state, inp, target, self._rng)
+        for name, g in _names(grads):
+            self.tb.add_histogram(f"grad/{name}", g, self.step)
 
     def _run_preview_inference(self):
         from elektronn3_tpu.inference import Predictor

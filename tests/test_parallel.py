@@ -151,3 +151,23 @@ def test_predictor_mesh_sharded(rng):
                       overlap_shape=(16, 0)).predict(inp)
     assert np.allclose(tiled, sharded, atol=1e-4), \
         np.abs(tiled - sharded).max()
+
+
+def test_predictor_tile_grid_sharded(rng):
+    """Tile-grid sharding over the 'data' mesh axis (SURVEY §7 step 6):
+    N-device tiled inference == single-device output, including a tile
+    count that does not divide the device count (pad + drop)."""
+    from elektronn3_tpu.inference import Predictor
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    model = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+                 dim=2, normalization="none")
+    variables = init_unet(model, (1, 32, 32, 1))
+    inp = rng.normal(size=(1, 1, 96, 96)).astype(np.float32)
+    kw = dict(model=model, state=variables, tile_shape=(32, 32),
+              overlap_shape=(8, 8))
+
+    single = Predictor(**kw).predict(inp)
+    mesh = make_mesh({"data": 8})
+    sharded = Predictor(**kw, mesh=mesh, shard_mode="tiles").predict(inp)
+    assert np.allclose(single, sharded, atol=1e-5)

@@ -291,3 +291,29 @@ def test_padam_matches_reference():
         params = {"w": params["w"] + updates["w"]}
     assert np.allclose(np.asarray(params["w"]), ref_w, atol=1e-5), \
         (np.asarray(params["w"]), ref_w)
+
+
+def test_streaming_cm_evaluators_match_full(rng):
+    """Evaluator.from_cm on batch-accumulated counts == full-array
+    evaluation (the Trainer's streaming validation path)."""
+    from elektronn3_tpu.training import metrics as M
+
+    C = 3
+    target = rng.integers(0, C, size=(6, 4, 5)).astype(np.int64)
+    target[5] = 0  # make one batch miss some classes
+    out = rng.normal(size=(6, 4, 5, C)).astype(np.float32)
+    pred = np.argmax(out, -1)
+
+    for ev in [M.Accuracy(), M.Precision(), M.Recall(), M.DSC(index=1),
+               M.IoU(index=0), M.DSC(ignore=2)]:
+        assert ev.supports_streaming
+        full = ev(target, out)
+        counts = None
+        for b in range(6):  # accumulate per "batch"
+            c = M.confusion_matrix(target[b], pred[b], C,
+                                   nan_when_empty=False, ignore=ev.ignore)
+            counts = c if counts is None else counts + c
+        streamed = ev.from_cm(counts)
+        assert np.isclose(full, streamed, equal_nan=True), (full, streamed)
+    assert not M.AUROC().supports_streaming if hasattr(
+        M.AUROC(), "supports_streaming") else True
