@@ -97,3 +97,46 @@ def test_squash01_and_class_weights(rng):
     assert w[1] > w[0]
     w2 = calculate_class_weights(targets, mode="binmean")
     assert len(w2) == 2
+
+
+def test_training_config_roundtrip_and_build(tmp_path):
+    """Dataclass config layer (SURVEY §5 rebuild note): JSON roundtrip
+    + model/optimizer/scheduler/trainer reconstruction."""
+    import numpy as np
+    from elektronn3_tpu.config import (
+        ModelConfig, OptimizerConfig, SchedulerConfig, TrainingConfig)
+    from elektronn3_tpu.modules import CrossEntropyLoss
+
+    cfg = TrainingConfig(
+        model=ModelConfig("UNet", dict(
+            in_channels=1, out_channels=2, n_blocks=2, start_filts=4,
+            planar_blocks=(0,), dim=3)),
+        optimizer=OptimizerConfig("adamw", lr=5e-4),
+        scheduler=SchedulerConfig("step", dict(step_size=10, gamma=0.5)),
+        batch_size=2, num_workers=0, max_steps=3, seed=1,
+        save_root=str(tmp_path), exp_name="cfg_test",
+        trainer_kwargs=dict(enable_tensorboard=False))
+
+    cfg2 = TrainingConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+    model = cfg2.build_model()
+    assert model.n_blocks == 2 and model.planar_blocks == (0,)
+
+    class DS:
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            inp = r.normal(size=(1, 4, 8, 8)).astype(np.float32)
+            return {"inp": inp, "target": (inp[0] > 0).astype(np.int64)}
+
+        def __len__(self):
+            return 4
+
+    trainer = cfg2.build_trainer(criterion=CrossEntropyLoss(),
+                                 train_dataset=DS())
+    import os
+    assert os.path.exists(os.path.join(trainer.save_path, "config.json"))
+    loaded = TrainingConfig.load(
+        os.path.join(trainer.save_path, "config.json"))
+    assert loaded.optimizer.lr == 5e-4
+    trainer.run(max_steps=2)  # one tiny smoke step through the config
