@@ -48,9 +48,12 @@ class DeviceWarpPatchLoader:
             box exceeds it are retried like OOB). Defaults to
             ``ceil(1.5 * patch_shape) + 8``.
         warp_prob / warp_kwargs / aniso_factor: as in PatchCreator.
+        cube_prios: relative sampling priority per input cube
+            (normalized internally; default uniform) — PatchCreator's
+            cube_prios semantics (reference cnndata.py:363-397).
         epoch_size: batches per epoch.
         augment_fn: optional device-side augmentation
-            ``fn(inp (N, pd, ph, pw), rng) -> inp`` applied after
+            ``fn(inp (N, pd, ph, pw, C), rng) -> inp`` applied after
             interpolation (see ops.warp photometric helpers).
         normalize: optional (mean, std) applied on device.
         seed: RNG seed.
@@ -66,6 +69,7 @@ class DeviceWarpPatchLoader:
             warp_prob: float = 0.2,
             warp_kwargs: Optional[Dict] = None,
             aniso_factor: int = 2,
+            cube_prios: Optional[Sequence[float]] = None,
             epoch_size: int = 100,
             augment_fn: Optional[Callable] = None,
             normalize: Optional[Tuple[float, float]] = None,
@@ -82,6 +86,12 @@ class DeviceWarpPatchLoader:
         self.warp_prob = warp_prob
         self.warp_kwargs = dict(warp_kwargs or {})
         self.aniso_factor = aniso_factor
+        if cube_prios is None:
+            self._prios = np.full(len(self.inputs), 1 / len(self.inputs))
+        else:
+            p_arr = np.asarray(cube_prios, np.float64)
+            assert len(p_arr) == len(self.inputs)
+            self._prios = p_arr / p_arr.sum()
         self.epoch_size = epoch_size
         self.augment_fn = augment_fn
         self.normalize = normalize
@@ -103,7 +113,7 @@ class DeviceWarpPatchLoader:
         """
         ws = np.array(self.window_shape)
         while True:
-            i = self.rng.integers(0, len(self.inputs))
+            i = self.rng.choice(len(self.inputs), p=self._prios)
             src = self.inputs[i]
             tsrc = None if self.targets is None else self.targets[i]
             wk = dict(self.warp_kwargs)
@@ -130,34 +140,51 @@ class DeviceWarpPatchLoader:
             self.n_ok += 1
             # Read and pad to the static window shape.
             cut = slice_3d(src, lo, hi, dtype=floatX)
-            if cut.ndim == 4:
-                cut = cut[0]
-            pad = [(0, int(w - s)) for w, s in zip(ws, cut.shape)]
-            window = np.pad(cut, pad)
+            if cut.ndim == 3:
+                cut = cut[None]  # (C=1, d, h, w)
+            pad = [(0, 0)] + [(0, int(w - s))
+                              for w, s in zip(ws, cut.shape[1:])]
+            window = np.pad(cut, pad)  # (C, *window_shape)
             t_window = None
             if tsrc is not None:
                 tcut = slice_3d(tsrc, lo, hi, dtype=floatX)
-                if tcut.ndim == 4:
-                    tcut = tcut[0]
-                t_window = np.pad(tcut, pad)
+                if tcut.ndim == 3:
+                    tcut = tcut[None]
+                tpad = [(0, 0)] + pad[1:]
+                t_window = np.pad(tcut, tpad)
             return window, t_window, M_inv, lo.astype(np.float32)
 
     # -- device side ---------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self",))
     def _device_process(self, windows, t_windows, M_invs, los, key):
+        # windows (N, C, *window): fold channels into the batch for the
+        # interpolation kernel, then unfold to channels-last.
+        N, C = windows.shape[:2]
+        wf = windows.reshape((N * C,) + windows.shape[2:])
+        mrep = jnp.repeat(M_invs, C, axis=0)
+        lorep = jnp.repeat(los, C, axis=0)
         inp = warp_ops.warp_interpolate_batch(
-            windows, M_invs, los, self.patch_shape, discrete=False)
+            wf, mrep, lorep, self.patch_shape, discrete=False)
+        inp = jnp.moveaxis(inp.reshape((N, C) + self.patch_shape), 1, -1)
         if self.normalize is not None:
             mean, std = self.normalize
             inp = (inp - mean) / std
         if self.augment_fn is not None:
             inp = self.augment_fn(inp, key)
-        out = {"inp": inp[..., None]}  # channels-last (N, pd, ph, pw, 1)
+        out = {"inp": inp}  # channels-last (N, pd, ph, pw, C)
         if t_windows is not None:
+            Nt, Ct = t_windows.shape[:2]
+            tf = t_windows.reshape((Nt * Ct,) + t_windows.shape[2:])
             tgt = warp_ops.warp_interpolate_batch(
-                t_windows, M_invs, los, self.patch_shape, discrete=True)
-            out["target"] = tgt.astype(jnp.int32)
+                tf, jnp.repeat(M_invs, Ct, axis=0),
+                jnp.repeat(los, Ct, axis=0), self.patch_shape,
+                discrete=True)
+            tgt = tgt.reshape((Nt, Ct) + self.patch_shape)
+            if Ct == 1:
+                out["target"] = tgt[:, 0].astype(jnp.int32)
+            else:
+                out["target"] = jnp.moveaxis(tgt, 1, -1).astype(jnp.int32)
         return out
 
     def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:

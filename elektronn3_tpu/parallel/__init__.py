@@ -10,3 +10,8 @@ from elektronn3_tpu.parallel.halo import (
     exchange_halo,
     sharded_spatial_apply,
 )
+from elektronn3_tpu.parallel.distributed import (
+    host_local_batch,
+    init_distributed,
+    make_global_mesh,
+)

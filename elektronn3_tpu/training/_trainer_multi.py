@@ -100,6 +100,7 @@ class TrainerMulti(Trainer):
         grad_accum = self._zero_grads()
         n_accum = 0
         running_vx = 0
+        pending_loss = None
         for batch in prefetch_to_device(loader, size=2):
             inp, target = batch["inp"], batch.get("target")
             meta = batch.get("cube_meta")
@@ -112,10 +113,15 @@ class TrainerMulti(Trainer):
             self.state, loss, grad_accum = self._accum_step_jit(
                 self.state, inp, target, step_rng, weight, grad_accum)
             n_accum += 1
-            lval = float(loss)
-            stats["tr_loss"].append(lval)
-            if np.isnan(lval):
-                raise NaNException("NaN loss detected!")
+            # Delayed loss fetch: read the PREVIOUS step's loss so the
+            # device queue never drains on a host round trip (same
+            # pattern as the main Trainer's batched NaN guard).
+            if pending_loss is not None:
+                lval = float(pending_loss)
+                stats["tr_loss"].append(lval)
+                if np.isnan(lval):
+                    raise NaNException("NaN loss detected!")
+            pending_loss = loss
             if n_accum >= self.optimizer_iterations:
                 lr = self.lr_scheduler.get_lr()
                 self.state = self._apply_step_jit(
@@ -131,6 +137,11 @@ class TrainerMulti(Trainer):
                 self.terminate = True
             if self.terminate:
                 break
+        if pending_loss is not None:
+            lval = float(pending_loss)
+            stats["tr_loss"].append(lval)
+            if np.isnan(lval):
+                raise NaNException("NaN loss detected!")
         t = timer.t_passed
         misc["tr_speed"] = max(len(stats["tr_loss"]), 1) / t
         misc["tr_speed_vx"] = running_vx / t / 1e6

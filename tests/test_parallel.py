@@ -171,3 +171,19 @@ def test_predictor_tile_grid_sharded(rng):
     mesh = make_mesh({"data": 8})
     sharded = Predictor(**kw, mesh=mesh, shard_mode="tiles").predict(inp)
     assert np.allclose(single, sharded, atol=1e-5)
+
+
+def test_multihost_helpers_single_process(rng):
+    """Multi-host helpers degrade gracefully in a single process:
+    init is a no-op, the global mesh spans all local devices, and
+    host_local_batch assembles a full global array."""
+    from elektronn3_tpu.parallel import (
+        host_local_batch, init_distributed, make_global_mesh)
+
+    assert init_distributed() is False  # no cluster env -> no-op
+    mesh = make_global_mesh()
+    assert mesh.shape == {"data": 8}
+    local = rng.normal(size=(8, 4, 4)).astype(np.float32)
+    arr = host_local_batch((8, 4, 4), local, mesh)
+    assert arr.shape == (8, 4, 4)
+    assert np.allclose(np.asarray(arr), local)
