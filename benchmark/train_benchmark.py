@@ -20,6 +20,10 @@ parser.add_argument("--bf16", action="store_true")
 parser.add_argument("-j", "--num-workers", type=int, default=4)
 parser.add_argument("--synthetic", action="store_true",
                     help="use synthetic data (no neuro_data download)")
+parser.add_argument("--device-pipeline", action="store_true",
+                    help="use DeviceWarpPatchLoader: warp interpolation "
+                         "runs on the TPU; the host only streams HDF5 "
+                         "windows (for host-bound machines)")
 parser.add_argument("--patch", type=int, nargs=3, default=(44, 88, 88),
                     help="patch shape (smoke tests can shrink this)")
 parser.add_argument("--batch", type=int, default=8)
@@ -61,20 +65,38 @@ else:
                     for i in range(2)]
     target_h5data = [(os.path.join(data_root, f"barrier_int16_{i}.h5"),
                       "lab") for i in range(2)]
-    train_dataset = PatchCreator(
-        input_sources=input_h5data,
-        target_sources=target_h5data,
-        patch_shape=patch_shape,
-        aniso_factor=2,
-        train=True,
-        epoch_size=200,
-        target_dtype=np.uint8,
-        warp_prob=0.2,
-        warp_kwargs=dict(sample_aniso=True, warp_amount=1.0),
-        transform=transforms.Compose([
-            transforms.SqueezeTarget(dim=0),
-            transforms.Normalize(mean=155.291411, std=41.812504),
-        ]))
+    if args.device_pipeline:
+        from elektronn3_tpu.data.device_pipeline import DeviceWarpPatchLoader
+        from elektronn3_tpu.data.sources import HDF5DataSource
+
+        train_dataset = DeviceWarpPatchLoader(
+            inputs=[HDF5DataSource(f, k, in_memory=True)
+                    for f, k in input_h5data],
+            targets=[HDF5DataSource(f, k, in_memory=True)
+                     for f, k in target_h5data],
+            patch_shape=patch_shape,
+            batch_size=args.batch,
+            warp_prob=0.2,
+            warp_kwargs=dict(sample_aniso=True, warp_amount=1.0),
+            aniso_factor=2,
+            epoch_size=200 // args.batch,
+            normalize=(155.291411, 41.812504),
+        )
+    else:
+        train_dataset = PatchCreator(
+            input_sources=input_h5data,
+            target_sources=target_h5data,
+            patch_shape=patch_shape,
+            aniso_factor=2,
+            train=True,
+            epoch_size=200,
+            target_dtype=np.uint8,
+            warp_prob=0.2,
+            warp_kwargs=dict(sample_aniso=True, warp_amount=1.0),
+            transform=transforms.Compose([
+                transforms.SqueezeTarget(dim=0),
+                transforms.Normalize(mean=155.291411, std=41.812504),
+            ]))
 
 model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
              planar_blocks=(0,), activation="relu", normalization="batch",
@@ -86,6 +108,7 @@ trainer = Trainer(
                            weight=[0.5, 0.5]),
     lr=1e-3,
     train_dataset=train_dataset,
+    example_input=np.zeros((1,) + patch_shape + (1,), np.float32),
     batch_size=args.batch,
     num_workers=args.num_workers,
     exp_name=f"train_benchmark_{time.strftime('%y%m%d_%H%M%S')}",
