@@ -210,43 +210,62 @@ class DataLoader:
             stop.set()
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None,
+                       inp_dtype=None):
     """Wrap a batch iterator: device_put up to ``size`` batches ahead.
 
     With a ``jax.sharding.Sharding`` (e.g. batch-sharded over a Mesh),
     arrays are placed directly into their distributed layout — the
     host→HBM copy of batch N+1 overlaps with the device computation on
     batch N (TPU double buffering).
+
+    H2D byte reduction: int64 arrays are shipped as int32 (class
+    targets never need 64 bits) and, when ``inp_dtype`` is given (e.g.
+    ml_dtypes.bfloat16 for bf16 models), the 'inp' array is cast on the
+    host BEFORE the transfer — the model would cast it on device
+    anyway, so this halves H2D traffic at identical numerics.
     """
     if jax is None:  # pragma: no cover
         yield from iterator
         return
 
-    buf = []
-
     def place(batch):
-        def put(x):
+        def put(k, x):
             if isinstance(x, np.ndarray) and (
                     np.issubdtype(x.dtype, np.number)
                     or np.issubdtype(x.dtype, np.bool_)):
+                if np.issubdtype(x.dtype, np.integer) \
+                        and x.dtype.itemsize > 4:
+                    x = x.astype(np.int32)
+                elif k == "inp" and inp_dtype is not None \
+                        and np.issubdtype(x.dtype, np.floating):
+                    x = x.astype(inp_dtype)
                 if sharding is not None:
                     return jax.device_put(x, sharding)
                 return jax.device_put(x)
             return x
-        return {k: put(v) for k, v in batch.items()}
+        return {k: put(k, v) for k, v in batch.items()}
+
+    # device_put runs on a background thread: on relayed/remote devices
+    # each H2D transfer carries a round-trip latency, which must overlap
+    # with the device computation instead of serializing the step loop.
+    from concurrent.futures import ThreadPoolExecutor
 
     it = iter(iterator)
-    try:
-        for _ in range(size):
-            buf.append(place(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        yield buf.pop(0)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        buf = []
         try:
-            buf.append(place(next(it)))
+            for _ in range(size):
+                buf.append(ex.submit(place, next(it)))
         except StopIteration:
             pass
+        while buf:
+            out = buf.pop(0).result()
+            try:
+                buf.append(ex.submit(place, next(it)))
+            except StopIteration:
+                pass
+            yield out
 
 
 # ---------------------------------------------------------------------------

@@ -459,8 +459,14 @@ class Trainer:
             unlabeled_iter = cycle(unlabeled_loader)
 
         pending_losses = []
+        inp_dtype = None
+        if getattr(self.model, "dtype", None) == jnp.bfloat16 \
+                or self.mixed_precision:
+            import ml_dtypes
+            inp_dtype = ml_dtypes.bfloat16
         batch_iter = prefetch_to_device(loader, size=2,
-                                        sharding=self._sharding)
+                                        sharding=self._sharding,
+                                        inp_dtype=inp_dtype)
         try:
             from tqdm import tqdm
             batch_iter = tqdm(batch_iter, total=len(loader),
@@ -488,7 +494,9 @@ class Trainer:
             # trainer.py:535-537).
             pending_losses.append(loss)
             if len(pending_losses) >= self._loss_fetch_interval:
-                lvals = [float(l) for l in pending_losses]
+                # ONE stacked D2H transfer — each individual fetch costs
+                # a full host<->device round trip on relayed setups.
+                lvals = np.asarray(jnp.stack(pending_losses)).tolist()
                 pending_losses.clear()
                 stats["tr_loss"].extend(lvals)
                 if any(np.isnan(l) for l in lvals):
