@@ -48,7 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 CC = 32         # channel chunk size
 JG = 128 // CC  # w-positions per row-group
-W_OFF = 2       # first valid w column inside the padded width
+# First valid w column inside the padded width. W_OFF = JG makes the
+# flat layout ROW-ALIGNED with dense channels-last rows: when
+# W * CC % 128 == 0, flat row (h, g) for g in [1, W/JG] is exactly the
+# dense 5D row (h, g - 1) of a (.., H, W, CC) array viewed as
+# (.., H * W * CC / 128, 128) — so 5D<->flat conversion is a row copy
+# and the stride-2 upconv consumes whole dense rows (one matmul per
+# row). Taps stay safe: >= JG zero columns on the left and >= 1 on the
+# right of the image (pad_width).
+W_OFF = 4
 
 
 def _interpret() -> bool:

@@ -1,0 +1,1070 @@
+"""Fused flat-layout U-Net level executor (Pallas, TPU).
+
+This module is the round-2 completion of the flat-layout executor
+(ops/flat_conv.py): it keeps a full-resolution planar U-Net level
+ENTIRELY kernel-resident so the level never pays an XLA layout seam.
+Measured motivation (docs/design.md round-2 notes): the flat conv
+kernels beat XLA convs ~3x at C in {32, 64}, but every flat<->5D
+crossing through XLA relayout codegen runs at 30-40 GB/s and costs
+more than the kernels save. The fix implemented here:
+
+- **BN statistics as conv side outputs**: each fused conv emits
+  per-lane sum / sum-of-squares of its (masked) output, accumulated
+  across the grid. Batch-norm statistics then cost one tiny (C,)-sized
+  XLA computation instead of a full-resolution pass.
+- **BN-apply + activation folded into the consumer's input load**
+  (the "prologue"): the next kernel normalizes, activates and re-masks
+  its input into a VMEM scratch before the matmul taps read it. No
+  normalized full-resolution tensor ever exists in HBM.
+- **Pool as a kernel** consuming flat chunks (with prologue) and
+  emitting the pooled tensor as dense channels-last rows.
+- **Upconv as one matmul**: with `W_OFF = JG` (see flat_conv.py), the
+  (1,2,2)-stride-2 transposed conv consumes whole dense rows of the
+  deeper 5D tensor — two (rows,128)x(128,128) matmuls per slab with
+  phase-packed weights ("(w-parity, ci) contraction").
+- **Dense-row input adapter**: when W % 4 == 0, a channels-last
+  (.., H, W, 32) array viewed as (.., H*W*32/128, 128) is row-aligned
+  with the flat layout, so the level's first conv (XLA, small C_in)
+  feeds the fused conv directly — no to_flat copy.
+
+Semantics match the reference's DownConv/UpConv blocks
+(reference models/unet.py:202-253, :328-409: conv -> BN -> act ->
+conv -> BN -> act -> pool / upconv -> BN -> act -> merge -> convs)
+with BatchNorm statistics identical to nn.BatchNorm (momentum 0.9,
+eps 1e-5, stats of the bf16-rounded activations).
+
+Gradients are exact (including through the batch statistics): each
+fused op is a custom_vjp whose backward is ONE merged Pallas kernel
+computing dgrad + wgrad + prologue-parameter grads, with the
+statistics cotangent folded into the incoming cotangent on load
+(dy_tot = mask * (dy + ds + 2*y*dq)).
+
+Only the single exact-tie max-pool case diverges from XLA: on an exact
+float tie inside a pooling window the gradient is routed to every tied
+element (XLA's SelectAndScatter picks the first). Ties of positive
+activations are measure-zero; ties at zero are killed by the ReLU mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from elektronn3_tpu.ops.flat_conv import (
+    CC, JG, W_OFF, flat_geometry, pad_width, width_mask,
+    pack_flat_weights, _flip_transpose,
+)
+
+LEAKY_SLOPE = 0.1  # matches modules/layers.py leaky_relu01
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _act_fwd(pre, act: str):
+    if act == "relu":
+        return jnp.maximum(pre, 0.0)
+    if act == "leaky":
+        return jnp.where(pre > 0, pre, LEAKY_SLOPE * pre)
+    if act == "linear":
+        return pre
+    raise NotImplementedError(act)
+
+
+def _act_deriv(pre, act: str):
+    if act == "relu":
+        return (pre > 0).astype(jnp.float32)
+    if act == "leaky":
+        return jnp.where(pre > 0, 1.0, LEAKY_SLOPE)
+    if act == "linear":
+        return jnp.ones_like(pre)
+    raise NotImplementedError(act)
+
+
+def dense_rows_ok(W: int, C: int = CC) -> bool:
+    """Dense-adapter alignment: channels-last rows must tile into
+    128-lane rows an integer number of times per image row."""
+    return (W * C) % 128 == 0
+
+
+def as_dense_rows(x5: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, D, H*W*C/128, 128) bitcast view."""
+    B, D, H, W, C = x5.shape
+    assert (W * C) % 128 == 0, (W, C)
+    return x5.reshape(B, D, H * W * C // 128, 128)
+
+
+def lane_stats_dense(x5: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-lane (sum, sumsq) of a channels-last tensor via its dense
+    row view — a full-bandwidth 128-minor reduction. Returns two
+    (n_chunks, 128) f32 arrays matching the fused convs' stats side
+    outputs (lane (j, ci) of chunk i = channel i*CC + ci)."""
+    B, D, H, W, C = x5.shape
+    n = C // CC
+    xr = as_dense_rows(x5).astype(jnp.float32)
+    s = jnp.sum(xr, axis=(0, 1, 2))
+    q = jnp.sum(xr * xr, axis=(0, 1, 2))
+    # dense row lanes cycle over ((w % (128//C)) , c) for C<=128:
+    # fold w-phases per channel, then replicate to the flat (j, ci)
+    # convention of each CC chunk.
+    wp = 128 // C if C <= 128 else 1
+    if C <= 128:
+        s_c = s.reshape(wp, C).sum(0)
+        q_c = q.reshape(wp, C).sum(0)
+    else:
+        s_c = s.reshape(-1, 128).sum(0)  # pragma: no cover
+        q_c = q.reshape(-1, 128).sum(0)  # pragma: no cover
+    s_l = jnp.stack([jnp.tile(s_c[i * CC:(i + 1) * CC], JG)
+                     for i in range(n)])
+    q_l = jnp.stack([jnp.tile(q_c[i * CC:(i + 1) * CC], JG)
+                     for i in range(n)])
+    return s_l, q_l
+
+
+def fold_lane_stats(s: jnp.ndarray) -> jnp.ndarray:
+    """(n, 128) per-lane sums -> (C,) per-channel sums.
+
+    NOTE: assumes the per-lane values for one channel are w-phase
+    PARTIAL sums (fused-conv stats). For `lane_stats_dense` output the
+    lanes are replicated per-channel totals; divide by JG after."""
+    n = s.shape[0]
+    return s.reshape(n, JG, CC).sum(1).reshape(n * CC)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv: prologue(BN-apply + act) -> 3x3 planar conv -> bias,
+# mask, stats side outputs. kd == 1 (planar levels) only.
+# ---------------------------------------------------------------------------
+
+def _build_scratch(ref, i, scratch, *, wr: int, G: int, R: int, P: int,
+                   Ps: int, H: int, inv_ref, shift_ref, mask_ref,
+                   act: str):
+    """Load chunk i (dense or flat form), apply prologue, mask, store
+    into scratch[i] body rows (pad rows pre-zeroed)."""
+    if wr:  # dense-row adapter: (1, 1, H*wr, 128)
+        a = ref[0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
+        z1 = jnp.zeros((H, 1, 128), jnp.float32)
+        z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
+        a = jnp.concatenate([z1, a, z2], axis=1)
+    else:   # padded flat chunk: (1, 1, R + 2P, 128)
+        a = ref[0, 0, pl.ds(P, R), :].astype(jnp.float32).reshape(H, G, 128)
+    pre = a * inv_ref[i][None, None, :] + shift_ref[i][None, None, :]
+    val = _act_fwd(pre, act) * mask_ref[...][None]
+    scratch[i, pl.ds(Ps, R)] = val.reshape(R, 128).astype(scratch.dtype)
+
+
+def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
+                       Ps: int, H: int, wrs, out_dtype, act: str,
+                       want_stats: bool):
+    ins = refs[:nin]
+    w0_ref, wp_ref, wm_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
+        refs[nin:nin + 7]
+    outs = refs[nin + 7:nin + 7 + nout]
+    idx = nin + 7 + nout
+    if want_stats:
+        s_ref, q_ref = refs[idx:idx + 2]
+        scratches = refs[idx + 2:]
+    else:
+        scratches = refs[idx:]
+    scratch = scratches[0]  # (nin, R + 2*Ps, 128)
+
+    if want_stats:
+        first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    for i in range(nin):
+        scratch[i, 0:Ps] = jnp.zeros((Ps, 128), scratch.dtype)
+        scratch[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), scratch.dtype)
+        _build_scratch(ins[i], i, scratch, wr=wrs[i], G=G, R=R, P=P,
+                       Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
+                       mask_ref=mask_ref, act=act)
+
+    dims = (((1,), (0,)), ((), ()))
+    for o in range(nout):
+        y = jnp.zeros((R, 128), jnp.float32)
+        yc0 = jnp.zeros((R, CC), jnp.float32)
+        yc3 = jnp.zeros((R, CC), jnp.float32)
+        for i in range(nin):
+            for t in range(3):
+                off = Ps + (t - 1) * G
+                a = scratch[i, pl.ds(off, R), :]
+                y = y + jax.lax.dot_general(
+                    a, w0_ref[i, o, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                a_hi = scratch[i, pl.ds(off + 1, R), 0:CC]
+                yc3 = yc3 + jax.lax.dot_general(
+                    a_hi, wp_ref[i, o, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                a_lo = scratch[i, pl.ds(off - 1, R), 128 - CC:128]
+                yc0 = yc0 + jax.lax.dot_general(
+                    a_lo, wm_ref[i, o, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+        y = y + jnp.concatenate(
+            [yc0, jnp.zeros((R, 128 - 2 * CC), jnp.float32), yc3], axis=-1)
+        y = y + bias_ref[o][None, :]
+        y = (y.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        yc = y.astype(out_dtype)
+        outs[o][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+        outs[o][0, 0, pl.ds(P, R)] = yc
+        outs[o][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+        if want_stats:
+            yf = yc.astype(jnp.float32)  # stats of the stored rounding
+            s_ref[o, :] += jnp.sum(yf, axis=0)
+            q_ref[o, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
+                   want_stats, act, nout):
+    w0, wplus, wminus = wpk
+    nin = len(xs)
+    G, R, P = flat_geometry(H, W)
+    Ps = G + 8
+    B = xs[0].shape[0]
+    D = xs[0].shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(
+        _fused_conv_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps, H=H,
+        wrs=tuple(wrs), out_dtype=dtype, act=act, want_stats=want_stats)
+
+    in_specs = []
+    operands = []
+    for i, x in enumerate(xs):
+        in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128),
+                                     lambda b, d: (b, d, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    for warr in (w0, wplus, wminus):
+        in_specs.append(pl.BlockSpec(warr.shape,
+                                     lambda b, d, nd=warr.ndim: (0,) * nd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(warr.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), lambda b, d: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask.astype(jnp.float32))
+    for v in (bias_l, inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b, d: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128),
+                              lambda b, d: (b, d, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(nout)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
+                 for _ in range(nout)]
+    if want_stats:
+        out_specs += [pl.BlockSpec((nout, 128), lambda b, d: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((nout, 128), jnp.float32)] * 2
+
+    flops = 2 * B * D * R * 128 * (128 + 2 * CC) * nin * nout * 3
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((nin, R + 2 * Ps, 128), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(nin + nout) * B * D * (R + 2 * P) * 128 * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*operands)
+    ys = tuple(res[:nout])
+    stats = (res[nout], res[nout + 1]) if want_stats else None
+    return ys, stats
+
+
+# --- merged backward kernel: dgrad + wgrad + prologue grads ---------------
+
+def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
+                           P: int, Ps: int, H: int, wrs, act: str,
+                           want_stats: bool, x_dtype):
+    # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wp,wm),
+    #         mask, inv, shift, ds, dq
+    # outputs: dxs[nin], dinv, dshift, m0, mp, mm, db
+    # scratch: a' (nin, Rps, 128), dyt (nout, Rps, 128)
+    pos = 0
+    ins = refs[pos:pos + nin]; pos += nin
+    dys = refs[pos:pos + nout]; pos += nout
+    ys = refs[pos:pos + nout] if want_stats else ()
+    pos += nout if want_stats else 0
+    w0T, wpT, wmT = refs[pos:pos + 3]; pos += 3
+    mask_ref = refs[pos]; pos += 1
+    inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
+    if want_stats:
+        ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
+    dxs = refs[pos:pos + nin]; pos += nin
+    dinv_ref, dshift_ref, m0, mp, mm, db = refs[pos:pos + 6]; pos += 6
+    a_s, dyt_s = refs[pos:pos + 2]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+        m0[...] = jnp.zeros_like(m0)
+        mp[...] = jnp.zeros_like(mp)
+        mm[...] = jnp.zeros_like(mm)
+        db[...] = jnp.zeros_like(db)
+
+    # Stage A: recompute normalized/activated inputs a' into scratch
+    for i in range(nin):
+        a_s[i, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
+        a_s[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+        _build_scratch(ins[i], i, a_s, wr=wrs[i], G=G, R=R, P=P,
+                       Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
+                       mask_ref=mask_ref, act=act)
+
+    # Stage B: fold the stats cotangent into dy and mask:
+    # dy_tot = mask * (dy + ds + 2 * y * dq)
+    for o in range(nout):
+        dyt_s[o, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
+        dyt_s[o, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), dyt_s.dtype)
+        dy = dys[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        if want_stats:
+            y = ys[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+        dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
+        db[o, :] += jnp.sum(dy, axis=0)
+
+    dims = (((1,), (0,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    for i in range(nin):
+        # dgrad: conv of dy_tot with flipped/transposed weights
+        g = jnp.zeros((R, 128), jnp.float32)
+        gc0 = jnp.zeros((R, CC), jnp.float32)
+        gc3 = jnp.zeros((R, CC), jnp.float32)
+        for o in range(nout):
+            for t in range(3):
+                off = Ps + (t - 1) * G
+                dyv = dyt_s[o, pl.ds(off, R), :]
+                g = g + jax.lax.dot_general(
+                    dyv, w0T[o, i, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                d_hi = dyt_s[o, pl.ds(off + 1, R), 0:CC]
+                gc3 = gc3 + jax.lax.dot_general(
+                    d_hi, wpT[o, i, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                d_lo = dyt_s[o, pl.ds(off - 1, R), 128 - CC:128]
+                gc0 = gc0 + jax.lax.dot_general(
+                    d_lo, wmT[o, i, 0, t], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+        g = g + jnp.concatenate(
+            [gc0, jnp.zeros((R, 128 - 2 * CC), jnp.float32), gc3], axis=-1)
+        # prologue epilogue: da' -> (dx, dinv, dshift)
+        wr = wrs[i]
+        if wr:
+            x = ins[i][0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
+            z1 = jnp.zeros((H, 1, 128), jnp.float32)
+            z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
+            x = jnp.concatenate([z1, x, z2], axis=1).reshape(R, 128)
+        else:
+            x = ins[i][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
+        gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+            * _act_deriv(pre, act)
+        dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
+        dshift_ref[i, :] += jnp.sum(gm, axis=0)
+        dx = gm * inv_ref[i][None, :]
+        if wr:
+            dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :]
+            dxs[i][0, 0, :, :] = dxv.reshape(H * wr, 128).astype(x_dtype)
+        else:
+            dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+            dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+            dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+        # wgrad: a'^T dy_tot per tap block
+        for o in range(nout):
+            for t in range(3):
+                off = Ps + (t - 1) * G
+                a = a_s[i, pl.ds(off, R), :]
+                dyv = dyt_s[o, pl.ds(Ps, R), :]
+                m0[i, o, 0, t] += jax.lax.dot_general(
+                    a, dyv, dimension_numbers=cdims,
+                    preferred_element_type=jnp.float32)
+                a_hi = a_s[i, pl.ds(off + 1, R), 0:CC]
+                mp[i, o, 0, t] += jax.lax.dot_general(
+                    a_hi, dyv[:, 128 - CC:128], dimension_numbers=cdims,
+                    preferred_element_type=jnp.float32)
+                a_lo = a_s[i, pl.ds(off - 1, R), 128 - CC:128]
+                mm[i, o, 0, t] += jax.lax.dot_general(
+                    a_lo, dyv[:, 0:CC], dimension_numbers=cdims,
+                    preferred_element_type=jnp.float32)
+
+
+def _unpack_wgrad(m0, mp, mm, nin, nout):
+    """Tap-block accumulators -> dw (1, 3, 3, cin, cout) f32."""
+    cin, cout = nin * CC, nout * CC
+    dw = jnp.zeros((1, 3, 3, cin, cout), jnp.float32)
+    for kw in range(3):
+        acc = jnp.zeros((nin, nout, 1, 3, CC, CC), jnp.float32)
+        for j2 in range(JG):
+            j1 = j2 + kw - 1
+            if 0 <= j1 < JG:
+                acc = acc + m0[:, :, :, :,
+                               j1 * CC:(j1 + 1) * CC,
+                               j2 * CC:(j2 + 1) * CC]
+        if kw == 2:
+            acc = acc + mp
+        if kw == 0:
+            acc = acc + mm
+        blk = jnp.transpose(acc, (2, 3, 0, 4, 1, 5)).reshape(1, 3, cin, cout)
+        dw = dw.at[:, :, kw].set(blk)
+    return dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def conv_bnact_flat(xs, inv, shift, w, b, H: int, W: int,
+                    wrs: Tuple[int, ...], want_stats: bool, act: str):
+    """Fused prologue + planar 3x3 'same' conv + stats side outputs.
+
+    Args:
+        xs: tuple of input chunks. Chunk i is a padded flat chunk
+            (B, D, R + 2P, 128) if ``wrs[i] == 0``, else a dense-row
+            view (B, D, H * wrs[i], 128) of a channels-last tensor
+            with wrs[i] = W_dense * CC / 128 rows per image row.
+        inv, shift: (nin, 128) f32 per-chunk prologue lane vectors
+            (BN-apply: a' = act(inv * x + shift), then re-masked).
+        w: (1, 3, 3, nin*CC, cout) raw conv weights; b: (cout,).
+        H, W: image height/width. wrs: static per-chunk adapter rows.
+        want_stats: also return per-lane (sum, sumsq) of the output.
+        act: 'relu' | 'leaky' | 'linear'.
+    Returns:
+        (ys, stats): nout padded flat chunks + ((nout,128),(nout,128))
+        f32 stats or None.
+    """
+    bias_l = jnp.tile(b.reshape(-1, CC), (1, JG))
+    ys, stats = _conv_fwd_call(
+        xs, inv, shift, pack_flat_weights(w), bias_l, width_mask(W),
+        H=H, W=W, wrs=wrs, want_stats=want_stats, act=act,
+        nout=w.shape[-1] // CC)
+    return ys, stats
+
+
+def _conv_bnact_fwd(xs, inv, shift, w, b, H, W, wrs, want_stats, act):
+    out = conv_bnact_flat(xs, inv, shift, w, b, H, W, wrs, want_stats, act)
+    ys, _ = out
+    return out, (xs, inv, shift, w, ys)
+
+
+def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
+    xs, inv, shift, w, ys = res
+    dys_in, dstats = cts
+    nin, nout = len(xs), len(ys)
+    G, R, P = flat_geometry(H, W)
+    Ps = G + 8
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+    mask = width_mask(W)
+    wT = pack_flat_weights(_flip_transpose(w))
+
+    # Incoming cotangents may be symbolic zeros; concretize.
+    dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
+                else dy.astype(dtype) for dy in dys_in)
+    if want_stats:
+        ds, dq = dstats
+        ds = jnp.zeros((nout, 128), jnp.float32) if ds is None else ds
+        dq = jnp.zeros((nout, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(
+        _fused_conv_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
+        H=H, wrs=tuple(wrs), act=act, want_stats=want_stats, x_dtype=dtype)
+
+    in_specs, operands = [], []
+
+    def add(arr, spec_shape, index_map):
+        in_specs.append(pl.BlockSpec(spec_shape, index_map,
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr)
+
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    for x in xs:
+        add(x, (1, 1, x.shape[2], 128), bd)
+    for dy in dys:
+        add(dy, (1, 1, R + 2 * P, 128), bd)
+    if want_stats:
+        for y in ys:
+            add(y, (1, 1, R + 2 * P, 128), bd)
+    for warr in wT:
+        add(warr.astype(dtype), warr.shape,
+            lambda b_, d_, nd=warr.ndim: (0,) * nd)
+    add(mask.astype(jnp.float32), (G, 128), lambda b_, d_: (0, 0))
+    add(inv.astype(jnp.float32), inv.shape, lambda b_, d_: (0, 0))
+    add(shift.astype(jnp.float32), shift.shape, lambda b_, d_: (0, 0))
+    if want_stats:
+        add(ds, (nout, 128), lambda b_, d_: (0, 0))
+        add(dq, (nout, 128), lambda b_, d_: (0, 0))
+
+    out_specs, out_shape = [], []
+    for i in range(nin):
+        rows = H * wrs[i] if wrs[i] else R + 2 * P
+        out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
+    const2 = lambda b_, d_: (0, 0)
+    for shp in ((nin, 128), (nin, 128)):
+        out_specs.append(pl.BlockSpec(shp, const2, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    for shp in ((nin, nout, 1, 3, 128, 128), (nin, nout, 1, 3, CC, CC),
+                (nin, nout, 1, 3, CC, CC)):
+        out_specs.append(pl.BlockSpec(
+            shp, lambda b_, d_, nd=len(shp): (0,) * nd,
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    out_specs.append(pl.BlockSpec((nout, 128), const2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((nout, 128), jnp.float32))
+
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((nin, R + 2 * Ps, 128), dtype),
+                        pltpu.VMEM((nout, R + 2 * Ps, 128), dtype)],
+        interpret=_interpret(),
+    )(*operands)
+    dxs = tuple(res_[:nin])
+    dinv, dshift, m0, mp, mm, db = res_[nin:nin + 6]
+    dw = _unpack_wgrad(m0, mp, mm, nin, nout).astype(w.dtype)
+    dbc = jnp.sum(db.reshape(nout, JG, CC), axis=1).reshape(-1)
+    return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
+
+
+conv_bnact_flat.defvjp(_conv_bnact_fwd, _conv_bnact_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused pool: prologue(BN-apply + act) -> (1, 2, 2) max-pool, emitting
+# the pooled tensor as dense channels-last rows. C in {32, 64}.
+# ---------------------------------------------------------------------------
+
+def _roll_lanes(x, k):
+    """Roll the minor (lane) axis left by k (static)."""
+    return jnp.concatenate([x[..., k:], x[..., :k]], axis=-1)
+
+
+def _interleave_rows(a, b):
+    """(N, M, 128), (N, M, 128) -> (N, 2M, 128) rows [a0, b0, a1, b1..]."""
+    N, M, _ = a.shape
+    return jnp.concatenate([a[:, :, None, :], b[:, :, None, :]],
+                           axis=2).reshape(N, 2 * M, 128)
+
+
+def _pool_compact(a3, H, G):
+    """a' (H, G, 128) -> compact pooled (H//2, G, 128): lanes 0:32 =
+    max over w-pair (j0, j1), lanes 32:64 = max over (j2, j3), rest 0;
+    rows h-pair maxed."""
+    m1 = jnp.maximum(a3, _roll_lanes(a3, CC))
+    V = jnp.concatenate([m1[:, :, 0:CC], m1[:, :, 2 * CC:3 * CC],
+                         jnp.zeros((H, G, 64), m1.dtype)], axis=2)
+    V2 = V.reshape(H // 2, 2 * G, 128)
+    return jnp.maximum(V2[:, :G], V2[:, G:])
+
+
+def _pool_expand(S, H, G, WRp, nin, i):
+    """Inverse of the pooled dense-row compose for chunk i: dense rows
+    (H//2 * WRp, 128) -> (H, G, 128) per-position pooled value in the
+    a'-lane convention ((j, ci) lanes)."""
+    H2 = H // 2
+    Sv = S.reshape(H2, WRp, 128)
+    if nin == 1:
+        # dense row k = [w' 4k..4k+3] x 32ch; source g' = 2k (+1)
+        A = Sv[:, :, 0:64]
+        Bv = Sv[:, :, 64:128]
+        VhatE = jnp.concatenate([A, jnp.zeros((H2, WRp, 64), S.dtype)], -1)
+        VhatO = jnp.concatenate([Bv, jnp.zeros((H2, WRp, 64), S.dtype)], -1)
+        Vh = _interleave_rows(VhatE, VhatO)       # (H2, 2*WRp, 128)
+    else:  # nin == 2: row k = [w'=2k: c0..63, w'=2k+1: c0..63]
+        c0 = Sv[:, :, i * CC:(i + 1) * CC]          # w' even, chunk i
+        c1 = Sv[:, :, 64 + i * CC:64 + (i + 1) * CC]  # w' odd
+        Vh = jnp.concatenate([c0, c1, jnp.zeros((H2, WRp, 64), S.dtype)],
+                             axis=-1)             # compact form (g'=k)
+    # pad g' rows -> (H2, G, 128) with a zero g=0 row and zero tail
+    grows = Vh.shape[1]
+    Vh = jnp.concatenate([jnp.zeros((H2, 1, 128), S.dtype), Vh,
+                          jnp.zeros((H2, G - 1 - grows, 128), S.dtype)],
+                         axis=1)
+    # w-expand: lane j in {0,1} <- compact 0:32; j in {2,3} <- 32:64
+    E = jnp.concatenate([Vh[:, :, 0:CC], Vh[:, :, 0:CC],
+                         Vh[:, :, CC:2 * CC], Vh[:, :, CC:2 * CC]], axis=2)
+    # h-expand: duplicate rows
+    return _interleave_rows(E, E).reshape(2 * H2, 2 * G, 128)[:, :G, :] \
+        if False else jnp.concatenate(
+            [E[:, None, :, :], E[:, None, :, :]],
+            axis=1).reshape(H, G, 128)
+
+
+def _load_prologue(ref, i, *, wr, G, R, P, H, inv_ref, shift_ref,
+                   mask_ref, act):
+    """Like _build_scratch but returns (a' (H,G,128) f32, pre, x)."""
+    if wr:
+        x = ref[0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
+        z1 = jnp.zeros((H, 1, 128), jnp.float32)
+        z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
+        x = jnp.concatenate([z1, x, z2], axis=1)
+    else:
+        x = ref[0, 0, pl.ds(P, R), :].astype(jnp.float32).reshape(H, G, 128)
+    pre = x * inv_ref[i][None, None, :] + shift_ref[i][None, None, :]
+    return _act_fwd(pre, act) * mask_ref[...][None], pre, x
+
+
+def _pool_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                     WRp: int, wrs, act: str, out_dtype):
+    ins = refs[:nin]
+    mask_ref, inv_ref, shift_ref = refs[nin:nin + 3]
+    out = refs[nin + 3]
+    H2 = H // 2
+    Vs = []
+    for i in range(nin):
+        a3, _, _ = _load_prologue(ins[i], i, wr=wrs[i], G=G, R=R, P=P, H=H,
+                                  inv_ref=inv_ref, shift_ref=shift_ref,
+                                  mask_ref=mask_ref, act=act)
+        Vs.append(_pool_compact(a3, H, G)[:, 1:, :])   # (H2, G-1, 128)
+    if nin == 1:
+        V = Vs[0]
+        Vn = jnp.concatenate([V[:, 1:, :],
+                              jnp.zeros((H2, 1, 128), V.dtype)], axis=1)
+        T = jnp.concatenate([V[:, :, 0:64], Vn[:, :, 0:64]], axis=2)
+        S = jax.lax.slice(T, (0, 0, 0), (H2, 2 * WRp - 1, 128), (1, 2, 1))
+    else:  # nin == 2: row k = same g'=k of both chunks
+        V0, V1 = Vs
+        S = jnp.concatenate([V0[:, :, 0:CC], V1[:, :, 0:CC],
+                             V0[:, :, CC:2 * CC], V1[:, :, CC:2 * CC]],
+                            axis=2)[:, :WRp, :]
+    out[0, 0, :, :] = S.reshape(H2 * WRp, 128).astype(out_dtype)
+
+
+def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                     WRp: int, wrs, act: str, x_dtype):
+    ins = refs[:nin]
+    y_ref, dy_ref, mask_ref, inv_ref, shift_ref = refs[nin:nin + 5]
+    dxs = refs[nin + 5:nin + 5 + nin]
+    dinv_ref, dshift_ref = refs[nin + 5 + nin:]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    y = y_ref[0, 0, :, :].astype(jnp.float32)
+    dy = dy_ref[0, 0, :, :].astype(jnp.float32)
+    for i in range(nin):
+        a3, pre, x = _load_prologue(ins[i], i, wr=wrs[i], G=G, R=R, P=P,
+                                    H=H, inv_ref=inv_ref,
+                                    shift_ref=shift_ref, mask_ref=mask_ref,
+                                    act=act)
+        yb = _pool_expand(y, H, G, WRp, nin, i)
+        dyb = _pool_expand(dy, H, G, WRp, nin, i)
+        sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
+        dpre = dyb * sel * _act_deriv(pre, act)
+        dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
+        dshift_ref[i, :] += jnp.sum(dpre.reshape(R, 128), axis=0)
+        dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
+        wr = wrs[i]
+        if wr:
+            dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :]
+            dxs[i][0, 0, :, :] = dxv.reshape(H * wr, 128).astype(x_dtype)
+        else:
+            dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+            dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+            dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str):
+    """Prologue (BN-apply + act) + (1,2,2) max-pool from flat chunks to
+    a dense channels-last (B, D, H/2, W/2, C) tensor.
+
+    Alignment: H % 2 == 0, W % 2 == 0 and (W/2 * C) % 128 == 0.
+    Gradient note: exact float ties inside a pooling window route the
+    cotangent to every tied element (XLA picks one); ties at the ReLU
+    zero level are masked out, other ties are measure-zero.
+    """
+    nin = len(xs)
+    C = nin * CC
+    G, R, P = flat_geometry(H, W)
+    H2, W2 = H // 2, W // 2
+    assert (W2 * C) % 128 == 0, (W2, C)
+    WRp = W2 * C // 128
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool_fwd_kernel, nin=nin, G=G, R=R, P=P,
+                               H=H, WRp=WRp, wrs=tuple(wrs), act=act,
+                               out_dtype=dtype)
+    in_specs, operands = [], []
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(width_mask(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+    pooled = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=pl.BlockSpec((1, 1, H2 * WRp, 128), bd,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, H2 * WRp, 128), dtype),
+        interpret=_interpret(),
+    )(*operands)
+    return pooled.reshape(B, D, H2, W2, C)
+
+
+def _pool_fwd(xs, inv, shift, H, W, wrs, act):
+    out = pool_bnact_flat(xs, inv, shift, H, W, wrs, act)
+    return out, (xs, inv, shift, out)
+
+
+def _pool_bwd(H, W, wrs, act, res, dpool):
+    xs, inv, shift, pooled = res
+    nin = len(xs)
+    C = nin * CC
+    G, R, P = flat_geometry(H, W)
+    H2, W2 = H // 2, W // 2
+    WRp = W2 * C // 128
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool_bwd_kernel, nin=nin, G=G, R=R, P=P,
+                               H=H, WRp=WRp, wrs=tuple(wrs), act=act,
+                               x_dtype=dtype)
+    in_specs, operands = [], []
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    for arr in (pooled.reshape(B, D, H2 * WRp, 128),
+                dpool.reshape(B, D, H2 * WRp, 128).astype(dtype)):
+        in_specs.append(pl.BlockSpec((1, 1, H2 * WRp, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr)
+    in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(width_mask(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+
+    out_specs, out_shape = [], []
+    for i in range(nin):
+        rows = H * wrs[i] if wrs[i] else R + 2 * P
+        out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
+    for _ in range(2):
+        out_specs.append(pl.BlockSpec((nin, 128), lambda b_, d_: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dxs = tuple(res_[:nin])
+    return dxs, res_[nin], res_[nin + 1]
+
+
+pool_bnact_flat.defvjp(_pool_fwd, _pool_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused upconv: (1,2,2)-stride-2 transposed conv from the deeper-level
+# 5D tensor (dense rows) straight into flat chunks, as two
+# (rows,128)x(128,128) matmuls per slab with phase-packed block-diag
+# weights. cin == 64, cout == 32 (the flat U-Net's decoder shape).
+# ---------------------------------------------------------------------------
+
+def pack_upconv_weights(w: jnp.ndarray):
+    """(1, 2, 2, 64, 32) flax ConvTranspose kernel -> (M0, M1), each
+    (128, 128): M_a[m*64+ci, j*32+co] = w[0, 1-a, 1-(j%2), ci, co] if
+    m == j // 2 else 0 (flax places in[h1,w1]*K[1-a,1-p] at
+    out[2h1+a, 2w1+p]; out lane j covers w_img = 4(g-1)+j, i.e.
+    w1-parity m = j//2, phase p = j%2)."""
+    _, kh, kw_, cin, cout = w.shape
+    assert kh == 2 and kw_ == 2 and cin == 64 and cout == CC, w.shape
+    Ms = []
+    for a in range(2):
+        M = jnp.zeros((128, 128), w.dtype)
+        for j in range(JG):
+            m, p = j // 2, j % 2
+            M = M.at[m * 64:(m + 1) * 64,
+                     j * CC:(j + 1) * CC].set(w[0, 1 - a, 1 - p])
+        Ms.append(M)
+    return tuple(Ms)
+
+
+def _unpack_upconv_wgrad(dM0, dM1):
+    """Inverse of pack_upconv_weights for gradients."""
+    dw = jnp.zeros((1, 2, 2, 64, CC), jnp.float32)
+    for a, dM in ((0, dM0), (1, dM1)):
+        for j in range(JG):
+            m, p = j // 2, j % 2
+            dw = dw.at[0, 1 - a, 1 - p].add(
+                dM[m * 64:(m + 1) * 64, j * CC:(j + 1) * CC])
+    return dw
+
+
+def _upconv_fwd_kernel(*refs, G: int, R: int, P: int, H: int, WRd: int,
+                       out_dtype, want_stats: bool):
+    dec_ref, m0_ref, m1_ref, mask_ref, bias_ref = refs[:5]
+    out = refs[5]
+    if want_stats:
+        s_ref, q_ref = refs[6:8]
+        first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    H1 = H // 2
+    S = dec_ref[0, 0, :, :]                         # (H1*WRd, 128)
+    dims = (((1,), (0,)), ((), ()))
+    outE = jax.lax.dot_general(S, m0_ref[...], dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    outO = jax.lax.dot_general(S, m1_ref[...], dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    z1 = jnp.zeros((H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((H1, G - WRd - 1, 128), jnp.float32)
+    rows = jnp.concatenate(
+        [z1, outE.reshape(H1, WRd, 128), z2,
+         z1, outO.reshape(H1, WRd, 128), z2], axis=1)   # (H1, 2G, 128)
+    y = rows.reshape(H, G, 128) + bias_ref[0][None, None, :]
+    y = (y * mask_ref[...][None]).reshape(R, 128)
+    yc = y.astype(out_dtype)
+    out[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+    out[0, 0, pl.ds(P, R)] = yc
+    out[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+    if want_stats:
+        yf = yc.astype(jnp.float32)
+        s_ref[0, :] += jnp.sum(yf, axis=0)
+        q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _upconv_bwd_kernel(*refs, G: int, R: int, P: int, H: int, WRd: int,
+                       want_stats: bool, x_dtype):
+    pos = 0
+    dec_ref, dy_ref = refs[pos:pos + 2]; pos += 2
+    y_ref = None
+    if want_stats:
+        y_ref = refs[pos]; pos += 1
+    m0_ref, m1_ref, mask_ref = refs[pos:pos + 3]; pos += 3
+    if want_stats:
+        ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
+    ddec, dM0, dM1, db = refs[pos:pos + 4]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dM0[...] = jnp.zeros_like(dM0)
+        dM1[...] = jnp.zeros_like(dM1)
+        db[...] = jnp.zeros_like(db)
+
+    H1 = H // 2
+    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    if want_stats:
+        y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
+    dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+    db[0, :] += jnp.sum(dyt, axis=0)
+    d3 = dyt.reshape(H1, 2 * G, 128)
+    E = d3[:, 1:1 + WRd, :].reshape(H1 * WRd, 128)
+    O = d3[:, G + 1:G + 1 + WRd, :].reshape(H1 * WRd, 128)
+    S = dec_ref[0, 0, :, :]
+    dimsT = (((1,), (1,)), ((), ()))   # contract lanes with M^T
+    cdims = (((0,), (0,)), ((), ()))
+    Ec = E.astype(S.dtype)
+    Oc = O.astype(S.dtype)
+    dd = jax.lax.dot_general(Ec, m0_ref[...], dimension_numbers=dimsT,
+                             preferred_element_type=jnp.float32) \
+        + jax.lax.dot_general(Oc, m1_ref[...], dimension_numbers=dimsT,
+                              preferred_element_type=jnp.float32)
+    ddec[0, 0, :, :] = dd.astype(x_dtype)
+    dM0[...] += jax.lax.dot_general(S, Ec, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+    dM1[...] += jax.lax.dot_general(S, Oc, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def upconv_bn_flat(dec, w, b, H: int, W: int, want_stats: bool):
+    """(1,2,2)-stride-2 transposed conv (flax ConvTranspose semantics,
+    reference models/unet.py:328-409 'transpose' up_mode) from dec
+    (B, D, H/2, W/2, 64) into one padded flat chunk at (H, W) with 32
+    channels, plus optional per-lane (sum, sumsq) stats side outputs.
+    """
+    B, D, H1, W1, cin = dec.shape
+    assert cin == 64 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    assert (W1 * cin) % 128 == 0, (W1, cin)
+    WRd = W1 * cin // 128
+    G, R, P = flat_geometry(H, W)
+    dtype = dec.dtype
+    M0, M1 = pack_upconv_weights(w)
+    bias_l = jnp.tile(b.reshape(-1, CC), (1, JG))
+
+    kernel = functools.partial(_upconv_fwd_kernel, G=G, R=R, P=P, H=H,
+                               WRd=WRd, out_dtype=dtype,
+                               want_stats=want_stats)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, H1 * WRd, 128), bd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    operands = [dec.reshape(B, D, H1 * WRd, 128), M0.astype(dtype),
+                M1.astype(dtype), width_mask(W).astype(jnp.float32),
+                bias_l.astype(jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)]
+    if want_stats:
+        out_specs += [pl.BlockSpec((1, 128), c2,
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((1, 128), jnp.float32)] * 2
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    y = res[0] if want_stats else res
+    if not want_stats and isinstance(res, (tuple, list)):
+        y = res[0]
+    stats = (res[1], res[2]) if want_stats else None
+    return (y,), stats
+
+
+def _upconv_fwd(dec, w, b, H, W, want_stats):
+    out = upconv_bn_flat(dec, w, b, H, W, want_stats)
+    (y,), _ = out
+    return out, (dec, w, y)
+
+
+def _upconv_bwd(H, W, want_stats, res, cts):
+    dec, w, y = res
+    (dy_in,), dstats = cts
+    B, D, H1, W1, cin = dec.shape
+    WRd = W1 * cin // 128
+    G, R, P = flat_geometry(H, W)
+    dtype = dec.dtype
+    M0, M1 = pack_upconv_weights(w)
+    dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
+          else dy_in.astype(dtype))
+    if want_stats:
+        ds, dq = dstats
+        ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
+        dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(_upconv_bwd_kernel, G=G, R=R, P=P, H=H,
+                               WRd=WRd, want_stats=want_stats,
+                               x_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [pl.BlockSpec((1, 1, H1 * WRd, 128), bd,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                             memory_space=pltpu.VMEM)]
+    operands = [dec.reshape(B, D, H1 * WRd, 128), dy]
+    if want_stats:
+        in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(y)
+    in_specs += [pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM)]
+    operands += [M0.astype(dtype), M1.astype(dtype),
+                 width_mask(W).astype(jnp.float32)]
+    if want_stats:
+        in_specs += [pl.BlockSpec((1, 128), c2,
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [ds, dq]
+    out_specs = [
+        pl.BlockSpec((1, 1, H1 * WRd, 128), bd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, H1 * WRd, 128), dtype),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    ]
+    dd, dM0, dM1, db = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dw = _unpack_upconv_wgrad(dM0, dM1).astype(w.dtype)
+    dbc = jnp.sum(db.reshape(1, JG, CC), axis=1).reshape(-1)
+    return dd.reshape(dec.shape), dw, dbc.astype(w.dtype)
+
+
+upconv_bn_flat.defvjp(_upconv_fwd, _upconv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head: prologue + 1x1 conv, in XLA (small output; the prologue fuses
+# into the einsum). Reference models/unet.py conv_final.
+# ---------------------------------------------------------------------------
+
+def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
+    """1x1 conv head consuming flat chunks with a BN-apply +
+    activation prologue, emitting (B, D, H, W, cout) f32 logits."""
+    G, R, P = flat_geometry(H, W)
+    Wp = pad_width(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout)
+    ys = []
+    for i, xc in enumerate(xs):
+        B, D, Rp, _ = xc.shape
+        v = xc[:, :, P:P + R].astype(jnp.float32)
+        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
+        a = _act_fwd(pre, act).reshape(B, D, R, JG, CC)
+        ys.append(jnp.einsum("bdrjc,co->bdrjo", a,
+                             w2[i * CC:(i + 1) * CC].astype(jnp.float32),
+                             preferred_element_type=jnp.float32))
+    y = sum(ys) + b.astype(jnp.float32)
+    y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
+    return y
