@@ -49,8 +49,10 @@ from elektronn3_tpu.modules.layers import (
     resize_linear,
     resize_nearest,
 )
-from elektronn3_tpu.modules.flat_norm import FlatBatchNorm
+from elektronn3_tpu.modules.flat_norm import (
+    FlatBatchNorm, FlatBNStats, identity_prologue)
 from elektronn3_tpu.ops import flat_conv as _fc
+from elektronn3_tpu.ops import flat_fused as _ffu
 
 Dtype = Any
 
@@ -211,6 +213,90 @@ def _flat_act(act, chunks):
     return tuple(act(c) for c in chunks)
 
 
+def _act_name(activation) -> str:
+    """Kernel-prologue activation id for the fused flat executor."""
+    return "leaky" if activation in ("leaky", "lrelu") else "relu"
+
+
+class _FusedConv(nn.Module):
+    """Fused prologue + planar 3x3 conv + stats side outputs
+    (ops/flat_fused.conv_bnact_flat). Param tree matches nn.Conv.
+    ``dup_weights`` implements 'add' merging: conv(u + e) ==
+    conv_concat([u, e]) with duplicated weights."""
+    features: int
+    H: int
+    W: int
+    wrs: Tuple[int, ...]
+    want_stats: bool
+    act: str
+    dup_weights: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, inv, shift):
+        nin = len(xs)
+        cin = nin * _fc.CC // (2 if self.dup_weights else 1)
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 3, 3, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        if self.dup_weights:
+            k = jnp.concatenate([k, k], axis=3)
+        return _ffu.conv_bnact_flat(
+            tuple(xs), inv, shift, k, bias.astype(self.dtype),
+            self.H, self.W, tuple(self.wrs), self.want_stats, self.act)
+
+
+class _FusedUpconv(nn.Module):
+    """Fused (1,2,2)-stride-2 transposed conv into flat chunks + stats
+    (ops/flat_fused.upconv_bn_flat). Param tree matches
+    nn.ConvTranspose."""
+    features: int
+    H: int
+    W: int
+    want_stats: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dec):
+        cin = dec.shape[-1]
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 2, 2, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ffu.upconv_bn_flat(
+            dec.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.H, self.W, self.want_stats)
+
+
+class _FusedHead(nn.Module):
+    """Prologue + 1x1 conv head from flat chunks (XLA; the prologue
+    fuses into the einsum). Param tree matches nn.Conv((1,1,1))."""
+    features: int
+    H: int
+    W: int
+    act: str
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, chunks, inv, shift):
+        cin = _fc.CC * len(chunks)
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 1, 1, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ffu.head_bnact_from_flat(
+            chunks, inv, shift, kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.H, self.W, self.act)
+
+
 class DownConv(nn.Module):
     """Two convolutions + optional max-pool. Reference unet.py:202-253."""
     out_channels: int
@@ -222,6 +308,7 @@ class DownConv(nn.Module):
     dim: int = 3
     conv_mode: str = "same"
     flat: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -231,6 +318,55 @@ class DownConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.fused:
+            # Fully fused flat executor (ops/flat_fused.py): conv1 in
+            # XLA (small C_in), then BN-stats/apply/act/conv/pool all
+            # kernel-resident — zero full-resolution XLA seams.
+            H, W = x.shape[2], x.shape[3]
+            B, Dd = x.shape[0], x.shape[1]
+            count = B * Dd * H * W
+            C = self.out_channels
+            n = C // _fc.CC
+            batch = self.normalization == "batch"
+            aname = _act_name(self.activation)
+            y1 = nn.Conv(C, ks, padding=padding, kernel_init=_kernel_init,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv1")(x)
+            nidx = 0
+            if self.full_norm and batch:
+                s1, q1 = _ffu.channel_stats_dense(y1)
+                inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    s1, q1, count, n, not train)
+                nidx += 1
+            else:
+                inv1, shift1 = identity_prologue(n)
+            if C == _fc.CC and _ffu.dense_rows_ok(W):
+                xs1 = (_ffu.as_dense_rows(y1),)
+                wrs1 = (W * _fc.CC // 128,)
+            else:
+                xs1 = _fc.to_flat(y1)
+                wrs1 = (0,) * n
+            want2 = batch and train
+            ys2, st2 = _FusedConv(C, H, W, wrs=wrs1, want_stats=want2,
+                                  act=aname, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="conv2")(xs1, inv1, shift1)
+            if batch:
+                s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
+                q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
+                inv2, shift2 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    s2, q2, count, n, not train)
+            else:
+                inv2, shift2 = identity_prologue(n)
+            acts = _ffu.FlatActs(ys2, inv2, shift2)
+            if self.pooling:
+                y = _ffu.pool_bnact_flat(ys2, inv2, shift2, H, W,
+                                         (0,) * n, aname)
+            else:
+                y = _ffu.materialize_flat_acts(ys2, inv2, shift2, H, W,
+                                               aname)
+            return y, acts
 
         if self.flat:
             # Flat-layout executor (ops/flat_conv.py): everything at
@@ -335,6 +471,7 @@ class UpConv(nn.Module):
     conv_mode: str = "same"
     attention: bool = False
     flat: bool = False
+    fused: bool = False
     flat_hw: Tuple[int, int] = (0, 0)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -345,6 +482,63 @@ class UpConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.fused:
+            # Fully fused flat executor: enc arrives as FlatActs (raw
+            # chunks + prologue); upconv/convs are Pallas kernels with
+            # the BN-apply + act of their inputs fused into the load.
+            H, W = self.flat_hw
+            C = self.out_channels
+            n = C // _fc.CC
+            B, Dd = dec.shape[0], dec.shape[1]
+            count = B * Dd * H * W
+            batch = self.normalization == "batch"
+            aname = _act_name(self.activation)
+            nidx = 0
+            wantu = batch and self.full_norm and train
+            yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="upconv")(dec)
+            if self.full_norm and batch:
+                su = _ffu.fold_lane_stats(stu[0]) if stu else None
+                qu = _ffu.fold_lane_stats(stu[1]) if stu else None
+                invu, shiftu = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    su, qu, count, n, not train)
+                nidx += 1
+            else:
+                invu, shiftu = identity_prologue(n)
+            xs = tuple(yu) + tuple(enc.chunks)
+            inv_s = jnp.concatenate([invu, enc.inv])
+            shift_s = jnp.concatenate([shiftu, enc.shift])
+            want1 = batch and self.full_norm and train
+            y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
+                                 want_stats=want1, act=aname,
+                                 dup_weights=self.merge_mode == "add",
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="conv1")(xs, inv_s, shift_s)
+            if self.full_norm and batch:
+                s1 = _ffu.fold_lane_stats(st1[0]) if st1 else None
+                q1 = _ffu.fold_lane_stats(st1[1]) if st1 else None
+                inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    s1, q1, count, n, not train)
+                nidx += 1
+            else:
+                inv1, shift1 = identity_prologue(n)
+            want2 = batch and train
+            y2, st2 = _FusedConv(C, H, W, wrs=(0,) * n, want_stats=want2,
+                                 act=aname, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="conv2")(y1, inv1, shift1)
+            if batch:
+                s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
+                q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
+                inv2, shift2 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    s2, q2, count, n, not train)
+            else:
+                inv2, shift2 = identity_prologue(n)
+            return _ffu.FlatActs(y2, inv2, shift2), None
 
         if self.flat:
             # Flat-layout executor: enc arrives as flat chunks; the
@@ -469,10 +663,11 @@ class UNet(nn.Module):
 
     def _flat_level_ok(self, planar: bool, channels: int, H: int,
                        W: int) -> bool:
-        """Is the flat-layout executor applicable + profitable here?"""
+        """Is the (semi-fused) flat-layout executor applicable here?"""
         if self.pallas_flat is not True:
-            # 'auto' currently resolves to off: measured on the v5e,
-            # the XLA seam ops outweigh the kernel wins (see field doc).
+            # 'auto' resolves to the FUSED executor where applicable
+            # (_flat_fused_ok); the semi-fused path (XLA seams) is
+            # never profitable on its own (docs/design.md round-2).
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in _FLAT_SAFE_ACTS
@@ -482,6 +677,28 @@ class UNet(nn.Module):
                 and act_ok
                 and channels % _fc.CC == 0 and channels <= 64
                 and H % 2 == 0 and W % 2 == 0)
+
+    def _flat_fused_ok(self, planar: bool, channels: int, H: int,
+                       W: int) -> bool:
+        """Is the FULLY FUSED flat executor applicable here?
+
+        Requirements beyond _flat_level_ok: C == 32 (dense-row adapter,
+        cin-64 upconv), W % 8 == 0 (pooled dense-row alignment) and an
+        activation with an in-kernel derivative. 'auto' engages this
+        path on TPU backends (measured faster than the XLA executor);
+        off-TPU it stays off (interpret mode is for tests only).
+        """
+        if self.pallas_flat is False:
+            return False
+        if self.pallas_flat == "auto" and jax.default_backend() != "tpu":
+            return False
+        act_ok = isinstance(self.activation, str) and \
+            self.activation in ("relu", "leaky", "lrelu")
+        return (self.dim == 3 and self.conv_mode == "same" and planar
+                and not self.attention
+                and self.normalization in ("batch", "none")
+                and act_ok and channels == _fc.CC
+                and H % 2 == 0 and W % 8 == 0)
 
     def _validate(self):
         if self.n_blocks < 1:
@@ -550,9 +767,11 @@ class UNet(nn.Module):
             outs = self.start_filts * (2 ** i)
             H, W = (x.shape[2], x.shape[3]) if self.dim == 3 \
                 else (x.shape[1], x.shape[2])
-            flat = self._flat_level_ok(planar, outs, H, W)
+            fused = self._flat_fused_ok(planar, outs, H, W)
+            flat = (not fused) and self._flat_level_ok(planar, outs, H, W)
             down = DownCls(outs, pooling=pooling, planar=planar,
-                           flat=flat, name=f"down_{i}", **block_kw)
+                           flat=flat, fused=fused, name=f"down_{i}",
+                           **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
             encoder_hw.append((H, W))
@@ -565,25 +784,47 @@ class UNet(nn.Module):
             planar = level in self.planar_blocks
             before_pool = encoder_outs[-(i + 2)]
             H, W = encoder_hw[level]
-            skip_flat = isinstance(before_pool, tuple)
+            skip_fused = isinstance(before_pool, _ffu.FlatActs)
+            skip_flat = (not skip_fused) and isinstance(before_pool, tuple)
             # The upsampled decoder tensor must match the skip exactly
             # for the crop-free flat path (even dims guarantee it).
+            up_fused = (skip_fused
+                        and self._flat_fused_ok(planar, outs, H, W)
+                        and self.up_mode == "transpose"
+                        and self.merge_mode in ("concat", "add")
+                        and not isinstance(x, (tuple, _ffu.FlatActs)))
             up_flat = (skip_flat
                        and self._flat_level_ok(planar, outs, H, W)
                        and self.up_mode == "transpose"
                        and self.merge_mode in ("concat", "add"))
-            if skip_flat and not up_flat:
+            if skip_fused and not up_fused:
+                before_pool = _ffu.materialize_flat_acts(
+                    before_pool.chunks, before_pool.inv, before_pool.shift,
+                    H, W, _act_name(self.activation))
+            elif skip_flat and not up_flat:
                 before_pool = _fc.from_flat(before_pool, H, W, padded=True)
-            if isinstance(x, tuple):  # previous up emitted flat chunks
+            if isinstance(x, _ffu.FlatActs):
+                x = _ffu.materialize_flat_acts(
+                    x.chunks, x.inv, x.shift, *up_hw,
+                    _act_name(self.activation))
+            elif isinstance(x, tuple):  # previous up emitted flat chunks
                 x = _fc.from_flat(x, *up_hw, padded=True)
             up = UpCls(ins, outs, merge_mode=self.merge_mode,
                        up_mode=self.up_mode, planar=planar,
                        attention=self.attention, flat=up_flat,
-                       flat_hw=(H, W), name=f"up_{i}", **block_kw)
+                       fused=up_fused, flat_hw=(H, W), name=f"up_{i}",
+                       **block_kw)
             x, _att = up(before_pool, x, train)
             up_hw = (H, W)
 
-        if isinstance(x, tuple):
+        if isinstance(x, _ffu.FlatActs):
+            # Fused head: prologue + 1x1 conv from flat chunks.
+            x = _FusedHead(self.out_channels, *up_hw,
+                           act=_act_name(self.activation),
+                           dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name="conv_final")(x.chunks, x.inv, x.shift)
+        elif isinstance(x, tuple):
             # Flat head: 1x1 conv straight from flat chunks.
             x = _Conv1x1FromFlat(self.out_channels, *up_hw,
                                  dtype=self.dtype,

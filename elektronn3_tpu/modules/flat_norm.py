@@ -90,3 +90,56 @@ class FlatBatchNorm(nn.Module):
                 * rowmask[None, None]
             outs.append(y.astype(xc.dtype))
         return tuple(outs)
+
+
+class FlatBNStats(nn.Module):
+    """BatchNorm driven by side-output statistics (ops/flat_fused.py).
+
+    Instead of reading the activation tensor, this module consumes the
+    per-channel (sum, sumsq) emitted by the fused conv/upconv kernels
+    and returns the per-chunk prologue lane vectors (inv, shift) that
+    the CONSUMER kernel applies on load (a' = act(inv * x + shift)).
+
+    Variable tree is identical to ``nn.BatchNorm`` (params scale/bias
+    (C,), batch_stats mean/var (C,)) so checkpoints interop with both
+    the non-flat and the semi-fused model paths. Statistics semantics
+    match nn.BatchNorm: biased batch variance, momentum 0.9, eps 1e-5
+    (reference models/unet.py:77-111 get_normalization / BatchNorm3d).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, s_c, q_c, count: int, n_chunks: int,
+                 use_running_average: bool):
+        C = n_chunks * CC
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = s_c / count
+            var = q_c / count - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv_c = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift_c = bias - mean * inv_c
+        inv = jnp.stack([jnp.tile(inv_c[i * CC:(i + 1) * CC], JG)
+                         for i in range(n_chunks)])
+        shift = jnp.stack([jnp.tile(shift_c[i * CC:(i + 1) * CC], JG)
+                           for i in range(n_chunks)])
+        return inv, shift
+
+
+def identity_prologue(n_chunks: int):
+    """(inv, shift) lane vectors for a no-norm prologue."""
+    return (jnp.ones((n_chunks, 128), jnp.float32),
+            jnp.zeros((n_chunks, 128), jnp.float32))

@@ -101,31 +101,17 @@ def as_dense_rows(x5: jnp.ndarray) -> jnp.ndarray:
     return x5.reshape(B, D, H * W * C // 128, 128)
 
 
-def lane_stats_dense(x5: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-lane (sum, sumsq) of a channels-last tensor via its dense
-    row view — a full-bandwidth 128-minor reduction. Returns two
-    (n_chunks, 128) f32 arrays matching the fused convs' stats side
-    outputs (lane (j, ci) of chunk i = channel i*CC + ci)."""
+def channel_stats_dense(x5: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (sum, sumsq) of a channels-last tensor via its dense
+    row view — a full-bandwidth 128-minor reduction (the (.., W, C)
+    layout would reduce at the lane-padded rate). f32 accumulation."""
     B, D, H, W, C = x5.shape
-    n = C // CC
+    assert C <= 128 and 128 % C == 0, C
     xr = as_dense_rows(x5).astype(jnp.float32)
     s = jnp.sum(xr, axis=(0, 1, 2))
     q = jnp.sum(xr * xr, axis=(0, 1, 2))
-    # dense row lanes cycle over ((w % (128//C)) , c) for C<=128:
-    # fold w-phases per channel, then replicate to the flat (j, ci)
-    # convention of each CC chunk.
-    wp = 128 // C if C <= 128 else 1
-    if C <= 128:
-        s_c = s.reshape(wp, C).sum(0)
-        q_c = q.reshape(wp, C).sum(0)
-    else:
-        s_c = s.reshape(-1, 128).sum(0)  # pragma: no cover
-        q_c = q.reshape(-1, 128).sum(0)  # pragma: no cover
-    s_l = jnp.stack([jnp.tile(s_c[i * CC:(i + 1) * CC], JG)
-                     for i in range(n)])
-    q_l = jnp.stack([jnp.tile(q_c[i * CC:(i + 1) * CC], JG)
-                     for i in range(n)])
-    return s_l, q_l
+    wp = 128 // C  # w-phases per 128-lane row
+    return s.reshape(wp, C).sum(0), q.reshape(wp, C).sum(0)
 
 
 def fold_lane_stats(s: jnp.ndarray) -> jnp.ndarray:
@@ -1068,3 +1054,40 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
     y = sum(ys) + b.astype(jnp.float32)
     y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
     return y
+
+
+@jax.tree_util.register_pytree_node_class
+class FlatActs:
+    """A level's activations held in fused-flat form: the RAW conv
+    output chunks plus the (inv, shift) prologue lane vectors the
+    CONSUMER kernel applies on load. Registered as a pytree so the
+    type survives jax tree operations (remat, scan, jit)."""
+
+    def __init__(self, chunks, inv, shift):
+        self.chunks = tuple(chunks)
+        self.inv = inv
+        self.shift = shift
+
+    def tree_flatten(self):
+        return (self.chunks, self.inv, self.shift), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        chunks, inv, shift = children
+        return cls(chunks, inv, shift)
+
+
+def materialize_flat_acts(chunks, inv, shift, H: int, W: int, act: str):
+    """XLA fallback seam: apply the prologue and convert to 5D
+    channels-last. Only used when a fused level feeds a non-fused
+    consumer (odd configs); the fused fast path never calls this."""
+    from elektronn3_tpu.ops.flat_conv import from_flat
+    G, R, P = flat_geometry(H, W)
+    outs = []
+    rowmask = jnp.pad(jnp.tile(width_mask(W), (H, 1)), ((P, P), (0, 0)))
+    for i, xc in enumerate(chunks):
+        pre = xc.astype(jnp.float32) * inv[i][None, None, None] \
+            + shift[i][None, None, None]
+        outs.append((_act_fwd(pre, act) * rowmask[None, None]
+                     ).astype(xc.dtype))
+    return from_flat(outs, H, W, padded=True)

@@ -137,3 +137,147 @@ def test_flat_unet_matches_standard_unet(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=1e-3 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Fused executor (ops/flat_fused.py): prologue + stats + kernels
+# ---------------------------------------------------------------------------
+
+def _lane(v, n):
+    return jnp.stack([jnp.tile(v[i * 32:(i + 1) * 32], 4) for i in range(n)])
+
+
+def test_fused_conv_pool_upconv_match_references(rng):
+    import flax.linen as nn
+    from elektronn3_tpu.ops import flat_fused as ff
+
+    B, D, H, W = 1, 2, 6, 16
+    cin, cout = 64, 32
+    nin = cin // 32
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(cin,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(cin,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def loss_ref(x5, inv_c, shift_c, w, b):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        y = jax.lax.conv_general_dilated(
+            a, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_fused(x5, inv_c, shift_c, w, b):
+        xs = fc.to_flat(x5)
+        ys, (s, q) = ff.conv_bnact_flat(
+            xs, _lane(inv_c, nin), _lane(shift_c, nin), w, b, H, W,
+            (0,) * nin, True, "relu")
+        y = fc.from_flat(ys, H, W, padded=True)
+        s_c, q_c = ff.fold_lane_stats(s), ff.fold_lane_stats(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(x5, inv_c, shift_c, w, b)
+    l2 = loss_fused(x5, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_fused, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-4 * scale)
+
+    # pool (C=32, includes the strided dense-row compose)
+    from elektronn3_tpu.ops.flat_fused import pool_bnact_flat
+    x32 = x5[..., :32]
+
+    def loss_pool_ref(x32):
+        a = jnp.maximum(x32 * inv_c[:32] + shift_c[:32], 0.0)
+        p = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2, 1), (1, 1, 2, 2, 1), "VALID")
+        return jnp.sum(p * tgt[:, :, :H // 2, :W // 2, :32])
+
+    def loss_pool_fused(x32):
+        p = pool_bnact_flat(fc.to_flat(x32), _lane(inv_c[:32], 1),
+                            _lane(shift_c[:32], 1), H, W, (0,), "relu")
+        return jnp.sum(p * tgt[:, :, :H // 2, :W // 2, :32])
+
+    assert abs(float(loss_pool_ref(x32) - loss_pool_fused(x32))) < 1e-3
+    gp1 = jax.grad(loss_pool_ref)(x32)
+    gp2 = jax.grad(loss_pool_fused)(x32)
+    assert np.allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-5)
+
+    # upconv (cin=64 -> 32, flax ConvTranspose semantics)
+    from elektronn3_tpu.ops.flat_fused import upconv_bn_flat
+    dec = jnp.asarray(rng.normal(size=(B, D, H // 2, W // 2, 64)),
+                      jnp.float32)
+    wt = jnp.asarray(rng.normal(size=(1, 2, 2, 64, 32)) * 0.2, jnp.float32)
+    ct = nn.ConvTranspose(32, (1, 2, 2), strides=(1, 2, 2))
+
+    def loss_up_ref(dec, wt, b):
+        y = ct.apply({"params": {"kernel": wt, "bias": b}}, dec)
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt[..., :32]) ** 2) + jnp.sum(s * cs)
+
+    def loss_up_fused(dec, wt, b):
+        (yc,), (s, q) = upconv_bn_flat(dec, wt, b, H, W, True)
+        y = fc.from_flat((yc,), H, W, padded=True)
+        return jnp.sum((y - tgt[..., :32]) ** 2) \
+            + jnp.sum(ff.fold_lane_stats(s) * cs)
+
+    b32 = b[:32]
+    assert abs(float(loss_up_ref(dec, wt, b32)
+                     - loss_up_fused(dec, wt, b32))) < 1e-2
+    gu1 = jax.grad(loss_up_ref, (0, 1, 2))(dec, wt, b32)
+    gu2 = jax.grad(loss_up_fused, (0, 1, 2))(dec, wt, b32)
+    for a, r in zip(gu2, gu1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-4 * scale)
+
+
+def test_fused_unet_matches_standard_unet(rng):
+    """Full model on the FUSED executor (pallas_flat=True with aligned
+    W) vs the standard XLA path: outputs, running stats, eval outputs
+    and every parameter gradient."""
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    shape = (1, 4, 8, 16, 1)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    kw = dict(in_channels=1, out_channels=2, n_blocks=2, start_filts=32,
+              planar_blocks=(0,), dim=3, normalization="batch")
+    m_ref = UNet(pallas_flat=False, **kw)
+    m_fused = UNet(pallas_flat=True, **kw)
+    v = init_unet(m_ref, shape)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(init_unet(m_fused, shape))
+
+    def items(tree):
+        return sorted(((jax.tree_util.keystr(k), a) for k, a in
+                       jax.tree_util.tree_leaves_with_path(tree)),
+                      key=lambda t: t[0])
+
+    o_ref, mut_ref = m_ref.apply(v, x, train=True, mutable=["batch_stats"])
+    o_f, mut_f = m_fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(o_ref), np.asarray(o_f), atol=1e-4)
+    for (k1, a), (k2, r) in zip(items(mut_f["batch_stats"]),
+                                items(mut_ref["batch_stats"])):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-5), k1
+    assert np.allclose(np.asarray(m_ref.apply(v, x, train=False)),
+                       np.asarray(m_fused.apply(v, x, train=False)),
+                       atol=1e-4)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_ref)
+    g_f = jax.grad(loss)(v["params"], m_fused)
+    for (k1, a), (k2, r) in zip(items(g_f), items(g_r)):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-4 * scale), k1
