@@ -1,0 +1,75 @@
+"""Compare full train-step time: XLA executor vs fused flat executor.
+
+Headline config (reference benchmark/train_benchmark.py:96-107,184,293).
+Usage: PYTHONPATH=... python benchmark/step_compare.py [--steps 20]
+"""
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from elektronn3_tpu.models.unet import UNet
+from elektronn3_tpu.modules import CEDiceLoss
+
+p = argparse.ArgumentParser()
+p.add_argument("--steps", type=int, default=20)
+p.add_argument("--batch", type=int, default=8)
+p.add_argument("--patch", type=int, nargs=3, default=(44, 88, 88))
+args = p.parse_args()
+
+BATCH = args.batch
+PATCH = tuple(args.patch)
+
+
+def measure(pallas_flat):
+    model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
+                 planar_blocks=(0,), dim=3, normalization="batch",
+                 dtype=jnp.bfloat16, pallas_flat=pallas_flat)
+    crit = CEDiceLoss(1.0, 1.0)
+    shape = (BATCH,) + PATCH + (1,)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, size=shape[:-1]))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros(shape, jnp.float32), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, x, y):
+        def loss_fn(pp):
+            out, mut = model.apply(
+                {"params": pp, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            return crit(out, y).astype(jnp.float32), mut["batch_stats"]
+        (loss, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    for _ in range(3):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, x, y)
+    l0 = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, x, y)
+    lf = float(loss)
+    dt = (time.perf_counter() - t0) / args.steps
+    vox = int(np.prod(shape))
+    print(f"pallas_flat={pallas_flat!r:6}: {dt*1e3:7.2f} ms/step  "
+          f"{vox/dt/1e6:6.1f} MVox/s  (loss {l0:.4f} -> {lf:.4f})")
+    return dt
+
+
+t_xla = measure(False)
+t_fused = measure("auto")
+print(f"speedup: {t_xla/t_fused:.2f}x")

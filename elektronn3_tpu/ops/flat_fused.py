@@ -625,11 +625,11 @@ def _pool_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                                   mask_ref=mask_ref, act=act)
         Vs.append(_pool_compact(a3, H, G)[:, 1:, :])   # (H2, G-1, 128)
     if nin == 1:
-        V = Vs[0]
-        Vn = jnp.concatenate([V[:, 1:, :],
-                              jnp.zeros((H2, 1, 128), V.dtype)], axis=1)
-        T = jnp.concatenate([V[:, :, 0:64], Vn[:, :, 0:64]], axis=2)
-        S = jax.lax.slice(T, (0, 0, 0), (H2, 2 * WRp - 1, 128), (1, 2, 1))
+        # dense row k needs source rows 2k (lanes 0:64) and 2k+1
+        # (-> 64:128). Mosaic forbids strided slices, so regroup rows
+        # into (row-pair, parity) and take size-1 slices.
+        A = Vs[0][:, :2 * WRp, :].reshape(H2, WRp, 2, 128)
+        S = jnp.concatenate([A[:, :, 0, 0:64], A[:, :, 1, 0:64]], axis=2)
     else:  # nin == 2: row k = same g'=k of both chunks
         V0, V1 = Vs
         S = jnp.concatenate([V0[:, :, 0:CC], V1[:, :, 0:CC],
