@@ -614,28 +614,40 @@ def _load_prologue(ref, i, *, wr, G, R, P, H, inv_ref, shift_ref,
 
 def _pool_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                      WRp: int, wrs, act: str, out_dtype):
+    # Emits the COMPACT pooled form per chunk: (H2 * G, 128) rows with
+    # pooled values in lanes 0:64 ([w-pair-even | w-pair-odd] x CC).
+    # The dense-row compose (a row-pair merge = stride-2 row gather,
+    # which Mosaic cannot express as a vector op) happens in XLA on
+    # the quarter-sized result — see pool_bnact_flat.
     ins = refs[:nin]
     mask_ref, inv_ref, shift_ref = refs[nin:nin + 3]
-    out = refs[nin + 3]
+    outs = refs[nin + 3:]
     H2 = H // 2
-    Vs = []
     for i in range(nin):
         a3, _, _ = _load_prologue(ins[i], i, wr=wrs[i], G=G, R=R, P=P, H=H,
                                   inv_ref=inv_ref, shift_ref=shift_ref,
                                   mask_ref=mask_ref, act=act)
-        Vs.append(_pool_compact(a3, H, G)[:, 1:, :])   # (H2, G-1, 128)
+        V = _pool_compact(a3, H, G)                    # (H2, G, 128)
+        outs[i][0, 0, :, :] = V.reshape(H2 * G, 128).astype(out_dtype)
+
+
+def _pool_compose_xla(compacts, H: int, G: int, W2: int, C: int):
+    """XLA: compact pooled chunks -> dense (B, D, H2, W2, C)."""
+    H2 = compacts[0].shape[2] // G
+    B, D = compacts[0].shape[0], compacts[0].shape[1]
+    nin = len(compacts)
     if nin == 1:
-        # dense row k needs source rows 2k (lanes 0:64) and 2k+1
-        # (-> 64:128). Mosaic forbids strided slices, so regroup rows
-        # into (row-pair, parity) and take size-1 slices.
-        A = Vs[0][:, :2 * WRp, :].reshape(H2, WRp, 2, 128)
-        S = jnp.concatenate([A[:, :, 0, 0:64], A[:, :, 1, 0:64]], axis=2)
-    else:  # nin == 2: row k = same g'=k of both chunks
-        V0, V1 = Vs
-        S = jnp.concatenate([V0[:, :, 0:CC], V1[:, :, 0:CC],
-                             V0[:, :, CC:2 * CC], V1[:, :, CC:2 * CC]],
-                            axis=2)[:, :WRp, :]
-    out[0, 0, :, :] = S.reshape(H2 * WRp, 128).astype(out_dtype)
+        v = compacts[0].reshape(B, D, H2, G, 128)[:, :, :, 1:1 + W2 // 2,
+                                                  0:64]
+        return v.reshape(B, D, H2, W2, C)
+    vs = [c.reshape(B, D, H2, G, 128)[:, :, :, 1:1 + W2 // 2, :]
+          for c in compacts]
+    assert nin == 2
+    v0, v1 = vs
+    dense = jnp.concatenate([v0[..., 0:CC], v1[..., 0:CC],
+                             v0[..., CC:2 * CC], v1[..., CC:2 * CC]],
+                            axis=-1)
+    return dense.reshape(B, D, H2, W2, C)
 
 
 def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
@@ -711,16 +723,19 @@ def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str):
         in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(v.astype(jnp.float32))
-    pooled = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(B, D),
         in_specs=tuple(in_specs),
-        out_specs=pl.BlockSpec((1, 1, H2 * WRp, 128), bd,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D, H2 * WRp, 128), dtype),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, H2 * G, 128), bd, memory_space=pltpu.VMEM)
+            for _ in range(nin)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, D, H2 * G, 128), dtype)
+            for _ in range(nin)),
         interpret=_interpret(),
     )(*operands)
-    return pooled.reshape(B, D, H2, W2, C)
+    return _pool_compose_xla(res, H, G, W2, C)
 
 
 def _pool_fwd(xs, inv, shift, H, W, wrs, act):
