@@ -129,8 +129,8 @@ def main():
         def f(d, w):
             (yc,), (s, q) = ff.upconv_bn_flat(d, w, b32, H, W, True)
             return jnp.sum(yc.astype(jnp.float32)) + jnp.sum(s) * 1e-6
-        val, g = jax.value_and_grad(f)(d, wu)
-        return _chain(g[0], val)
+        val, g = jax.value_and_grad(f)(d)
+        return _chain(g, val)
     t = bench(upg, dec)
     print(f"upconv fwd+bwd       {t*1e3:7.2f} ms")
 

@@ -899,6 +899,12 @@ def export_stablehlo(model, variables: Dict[str, Any],
     """
     import jax.export
 
+    # Deployment artifacts must be portable: the fused Pallas executor
+    # (pallas_flat='auto' on TPU) lowers to tpu_custom_call ops that
+    # jax.export cannot serialize portably — export the pure-XLA graph.
+    if hasattr(model, "pallas_flat") and model.pallas_flat is not False:
+        model = model.clone(pallas_flat=False)
+
     def fn(x):
         return model.apply(variables, x, train=False)
 
