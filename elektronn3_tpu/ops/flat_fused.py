@@ -565,29 +565,35 @@ def _pool_compact(a3, H, G):
     return jnp.maximum(V2[:, :G], V2[:, G:])
 
 
-def _pool_expand(S, H, G, WRp, nin, i):
-    """Inverse of the pooled dense-row compose for chunk i: dense rows
-    (H//2 * WRp, 128) -> (H, G, 128) per-position pooled value in the
-    a'-lane convention ((j, ci) lanes)."""
+def _pool_decompose_xla(dense5, G: int, nin: int):
+    """XLA: dense (B, D, H2, W2, C) -> per-chunk COMPACT pooled rows
+    (B, D, H2 * G, 128) (inverse of _pool_compose_xla; pad rows/lanes
+    zero). Runs on the quarter-resolution tensor — cheap — so the pool
+    backward kernel's expand is pure lane/row duplication."""
+    B, D, H2, W2, C = dense5.shape
+    WRp = W2 * C // 128
+    dr = dense5.reshape(B, D, H2, WRp, 128)
+    outs = []
+    for i in range(nin):
+        if nin == 1:
+            v = dr.reshape(B, D, H2, 2 * WRp, 64)
+        else:
+            assert nin == 2
+            e = dr[..., i * CC:(i + 1) * CC]
+            o = dr[..., 64 + i * CC:64 + (i + 1) * CC]
+            v = jnp.concatenate([e, o], axis=-1)        # (.., WRp, 64)
+        grows = v.shape[3]
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (1, G - 1 - grows),
+                        (0, 64)))
+        outs.append(v.reshape(B, D, H2 * G, 128))
+    return outs
+
+
+def _pool_expand(Sc, H, G):
+    """COMPACT pooled rows (H2 * G, 128) -> (H, G, 128) per-position
+    pooled value in the a'-lane convention ((j, ci) lanes)."""
     H2 = H // 2
-    Sv = S.reshape(H2, WRp, 128)
-    if nin == 1:
-        # dense row k = [w' 4k..4k+3] x 32ch; source g' = 2k (+1)
-        A = Sv[:, :, 0:64]
-        Bv = Sv[:, :, 64:128]
-        VhatE = jnp.concatenate([A, jnp.zeros((H2, WRp, 64), S.dtype)], -1)
-        VhatO = jnp.concatenate([Bv, jnp.zeros((H2, WRp, 64), S.dtype)], -1)
-        Vh = _interleave_rows(VhatE, VhatO)       # (H2, 2*WRp, 128)
-    else:  # nin == 2: row k = [w'=2k: c0..63, w'=2k+1: c0..63]
-        c0 = Sv[:, :, i * CC:(i + 1) * CC]          # w' even, chunk i
-        c1 = Sv[:, :, 64 + i * CC:64 + (i + 1) * CC]  # w' odd
-        Vh = jnp.concatenate([c0, c1, jnp.zeros((H2, WRp, 64), S.dtype)],
-                             axis=-1)             # compact form (g'=k)
-    # pad g' rows -> (H2, G, 128) with a zero g=0 row and zero tail
-    grows = Vh.shape[1]
-    Vh = jnp.concatenate([jnp.zeros((H2, 1, 128), S.dtype), Vh,
-                          jnp.zeros((H2, G - 1 - grows, 128), S.dtype)],
-                         axis=1)
+    Vh = Sc.reshape(H2, G, 128)
     # w-expand: lane j in {0,1} <- compact 0:32; j in {2,3} <- 32:64
     E = jnp.concatenate([Vh[:, :, 0:CC], Vh[:, :, 0:CC],
                          Vh[:, :, CC:2 * CC], Vh[:, :, CC:2 * CC]], axis=2)
@@ -651,9 +657,11 @@ def _pool_compose_xla(compacts, H: int, G: int, W2: int, C: int):
 def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                      WRp: int, wrs, act: str, x_dtype):
     ins = refs[:nin]
-    y_ref, dy_ref, mask_ref, inv_ref, shift_ref = refs[nin:nin + 5]
-    dxs = refs[nin + 5:nin + 5 + nin]
-    dinv_ref, dshift_ref = refs[nin + 5 + nin:]
+    y_refs = refs[nin:2 * nin]      # compact pooled per chunk
+    dy_refs = refs[2 * nin:3 * nin]  # compact cotangent per chunk
+    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
+    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
+    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -662,15 +670,14 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
         dinv_ref[...] = jnp.zeros_like(dinv_ref)
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
-    y = y_ref[0, 0, :, :].astype(jnp.float32)
-    dy = dy_ref[0, 0, :, :].astype(jnp.float32)
     for i in range(nin):
         a3, pre, x = _load_prologue(ins[i], i, wr=wrs[i], G=G, R=R, P=P,
                                     H=H, inv_ref=inv_ref,
                                     shift_ref=shift_ref, mask_ref=mask_ref,
                                     act=act)
-        yb = _pool_expand(y, H, G, WRp, nin, i)
-        dyb = _pool_expand(dy, H, G, WRp, nin, i)
+        yb = _pool_expand(y_refs[i][0, 0, :, :].astype(jnp.float32), H, G)
+        dyb = _pool_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
+                           H, G)
         sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
         dpre = dyb * sel * _act_deriv(pre, act)
         dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
@@ -760,11 +767,14 @@ def _pool_bwd(H, W, wrs, act, res, dpool):
         in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(x)
-    for arr in (pooled.reshape(B, D, H2 * WRp, 128),
-                dpool.reshape(B, D, H2 * WRp, 128).astype(dtype)):
-        in_specs.append(pl.BlockSpec((1, 1, H2 * WRp, 128), bd,
+    # XLA decomposes dense -> compact on the quarter-res tensors so the
+    # kernel's expand is pure duplication (measured: expand-from-dense
+    # chains cost ~2.5 ms in-kernel).
+    for arr in (_pool_decompose_xla(pooled, G, nin)
+                + _pool_decompose_xla(dpool.astype(dtype), G, nin)):
+        in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))
-        operands.append(arr)
+        operands.append(arr.astype(dtype))
     in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask(W).astype(jnp.float32))
