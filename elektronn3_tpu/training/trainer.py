@@ -24,6 +24,7 @@ around a jit-compiled, buffer-donated train step:
 
 from __future__ import annotations
 
+import inspect
 import os
 import pickle
 import shutil
@@ -198,11 +199,18 @@ class Trainer:
         # given, or the Trainer built the default optimizer itself);
         # otherwise a user-supplied inject_hyperparams optimizer keeps
         # its own configured learning rate/schedule untouched.
-        schedulers = schedulers or {}
+        schedulers = dict(schedulers or {})
         self._inject_lr = ("lr" in schedulers) or (optimizer is None)
         self.optimizer = optimizer if optimizer is not None \
             else _default_optimizer(lr)
-        self.lr_scheduler: LRScheduler = schedulers.get("lr", ConstantLR(lr))
+        schedulers.setdefault("lr", ConstantLR(lr))
+        # Full scheduler dict, reference trainer.py:185-188,386-388:
+        # every scheduler in the dict is stepped once per training step
+        # (_scheduler_step); 'lr' additionally drives the injected
+        # learning rate. Plateau-style schedulers (step(metric=...))
+        # receive the current training loss, reference trainer.py:631-637.
+        self.schedulers: Dict[str, LRScheduler] = schedulers
+        self.lr_scheduler: LRScheduler = schedulers["lr"]
 
         # Experiment dir (reference trainer.py:369-379)
         if save_root is None:
@@ -546,9 +554,20 @@ class Trainer:
         return stats, misc
 
     def _scheduler_step(self, loss):
-        """Step the LR scheduler; detect LR local minima for snapshot
-        ensembling + SWA (reference trainer.py:629-705)."""
-        self.lr_scheduler.step()
+        """Step ALL schedulers in the dict (plateau-style ones receive
+        the loss); detect LR local minima for snapshot ensembling + SWA
+        (reference trainer.py:629-705)."""
+        for sched in self.schedulers.values():
+            step = sched.step
+            try:
+                params = inspect.signature(step).parameters
+                accepts_metric = "metric" in params or "metrics" in params
+            except (TypeError, ValueError):
+                accepts_metric = False
+            if accepts_metric:
+                step(loss)
+            else:
+                step()
         lr = self.lr_scheduler.get_lr()
         self._lr_nhood.append(lr)
         if len(self._lr_nhood) > 3:

@@ -128,6 +128,32 @@ def test_schedulers():
         lrs[4], 0.1)
 
 
+def test_scheduler_dict_all_stepped(tmp_path):
+    """Every scheduler in the dict is stepped once per training step,
+    and plateau-style schedulers receive the training loss (reference
+    trainer.py:629-637)."""
+    from elektronn3_tpu.training.schedulers import (
+        ExponentialLR, ReduceLROnPlateau)
+    model = UNet(in_channels=1, out_channels=2, n_blocks=1, start_filts=2,
+                 dim=2, normalization="none")
+    aux = ExponentialLR(1.0, gamma=0.5)
+    plateau = ReduceLROnPlateau(1e-3, factor=0.5, patience=0,
+                                threshold=1e9)  # always "no improvement"
+    tr = Trainer(model=model, criterion=CrossEntropyLoss(),
+                 train_dataset=ToySeg2d(n=4, size=8), batch_size=2,
+                 num_workers=0, lr=1e-3,
+                 schedulers={"lr": plateau, "aux": aux},
+                 save_root=str(tmp_path), exp_name="scheddict",
+                 enable_tensorboard=False, seed=0)
+    assert tr.lr_scheduler is plateau
+    tr.run(max_steps=4)
+    # aux was stepped once per training step
+    assert aux.last_step == tr.step - 1
+    # plateau saw a metric each step: with patience 0 and an impossible
+    # threshold the LR halves every step after the first
+    assert plateau.get_lr() < 1e-3
+
+
 def test_padam_runs():
     import jax
     import jax.numpy as jnp
