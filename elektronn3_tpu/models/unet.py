@@ -248,6 +248,26 @@ class _Im2colConv(nn.Module):
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
 
 
+class _Conv1FusedFlat(nn.Module):
+    """First-layer planar 3x3 conv (C_in == 1) straight into a flat
+    chunk with BN-stat side outputs (ops/flat_fused.conv1_bnstats_flat).
+    Param tree matches nn.Conv (kernel (1,3,3,1,C) + bias)."""
+    features: int
+    H: int
+    W: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 3, 3, 1, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ffu.conv1_bnstats_flat(x, kernel, bias, self.H, self.W,
+                                       self.dtype)
+
+
 class _FusedConv(nn.Module):
     """Fused prologue + planar 3x3 conv + stats side outputs
     (ops/flat_fused.conv_bnact_flat). Param tree matches nn.Conv.
@@ -360,23 +380,40 @@ class DownConv(nn.Module):
             n = C // _fc.CC
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
-            y1 = _Im2colConv(C, dtype=self.dtype,
-                             param_dtype=self.param_dtype,
-                             name="conv1")(x)
             nidx = 0
-            if self.full_norm and batch:
-                s1, q1 = _ffu.channel_stats_dense(y1)
-                inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
-                    s1, q1, count, n, not train)
-                nidx += 1
+            if x.shape[-1] == 1 and C == _fc.CC and W <= 128:
+                # Fully fused conv1: direct Pallas conv from the raw
+                # input into the flat chunk + stats side outputs — no
+                # XLA im2col/layout seams (ops/flat_fused.py conv1).
+                xs1, st1 = _Conv1FusedFlat(
+                    C, H, W, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(x)
+                wrs1 = (0,)
+                if self.full_norm and batch:
+                    s1 = _ffu.fold_lane_stats(st1[0])
+                    q1 = _ffu.fold_lane_stats(st1[1])
+                    inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                        s1, q1, count, n, not train)
+                    nidx += 1
+                else:
+                    inv1, shift1 = identity_prologue(n)
             else:
-                inv1, shift1 = identity_prologue(n)
-            if C == _fc.CC and _ffu.dense_rows_ok(W):
-                xs1 = (_ffu.as_dense_rows(y1),)
-                wrs1 = (W * _fc.CC // 128,)
-            else:
-                xs1 = _fc.to_flat(y1)
-                wrs1 = (0,) * n
+                y1 = _Im2colConv(C, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="conv1")(x)
+                if self.full_norm and batch:
+                    s1, q1 = _ffu.channel_stats_dense(y1)
+                    inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                        s1, q1, count, n, not train)
+                    nidx += 1
+                else:
+                    inv1, shift1 = identity_prologue(n)
+                if C == _fc.CC and _ffu.dense_rows_ok(W):
+                    xs1 = (_ffu.as_dense_rows(y1),)
+                    wrs1 = (W * _fc.CC // 128,)
+                else:
+                    xs1 = _fc.to_flat(y1)
+                    wrs1 = (0,) * n
             want2 = batch and train
             ys2, st2 = _FusedConv(C, H, W, wrs=wrs1, want_stats=want2,
                                   act=aname, dtype=self.dtype,

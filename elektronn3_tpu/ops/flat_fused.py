@@ -1090,6 +1090,257 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
     return y
 
 
+# ---------------------------------------------------------------------------
+# Fused conv1: first-layer planar 3x3 'same' conv (C_in == 1) from the
+# raw network input STRAIGHT into one flat chunk, with BN statistic
+# side outputs. Replaces the XLA im2col GEMM whose layout glue
+# (patch concat, f32->bf16 convert of the dense output, lane-padded
+# 5D -> dense-row relayout) measured ~8.5 ms f+b at the headline L0
+# size for a conv whose useful FLOPs are worth ~0.1 ms.
+#
+# Formulation: the single input channel's W axis is stored in LANES
+# (rows (B, D, H, 128), w = lane index, requires W <= 128). The conv
+# becomes, per h-row and kh tap, ONE matmul with a sparse "selection"
+# weight matrix S[dh] of shape (128, G*128):
+#     S[dh][w_in, (g, j, co)] = K[dh, dw, co]
+#        iff w_img(g, j) := JG*(g-1)+j is a valid image column and
+#            w_in == w_img + dw - 1 is a valid input column,
+# so  Y[h] = sum_dh A[h+dh-1] @ S[dh]  lands directly in the flat
+# chunk's (g, (j, ci)) lane layout. Backward (one merged kernel):
+# wgrad dS[dh] += A_dh^T @ dy_tot (unpacked to dK by the same
+# selection constant), dgrad dA[h+dh-1] += dy_tot[h] @ S[dh]^T, with
+# the statistics cotangent folded on load.
+# Reference: first conv of DownConv, models/unet.py:202-253.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _conv1_selection(W: int) -> np.ndarray:
+    """0/1 constant OH[w_in, g, j, dw] mapping input lanes to flat
+    output lane groups for a 3-tap w conv."""
+    G = pad_width(W) // JG
+    oh = np.zeros((128, G, JG, 3), np.float32)
+    for g in range(G):
+        for j in range(JG):
+            w_img = JG * (g - 1) + j
+            if not (0 <= w_img < W):
+                continue
+            for dw in range(3):
+                w_in = w_img + dw - 1
+                if 0 <= w_in < W:
+                    oh[w_in, g, j, dw] = 1.0
+    return oh
+
+
+def _conv1_build_s(w: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(1, 3, 3, 1, CC) conv kernel -> S (3, 128, G*128) selection
+    matmul weights."""
+    G = pad_width(W) // JG
+    oh = jnp.asarray(_conv1_selection(W))
+    k = w.reshape(3, 3, CC)                         # (dh, dw, co)
+    s = jnp.einsum("wgjd,hdc->hwgjc", oh, k)
+    return s.reshape(3, 128, G * 128)
+
+
+def _conv1_unpack_ds(ds: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Adjoint of _conv1_build_s: dS (3, 128, G*128) -> dK
+    (1, 3, 3, 1, CC)."""
+    G = pad_width(W) // JG
+    oh = jnp.asarray(_conv1_selection(W))
+    ds4 = ds.reshape(3, 128, G, JG, CC)
+    dk = jnp.einsum("wgjd,hwgjc->hdc", oh, ds4)
+    return dk.reshape(1, 3, 3, 1, CC)
+
+
+def _row_shifts(a: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(H, 128) -> (a shifted down, a, a shifted up) with zero rows."""
+    z = jnp.zeros((1, 128), a.dtype)
+    return (jnp.concatenate([z, a[:-1]], axis=0), a,
+            jnp.concatenate([a[1:], z], axis=0))
+
+
+def _conv1_fwd_kernel(x_ref, s_ref, bias_ref, mask_ref, out_ref,
+                      s_out, q_out, *, G: int, R: int, P: int, H: int,
+                      out_dtype):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        s_out[...] = jnp.zeros_like(s_out)
+        q_out[...] = jnp.zeros_like(q_out)
+
+    a = x_ref[0, 0, :, :]                            # (H, 128) bf16
+    dims = (((1,), (0,)), ((), ()))
+    y = jnp.zeros((H, G * 128), jnp.float32)
+    for dh, a_dh in enumerate(_row_shifts(a)):
+        y = y + jax.lax.dot_general(
+            a_dh, s_ref[dh], dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+    y = y.reshape(H, G, 128) + bias_ref[0][None, None, :]
+    y = (y * mask_ref[...][None]).reshape(R, 128)
+    yc = y.astype(out_dtype)
+    out_ref[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+    out_ref[0, 0, pl.ds(P, R)] = yc
+    out_ref[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+    yf = yc.astype(jnp.float32)                      # stored rounding
+    s_out[0, :] += jnp.sum(yf, axis=0)
+    q_out[0, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
+                      s_ref, dsel_ref, db_ref, dx_ref, *, G: int, R: int,
+                      P: int, H: int, x_dtype):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dsel_ref[...] = jnp.zeros_like(dsel_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    a = x_ref[0, 0, :, :]                            # (H, 128) bf16
+    y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    dyt = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
+    dyt = (dyt.reshape(H, G, 128) * mask_ref[...][None]).reshape(R, 128)
+    db_ref[0, :] += jnp.sum(dyt, axis=0)
+    dyh = dyt.reshape(H, G * 128).astype(a.dtype)
+    cdims = (((0,), (0,)), ((), ()))
+    ddims = (((1,), (1,)), ((), ()))                 # contract G*128
+    da = jnp.zeros((H, 128), jnp.float32)
+    z = jnp.zeros((1, 128), jnp.float32)
+    for dh, a_dh in enumerate(_row_shifts(a)):
+        dsel_ref[dh] += jax.lax.dot_general(
+            a_dh, dyh, dimension_numbers=cdims,
+            preferred_element_type=jnp.float32)
+        # dA[h + dh - 1] += dy[h] @ S[dh]^T
+        t = jax.lax.dot_general(dyh, s_ref[dh], dimension_numbers=ddims,
+                                preferred_element_type=jnp.float32)
+        if dh == 0:
+            da = da + jnp.concatenate([t[1:], z], axis=0)
+        elif dh == 1:
+            da = da + t
+        else:
+            da = da + jnp.concatenate([z, t[:-1]], axis=0)
+    dx_ref[0, 0, :, :] = da.astype(x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16):
+    """Planar 3x3 'same' conv of a single-channel input into one flat
+    chunk with per-lane (sum, sumsq) side outputs.
+
+    Args:
+        x: (B, D, H, W, 1) input (computed and stored in ``dtype``,
+           the model's activation dtype).
+        w: (1, 3, 3, 1, CC) kernel; b: (CC,) bias.
+    Returns:
+        ((chunk,), (s, q)): flat chunk (B, D, R + 2P, 128) ``dtype``
+        and per-lane f32 statistics of the stored (rounded) output.
+    """
+    B, D, Hx, Wx, cin = x.shape
+    assert cin == 1 and Hx == H and Wx == W and W <= 128, x.shape
+    G, R, P = flat_geometry(H, W)
+    xr = jnp.pad(x[..., 0].astype(dtype), ((0, 0), (0, 0), (0, 0),
+                                           (0, 128 - W)))
+    s_mat = _conv1_build_s(w.astype(jnp.float32), W).astype(dtype)
+    bias_l = jnp.tile(b.astype(jnp.float32).reshape(1, CC), (1, JG))
+
+    kernel = functools.partial(_conv1_fwd_kernel, G=G, R=R, P=P, H=H,
+                               out_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=(
+            pl.BlockSpec((1, 1, H, 128), bd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * 3 * H * 128 * G * 128,
+            bytes_accessed=B * D * (H * 128 + (R + 2 * P) * 128) * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xr, s_mat, bias_l, width_mask(W).astype(jnp.float32))
+    y, s, q = res
+    return (y,), (s, q)
+
+
+def _conv1_fwd(x, w, b, H, W, dtype):
+    out = conv1_bnstats_flat(x, w, b, H, W, dtype)
+    (y,), _ = out
+    return out, (x, y, w)
+
+
+def _conv1_bwd(H, W, dtype, res, cts):
+    x, y, w = res
+    (dy_in,), dstats = cts
+    B, D = x.shape[0], x.shape[1]
+    G, R, P = flat_geometry(H, W)
+    dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
+          else dy_in.astype(dtype))
+    ds, dq = (dstats if dstats is not None else (None, None))
+    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+    xr = jnp.pad(x[..., 0].astype(dtype), ((0, 0), (0, 0), (0, 0),
+                                           (0, 128 - W)))
+
+    kernel = functools.partial(_conv1_bwd_kernel, G=G, R=R, P=P, H=H,
+                               x_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    # Rebuild S for dgrad from the saved weights (tiny einsum).
+    s_mat = _conv1_build_s(w.astype(jnp.float32), W).astype(dtype)
+    dsel, db, dxr = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=(
+            pl.BlockSpec((1, 1, H, 128), bd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_specs=(
+            pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, 128), bd, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, 128, G * 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, D, H, 128), dtype),
+        ),
+        interpret=_interpret(),
+    )(xr, y, dy, ds, dq, width_mask(W).astype(jnp.float32), s_mat)
+    dw = _conv1_unpack_ds(dsel, W)
+    dbc = jnp.sum(db.reshape(JG, CC), axis=0)
+    dx = dxr[..., :W, None].astype(x.dtype)
+    return dx, dw, dbc
+
+
+conv1_bnstats_flat.defvjp(_conv1_fwd, _conv1_bwd)
+
+
 @jax.tree_util.register_pytree_node_class
 class FlatActs:
     """A level's activations held in fused-flat form: the RAW conv

@@ -281,3 +281,43 @@ def test_fused_unet_matches_standard_unet(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=1e-4 * scale), k1
+
+
+def test_conv1_bnstats_flat_matches_xla(rng):
+    """Fused first-layer conv (raw input -> flat chunk + stats):
+    forward, stats, and ALL grads (dx, dw, db, stats cotangents) match
+    the XLA conv formulation."""
+    from elektronn3_tpu.ops import flat_fused as ff
+
+    B, D, H, W = 1, 3, 6, 20
+    cout = 32
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, 1)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, 1, cout)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def loss_ref(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        y = y.astype(jnp.bfloat16).astype(jnp.float32)
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_fused(x, w, b):
+        (chunk,), (s, q) = ff.conv1_bnstats_flat(x, w, b, H, W)
+        y = fc.from_flat((chunk,), H, W, padded=True).astype(jnp.float32)
+        s_c, q_c = ff.fold_lane_stats(s), ff.fold_lane_stats(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
+
+    l1, l2 = loss_ref(x, w, b), loss_fused(x, w, b)
+    assert abs(float(l1 - l2)) < 2e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_fused, (0, 1, 2))(x, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=2e-2 * scale), (a.shape)
