@@ -108,11 +108,13 @@ class FlatBNStats(nn.Module):
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
+    cc: int = CC  # channel-chunk size (32 for flat32, 64 for flat64)
 
     @nn.compact
     def __call__(self, s_c, q_c, count: int, n_chunks: int,
                  use_running_average: bool):
-        C = n_chunks * CC
+        cc, jg = self.cc, 128 // self.cc
+        C = n_chunks * cc
         scale = self.param("scale", nn.initializers.ones, (C,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,),
@@ -132,9 +134,9 @@ class FlatBNStats(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         inv_c = jax.lax.rsqrt(var + self.epsilon) * scale
         shift_c = bias - mean * inv_c
-        inv = jnp.stack([jnp.tile(inv_c[i * CC:(i + 1) * CC], JG)
+        inv = jnp.stack([jnp.tile(inv_c[i * cc:(i + 1) * cc], jg)
                          for i in range(n_chunks)])
-        shift = jnp.stack([jnp.tile(shift_c[i * CC:(i + 1) * CC], JG)
+        shift = jnp.stack([jnp.tile(shift_c[i * cc:(i + 1) * cc], jg)
                            for i in range(n_chunks)])
         return inv, shift
 

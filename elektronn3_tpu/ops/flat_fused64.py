@@ -1,0 +1,1071 @@
+"""Fused flat-layout executor for C=64 3D (kd=3) U-Net levels.
+
+The CC=32 executor (ops/flat_fused.py) covers full-resolution planar
+levels. This module covers the next level down — the headline U-Net's
+L1: (B, 44, 44, 44) with 64 channels and 3x3x3 kernels — which the
+round-2 profile showed costs ~36 ms/step under XLA (down_1 + up_1 of
+75 ms total): the conv emitter runs at 45-95 TF/s, every elementwise /
+BN op pays 2x HBM bandwidth because a 64-channel minor dim is
+lane-PADDED to 128 in XLA's (8,128) tiling, and the BN reductions
+stream at ~113 GB/s.
+
+Layout: chunks of CC64 = 64 channels with JG64 = 128 // 64 = 2
+w-positions per row-group — lane l = (j, ci) with j = l // 64. The
+payoff of JG = 2 is matmul occupancy: the within-row tap matmul's
+128x128 weight block [(j1, ci), (j2, co)] has ALL FOUR 64x64 blocks
+carrying real taps (j1 - j2 in {-1, 0, 1} covers kw = 0, 1, 2), i.e.
+100% useful MACs, vs 62.5% for the JG=4/CC=32 packing. Row-crossing
+w-taps use ONE combined corner matmul per tap: the operand selects
+lanes 0:64 from row g+1 (j1 = 0) and lanes 64:128 from row g-1
+(j1 = 1) — a lane-masked select of two row-shifted views, no rolls —
+against a block-anti-diagonal 128x128 weight.
+
+kd = 3 z-taps: chunks are D-padded by one zero slab on each side and
+the kernels take three BlockSpec views per chunk (slabs d-1, d, d+1),
+accumulating over z exactly like the row taps. Geometry: W_OFF64 =
+JG64 = 2 keeps flat rows ROW-ALIGNED with dense channels-last rows of
+a (.., H, W, 64) tensor when W is even.
+
+Ops (mirroring flat_fused.py, reference models/unet.py:202-409):
+- conv3_bnact_flat64: prologue (BN-apply + act) + 3x3x3 conv + per-lane
+  (sum, sumsq) side outputs; ONE merged backward kernel (dgrad + wgrad
+  + prologue grads, statistics cotangent folded on load).
+- pool222_bnact_flat64: prologue + (2,2,2) max pool; kernel emits the
+  compact pooled form per slab pair, XLA composes dense channels-last
+  rows on the 1/8-size result.
+- upconv222_bn_flat64: (2,2,2)-stride-2 transposed conv (128 -> 64)
+  from the deeper level's dense tensor straight into one flat64 chunk:
+  one full 128x128 matmul per (z-phase, h-phase), h-interleave in
+  kernel.
+- Chunk64 / FlatActs64: pytree carriers for raw chunks (+ prologue).
+
+Gradient semantics match flat_fused.py (exact, including through batch
+statistics; max-pool tie-routing caveat identical).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from elektronn3_tpu.ops.flat_fused import _act_fwd, _act_deriv
+
+CC64 = 64
+JG64 = 2
+W_OFF64 = 2
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+def pad_width64(W: int) -> int:
+    """Padded width (multiple of JG64) fitting w in [2, W+2) plus one
+    zero column right; prefers G % 8 == 0 when cheap."""
+    wp_min = -(-(W + W_OFF64 + 1) // JG64) * JG64
+    wp_aligned = -(-wp_min // (8 * JG64)) * (8 * JG64)
+    return wp_aligned if wp_aligned <= wp_min * 1.125 else wp_min
+
+
+def flat_geometry64(H: int, W: int) -> Tuple[int, int, int]:
+    """(G, R, P): row-groups per h row, rows per slab, row pad."""
+    G = pad_width64(W) // JG64
+    return G, H * G, G + 8
+
+
+def width_mask64(W: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(G, 128) mask: 1 on valid w columns."""
+    G = pad_width64(W) // JG64
+    w_of_lane = (np.arange(128) // CC64)[None, :] \
+        + JG64 * np.arange(G)[:, None]
+    valid = (w_of_lane >= W_OFF64) & (w_of_lane < W_OFF64 + W)
+    return jnp.asarray(valid, dtype)
+
+
+def to_flat64(x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(B, D, H, W, C) -> C//64 padded flat64 chunks (C < 64:
+    zero-padded into one chunk)."""
+    B, D, H, W, C = x.shape
+    G, R, P = flat_geometry64(H, W)
+    Wp = pad_width64(W)
+    nin = max(1, C // CC64)
+    cpad = nin * CC64 - C
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                     (W_OFF64, Wp - W - W_OFF64), (0, cpad)))
+    chunks = []
+    for c0 in range(0, nin * CC64, CC64):
+        xc = xp[..., c0:c0 + CC64].reshape(B, D, R, 128)
+        chunks.append(jnp.pad(xc, ((0, 0), (0, 0), (P, P), (0, 0))))
+    return tuple(chunks)
+
+
+def from_flat64(chunks: Sequence[jnp.ndarray], H: int, W: int,
+                C: Optional[int] = None) -> jnp.ndarray:
+    """Inverse of to_flat64."""
+    G, R, P = flat_geometry64(H, W)
+    Wp = pad_width64(W)
+    outs = []
+    for xc in chunks:
+        B, D, _, _ = xc.shape
+        body = xc[:, :, P:P + R].reshape(B, D, H, Wp // JG64, 128)
+        body = body.reshape(B, D, H, Wp, CC64)[:, :, :,
+                                               W_OFF64:W_OFF64 + W, :]
+        outs.append(body)
+    out = jnp.concatenate(outs, axis=-1)
+    return out[..., :C] if C is not None else out
+
+
+def lane_vec64(v: jnp.ndarray) -> jnp.ndarray:
+    """(n*64,) per-channel vector -> (n, 128) lane vectors."""
+    return jnp.stack([jnp.tile(v[i * CC64:(i + 1) * CC64], JG64)
+                      for i in range(v.shape[0] // CC64)])
+
+
+def fold_lane_stats64(s: jnp.ndarray) -> jnp.ndarray:
+    """(n, 128) per-lane sums -> (n*64,) per-channel sums."""
+    n = s.shape[0]
+    return jnp.sum(s.reshape(n, JG64, CC64), axis=1).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+def pack_weights64(w: jnp.ndarray):
+    """(3, 3, 3, cin, cout) -> (w0, wc), each (nin, nout, 3, 3, 128, 128).
+
+    w0: within-row blocks [(j1, ci), (j2, co)] = w[z, t, 1 + j1 - j2].
+    wc: combined corner — [0:64, 64:128] = w[z, t, 2] (row g+1 j1=0 ->
+    j2=1), [64:128, 0:64] = w[z, t, 0] (row g-1 j1=1 -> j2=0)."""
+    kd, kh, kw_, cin, cout = w.shape
+    assert kd == 3 and kh == 3 and kw_ == 3, w.shape
+    nin, nout = cin // CC64, cout // CC64
+
+    def blk(kw):
+        b = w[:, :, kw].reshape(3, 3, nin, CC64, nout, CC64)
+        return jnp.transpose(b, (2, 4, 0, 1, 3, 5))
+
+    w0 = jnp.zeros((nin, nout, 3, 3, 128, 128), w.dtype)
+    w0 = w0.at[..., 0:64, 0:64].set(blk(1))
+    w0 = w0.at[..., 64:128, 64:128].set(blk(1))
+    w0 = w0.at[..., 64:128, 0:64].set(blk(2))
+    w0 = w0.at[..., 0:64, 64:128].set(blk(0))
+    wc = jnp.zeros((nin, nout, 3, 3, 128, 128), w.dtype)
+    wc = wc.at[..., 0:64, 64:128].set(blk(2))
+    wc = wc.at[..., 64:128, 0:64].set(blk(0))
+    return w0, wc
+
+
+def _unpack_wgrad64(m0, mc, nin, nout):
+    """Tap accumulators -> dw (3, 3, 3, cin, cout) f32."""
+    cin, cout = nin * CC64, nout * CC64
+
+    def fold(acc):
+        # (nin, nout, 3, 3, 64, 64) -> (3, 3, cin, cout)
+        return jnp.transpose(acc, (2, 3, 0, 4, 1, 5)).reshape(
+            3, 3, cin, cout)
+
+    dw1 = fold(m0[..., 0:64, 0:64] + m0[..., 64:128, 64:128])
+    dw2 = fold(m0[..., 64:128, 0:64] + mc[..., 0:64, 64:128])
+    dw0 = fold(m0[..., 0:64, 64:128] + mc[..., 64:128, 0:64])
+    return jnp.stack([dw0, dw1, dw2], axis=2)   # (3, 3, kw, cin, cout)
+
+
+def _flip_transpose64(w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+
+
+def _lane_bias64(b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.tile(b.reshape(-1, CC64), (1, JG64))
+
+
+# ---------------------------------------------------------------------------
+# Fused conv kernels
+# ---------------------------------------------------------------------------
+
+def _slab_valid(z) -> jnp.ndarray:
+    """0.0 for the zero D-pad slabs (they must contribute conv zero-
+    padding, NOT act(shift)), 1.0 otherwise."""
+    pd = pl.program_id(1)
+    if z == 0:
+        return (pd > 0).astype(jnp.float32)
+    if z == 2:
+        return (pd < pl.num_programs(1) - 1).astype(jnp.float32)
+    return jnp.float32(1.0)
+
+
+def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
+                     shift_l, mask_ref, act):
+    """Load padded flat chunk slab view z, apply prologue, mask, store
+    into scratch slot (pad rows pre-zeroed by caller)."""
+    a = ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    pre = a * inv_l[None, :] + shift_l[None, :]
+    val = (_act_fwd(pre, act).reshape(H, G, 128)
+           * mask_ref[...][None]).reshape(R, 128) * _slab_valid(z)
+    dst[slot, pl.ds(Ps, R)] = val.astype(dst.dtype)
+
+
+def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
+                       P: int, Ps: int, H: int, out_dtype, act: str,
+                       want_stats: bool):
+    ins = refs[:nin * 3]                       # [i][z] slab views
+    w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
+        refs[nin * 3:nin * 3 + 6]
+    outs = refs[nin * 3 + 6:nin * 3 + 6 + nout]
+    idx = nin * 3 + 6 + nout
+    if want_stats:
+        s_ref, q_ref = refs[idx:idx + 2]
+        idx += 2
+    a_s = refs[idx]
+
+    if want_stats:
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    for i in range(nin):
+        for z in range(3):
+            slot = i * 3 + z
+            a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
+            a_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+            _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
+                             Ps=Ps, H=H, inv_l=inv_ref[i],
+                             shift_l=shift_ref[i], mask_ref=mask_ref,
+                             act=act)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    dims = (((1,), (0,)), ((), ()))
+    for o in range(nout):
+        y = jnp.zeros((R, 128), jnp.float32)
+        for i in range(nin):
+            for z in range(3):
+                slot = i * 3 + z
+                for t in range(3):
+                    off = Ps + (t - 1) * G
+                    a = a_s[slot, pl.ds(off, R), :]
+                    y = y + jax.lax.dot_general(
+                        a, w0_ref[i, o, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    a_hi = a_s[slot, pl.ds(off + 1, R), :]
+                    a_lo = a_s[slot, pl.ds(off - 1, R), :]
+                    a_c = jnp.where(lane < CC64, a_hi, a_lo)
+                    y = y + jax.lax.dot_general(
+                        a_c, wc_ref[i, o, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+        y = y + bias_ref[o][None, :]
+        y = (y.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        yc = y.astype(out_dtype)
+        outs[o][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+        outs[o][0, 0, pl.ds(P, R)] = yc
+        outs[o][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+        if want_stats:
+            yf = yc.astype(jnp.float32)
+            s_ref[o, :] += jnp.sum(yf, axis=0)
+            q_ref[o, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _dpad(x):
+    return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
+                     want_stats, act, nout):
+    w0, wc = wpk
+    nin = len(xs)
+    G, R, P = flat_geometry64(H, W)
+    Ps = G + 8
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+    xsp = [_dpad(x) for x in xs]
+
+    kernel = functools.partial(
+        _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
+        H=H, out_dtype=dtype, act=act, want_stats=want_stats)
+
+    in_specs, operands = [], []
+    for x in xsp:
+        for z in range(3):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, R + 2 * P, 128),
+                lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(x)
+    for warr in (w0, wc):
+        in_specs.append(pl.BlockSpec(
+            warr.shape, lambda b_, d_, nd=warr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        operands.append(warr.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask.astype(jnp.float32))
+    for v in (bias_l, inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128),
+                              lambda b_, d_: (b_, d_, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(nout)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
+                 for _ in range(nout)]
+    if want_stats:
+        out_specs += [pl.BlockSpec((nout, 128), lambda b_, d_: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((nout, 128), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((nin * 3, R + 2 * Ps, 128), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * R * 128 * 256 * nin * nout * 9,
+            bytes_accessed=(3 * nin + nout) * B * D * (R + 2 * P) * 256,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*operands)
+    ys = tuple(res[:nout])
+    stats = (res[nout], res[nout + 1]) if want_stats else None
+    return ys, stats
+
+
+def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
+                       P: int, Ps: int, H: int, act: str,
+                       want_stats: bool, x_dtype):
+    pos = 0
+    ins = refs[pos:pos + nin * 3]; pos += nin * 3
+    dys = refs[pos:pos + nout * 3]; pos += nout * 3
+    ys = ()
+    if want_stats:
+        ys = refs[pos:pos + nout * 3]; pos += nout * 3
+    w0T, wcT = refs[pos:pos + 2]; pos += 2
+    mask_ref = refs[pos]; pos += 1
+    inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
+    if want_stats:
+        ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
+    dxs = refs[pos:pos + nin]; pos += nin
+    dinv_ref, dshift_ref, m0, mc, db = refs[pos:pos + 5]; pos += 5
+    a_s, dyt_s = refs[pos:pos + 2]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+        m0[...] = jnp.zeros_like(m0)
+        mc[...] = jnp.zeros_like(mc)
+        db[...] = jnp.zeros_like(db)
+
+    # Stage A: a' slabs into scratch
+    for i in range(nin):
+        for z in range(3):
+            slot = i * 3 + z
+            a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
+            a_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+            _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
+                             Ps=Ps, H=H, inv_l=inv_ref[i],
+                             shift_l=shift_ref[i], mask_ref=mask_ref,
+                             act=act)
+
+    # Stage B: dy_tot slabs (stats cotangent folded, masked)
+    for o in range(nout):
+        for z in range(3):
+            slot = o * 3 + z
+            dyt_s[slot, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
+            dyt_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128),
+                                                      dyt_s.dtype)
+            dy = dys[slot][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            if want_stats:
+                y = ys[slot][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+                dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+            dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+                * _slab_valid(z)
+            dyt_s[slot, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
+            if z == 1:
+                db[o, :] += jnp.sum(dy, axis=0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    dims = (((1,), (0,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    for i in range(nin):
+        # dgrad: conv of dy_tot with flipped/transposed weights (same
+        # slab/tap structure as forward, roles of a and dy swapped)
+        g = jnp.zeros((R, 128), jnp.float32)
+        for o in range(nout):
+            for z in range(3):
+                slot = o * 3 + z
+                for t in range(3):
+                    off = Ps + (t - 1) * G
+                    dyv = dyt_s[slot, pl.ds(off, R), :]
+                    g = g + jax.lax.dot_general(
+                        dyv, w0T[o, i, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    d_hi = dyt_s[slot, pl.ds(off + 1, R), :]
+                    d_lo = dyt_s[slot, pl.ds(off - 1, R), :]
+                    d_c = jnp.where(lane < CC64, d_hi, d_lo)
+                    g = g + jax.lax.dot_general(
+                        d_c, wcT[o, i, z, t], dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+        # prologue epilogue (center slab)
+        x = ins[i * 3 + 1][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
+        gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+            * _act_deriv(pre, act)
+        dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
+        dshift_ref[i, :] += jnp.sum(gm, axis=0)
+        dx = gm * inv_ref[i][None, :]
+        dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+        dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+        dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+        # wgrad: a'[z]^T @ dy_tot[center] per tap
+        for o in range(nout):
+            dyc = dyt_s[o * 3 + 1, pl.ds(Ps, R), :]
+            for z in range(3):
+                slot = i * 3 + z
+                for t in range(3):
+                    off = Ps + (t - 1) * G
+                    a = a_s[slot, pl.ds(off, R), :]
+                    m0[i, o, z, t] += jax.lax.dot_general(
+                        a, dyc, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+                    a_hi = a_s[slot, pl.ds(off + 1, R), :]
+                    a_lo = a_s[slot, pl.ds(off - 1, R), :]
+                    a_c = jnp.where(lane < CC64, a_hi, a_lo)
+                    mc[i, o, z, t] += jax.lax.dot_general(
+                        a_c, dyc, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
+                       want_stats: bool, act: str):
+    """Fused prologue + 3x3x3 'same' conv + stats side outputs on
+    flat64 chunks.
+
+    Args:
+        xs: tuple of padded flat64 chunks (B, D, R + 2P, 128).
+        inv, shift: (nin, 128) f32 prologue lane vectors.
+        w: (3, 3, 3, nin*64, cout) conv weights (zero-pad cin up to a
+           multiple of 64 for narrower real inputs); b: (cout,).
+    Returns:
+        (ys, stats): cout//64 padded flat64 chunks + per-lane f32
+        (sum, sumsq) or None.
+    """
+    bias_l = _lane_bias64(b)
+    ys, stats = _conv64_fwd_call(
+        xs, inv, shift, pack_weights64(w), bias_l, width_mask64(W),
+        H=H, W=W, want_stats=want_stats, act=act,
+        nout=w.shape[-1] // CC64)
+    return ys, stats
+
+
+def _conv64_fwd(xs, inv, shift, w, b, H, W, want_stats, act):
+    out = conv3_bnact_flat64(xs, inv, shift, w, b, H, W, want_stats, act)
+    ys, _ = out
+    return out, (xs, inv, shift, w, ys)
+
+
+def _conv64_bwd(H, W, want_stats, act, res, cts):
+    xs, inv, shift, w, ys = res
+    dys_in, dstats = cts
+    nin, nout = len(xs), len(ys)
+    G, R, P = flat_geometry64(H, W)
+    Ps = G + 8
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+    mask = width_mask64(W)
+    w0T, wcT = pack_weights64(_flip_transpose64(w))
+
+    dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
+                else dy.astype(dtype) for dy in dys_in)
+    if want_stats:
+        ds, dq = dstats
+        ds = jnp.zeros((nout, 128), jnp.float32) if ds is None else ds
+        dq = jnp.zeros((nout, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(
+        _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
+        H=H, act=act, want_stats=want_stats, x_dtype=dtype)
+
+    in_specs, operands = [], []
+
+    def addv(arr):
+        """Add 3 slab views of a D-padded array."""
+        ap = _dpad(arr)
+        for z in range(3):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, R + 2 * P, 128),
+                lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(ap)
+
+    def addc(arr, shape):
+        in_specs.append(pl.BlockSpec(
+            shape, lambda b_, d_, nd=len(shape): (0,) * nd,
+            memory_space=pltpu.VMEM))
+        operands.append(arr)
+
+    for x in xs:
+        addv(x)
+    for dy in dys:
+        addv(dy)
+    if want_stats:
+        for y in ys:
+            addv(y)
+    addc(w0T.astype(dtype), w0T.shape)
+    addc(wcT.astype(dtype), wcT.shape)
+    addc(mask.astype(jnp.float32), (G, 128))
+    addc(inv.astype(jnp.float32), inv.shape)
+    addc(shift.astype(jnp.float32), shift.shape)
+    if want_stats:
+        addc(ds, (nout, 128))
+        addc(dq, (nout, 128))
+
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                              memory_space=pltpu.VMEM)
+                 for _ in range(nin)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
+                 for _ in range(nin)]
+    for shp in ((nin, 128), (nin, 128)):
+        out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    for shp in ((nin, nout, 3, 3, 128, 128),
+                (nin, nout, 3, 3, 128, 128)):
+        out_specs.append(pl.BlockSpec(
+            shp, lambda b_, d_, nd=len(shp): (0,) * nd,
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    out_specs.append(pl.BlockSpec((nout, 128), c2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((nout, 128), jnp.float32))
+
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((nin * 3, R + 2 * Ps, 128), dtype),
+                        pltpu.VMEM((nout * 3, R + 2 * Ps, 128), dtype)],
+        interpret=_interpret(),
+    )(*operands)
+    dxs = tuple(res_[:nin])
+    dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    dw = _unpack_wgrad64(m0, mc, nin, nout).astype(w.dtype)
+    dbc = fold_lane_stats64(db)
+    return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
+
+
+conv3_bnact_flat64.defvjp(_conv64_fwd, _conv64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused (2,2,2) max pool: flat64 chunk + prologue -> dense 5D rows.
+# ---------------------------------------------------------------------------
+
+def _load_prologue64(ref, sl, *, G, R, P, H, inv_l, shift_l, mask_ref,
+                     act):
+    x = ref[0, sl, pl.ds(P, R), :].astype(jnp.float32).reshape(H, G, 128)
+    pre = x * inv_l[None, None, :] + shift_l[None, None, :]
+    return _act_fwd(pre, act) * mask_ref[...][None], pre, x
+
+
+def _pool64_compact(a3, H, G):
+    """a' (H, G, 128) -> (H//2, G, 128) with pooled values in lanes
+    0:64 (w-pair max within the row, h-pair max across row blocks)."""
+    m1 = jnp.maximum(a3[:, :, 0:CC64], a3[:, :, CC64:2 * CC64])
+    V = jnp.concatenate([m1, jnp.zeros((H, G, CC64), m1.dtype)], axis=2)
+    V2 = V.reshape(H // 2, 2 * G, 128)
+    return jnp.maximum(V2[:, :G], V2[:, G:])
+
+
+def _pool64_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                       act: str, out_dtype):
+    ins = refs[:nin]
+    mask_ref, inv_ref, shift_ref = refs[nin:nin + 3]
+    outs = refs[nin + 3:]
+    H2 = H // 2
+    for i in range(nin):
+        Vs = []
+        for sl in range(2):     # d-pair slabs
+            a3, _, _ = _load_prologue64(
+                ins[i], sl, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
+                shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+            Vs.append(_pool64_compact(a3, H, G))
+        V = jnp.maximum(Vs[0], Vs[1])
+        outs[i][0, 0, :, :] = V.reshape(H2 * G, 128).astype(out_dtype)
+
+
+def _pool64_compose_xla(compacts, H, W, C):
+    """Compact chunks (B, D2, H2*G, 128) -> dense (B, D2, H2, W2, C)."""
+    G, R, P = flat_geometry64(H, W)
+    H2, W2 = H // 2, W // 2
+    outs = []
+    for c in compacts:
+        B, D2 = c.shape[0], c.shape[1]
+        v = c.reshape(B, D2, H2, G, 128)[:, :, :, 1:1 + W2, 0:CC64]
+        outs.append(v)
+    out = jnp.concatenate(outs, axis=-1)
+    return out[..., :C]
+
+
+def _pool64_decompose_xla(dense5, G, nin):
+    """dense (B, D2, H2, W2, C) -> compact chunks (pad to 64-multiples
+    and re-insert the group offset)."""
+    B, D2, H2, W2, C = dense5.shape
+    cpad = nin * CC64 - C
+    dp = jnp.pad(dense5, ((0, 0), (0, 0), (0, 0), (0, 0), (0, cpad)))
+    outs = []
+    for i in range(nin):
+        v = dp[..., i * CC64:(i + 1) * CC64]
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (1, G - 1 - W2),
+                        (0, CC64)))
+        outs.append(v.reshape(B, D2, H2 * G, 128))
+    return outs
+
+
+def _pool64_expand(Sc, H, G):
+    """Compact (H2*G, 128) -> (H, G, 128) pooled value per position."""
+    H2 = H // 2
+    Vh = Sc.reshape(H2, G, 128)
+    E = jnp.concatenate([Vh[:, :, 0:CC64], Vh[:, :, 0:CC64]], axis=2)
+    return jnp.concatenate([E[:, None], E[:, None]],
+                           axis=1).reshape(H, G, 128)
+
+
+def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                       act: str, x_dtype):
+    ins = refs[:nin]
+    y_refs = refs[nin:2 * nin]
+    dy_refs = refs[2 * nin:3 * nin]
+    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
+    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
+    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    for i in range(nin):
+        yb = _pool64_expand(y_refs[i][0, 0, :, :].astype(jnp.float32),
+                            H, G)
+        dyb = _pool64_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
+                             H, G)
+        for sl in range(2):
+            a3, pre, x = _load_prologue64(
+                ins[i], sl, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
+                shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+            sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
+            dpre = dyb * sel * _act_deriv(pre, act)
+            dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
+            dshift_ref[i, :] += jnp.sum(dpre.reshape(R, 128), axis=0)
+            dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
+            dxs[i][0, sl, 0:P] = jnp.zeros((P, 128), x_dtype)
+            dxs[i][0, sl, pl.ds(P, R)] = dx.astype(x_dtype)
+            dxs[i][0, sl, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pool222_bnact_flat64(xs, inv, shift, H: int, W: int, C: int,
+                         act: str):
+    """Prologue + (2,2,2) max pool from flat64 chunks to a dense
+    channels-last (B, D/2, H/2, W/2, C) tensor."""
+    nin = len(xs)
+    G, R, P = flat_geometry64(H, W)
+    H2 = H // 2
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0, (D, H, W)
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool64_fwd_kernel, nin=nin, G=G, R=R,
+                               P=P, H=H, act=act, out_dtype=dtype)
+    in_specs, operands = [], []
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
+                                     lambda b_, d_: (b_, d_, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D // 2),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, H2 * G, 128),
+                         lambda b_, d_: (b_, d_, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(nin)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, D // 2, H2 * G, 128), dtype)
+            for _ in range(nin)),
+        interpret=_interpret(),
+    )(*operands)
+    res = res if isinstance(res, (tuple, list)) else (res,)
+    return _pool64_compose_xla(res, H, W, C)
+
+
+def _pool64_fwd(xs, inv, shift, H, W, C, act):
+    out = pool222_bnact_flat64(xs, inv, shift, H, W, C, act)
+    return out, (xs, inv, shift, out)
+
+
+def _pool64_bwd(H, W, C, act, res, dpool):
+    xs, inv, shift, pooled = res
+    nin = len(xs)
+    G, R, P = flat_geometry64(H, W)
+    H2 = H // 2
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool64_bwd_kernel, nin=nin, G=G, R=R,
+                               P=P, H=H, act=act, x_dtype=dtype)
+    in_specs, operands = [], []
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
+                                     lambda b_, d_: (b_, d_, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    for arr in (_pool64_decompose_xla(pooled, G, nin)
+                + _pool64_decompose_xla(dpool.astype(dtype), G, nin)):
+        in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128),
+                                     lambda b_, d_: (b_, d_, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+
+    out_specs, out_shape = [], []
+    for _ in range(nin):
+        out_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
+                                      lambda b_, d_: (b_, d_, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, R + 2 * P, 128),
+                                              dtype))
+    for _ in range(2):
+        out_specs.append(pl.BlockSpec((nin, 128), lambda b_, d_: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D // 2),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dxs = tuple(res_[:nin])
+    return dxs, res_[nin], res_[nin + 1]
+
+
+pool222_bnact_flat64.defvjp(_pool64_fwd, _pool64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused (2,2,2) stride-2 transposed conv: deeper-level dense 5D
+# (cin = 128) -> one flat64 chunk (cout = 64) + stats side outputs.
+# ---------------------------------------------------------------------------
+
+def pack_upconv_weights64(w: jnp.ndarray):
+    """(2, 2, 2, 128, 64) flax ConvTranspose kernel -> M[az][ah], each
+    (128, 128): M[az][ah][ci, p*64 + co] = w[1-az, 1-ah, 1-p, ci, co]
+    (flax places in[d1,h1,w1] * K[1-az, 1-ah, 1-p] at
+    out[2*d1+az, 2*h1+ah, 2*w1+p])."""
+    assert w.shape[:3] == (2, 2, 2) and w.shape[3] == 128 \
+        and w.shape[4] == CC64, w.shape
+    Ms = []
+    for az in range(2):
+        row = []
+        for ah in range(2):
+            m = jnp.concatenate([w[1 - az, 1 - ah, 1],
+                                 w[1 - az, 1 - ah, 0]], axis=-1)
+            row.append(m)
+        Ms.append(row)
+    return Ms
+
+
+def _upconv64_fwd_kernel(dec_ref, m00, m01, m10, m11, mask_ref,
+                         bias_ref, out_ref, s_ref, q_ref, *, G: int,
+                         R: int, P: int, H: int, W1: int, out_dtype,
+                         want_stats: bool):
+    if want_stats:
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    H1 = H // 2
+    S = dec_ref[0, 0, :, :]                     # (H1*W1, 128)
+    dims = (((1,), (0,)), ((), ()))
+    mats = ((m00, m01), (m10, m11))
+    for az in range(2):
+        Ys = []
+        for ah in range(2):
+            Y = jax.lax.dot_general(S, mats[az][ah][...],
+                                    dimension_numbers=dims,
+                                    preferred_element_type=jnp.float32)
+            Ys.append(Y.reshape(H1, W1, 128))
+        I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
+                            axis=1).reshape(H, W1, 128)
+        zl = jnp.zeros((H, 1, 128), jnp.float32)
+        zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
+        rows = jnp.concatenate([zl, I, zr], axis=1)
+        y = rows + bias_ref[0][None, None, :]
+        y = (y * mask_ref[...][None]).reshape(R, 128)
+        yc = y.astype(out_dtype)
+        out_ref[0, az, 0:P] = jnp.zeros((P, 128), out_dtype)
+        out_ref[0, az, pl.ds(P, R)] = yc
+        out_ref[0, az, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+        if want_stats:
+            yf = yc.astype(jnp.float32)
+            s_ref[0, :] += jnp.sum(yf, axis=0)
+            q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _upconv64_bwd_kernel(dec_ref, dy_ref, y_ref, m00, m01, m10, m11,
+                         mask_ref, ds_ref, dq_ref, ddec, dM00, dM01,
+                         dM10, dM11, db, *, G: int, R: int, P: int,
+                         H: int, W1: int, want_stats: bool, x_dtype):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dM00[...] = jnp.zeros_like(dM00)
+        dM01[...] = jnp.zeros_like(dM01)
+        dM10[...] = jnp.zeros_like(dM10)
+        dM11[...] = jnp.zeros_like(dM11)
+        db[...] = jnp.zeros_like(db)
+
+    H1 = H // 2
+    S = dec_ref[0, 0, :, :]
+    dimsT = (((1,), (1,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    mats = ((m00, m01), (m10, m11))
+    dmats = ((dM00, dM01), (dM10, dM11))
+    dd = jnp.zeros((H1 * W1, 128), jnp.float32)
+    for az in range(2):
+        dy = dy_ref[0, az, pl.ds(P, R), :].astype(jnp.float32)
+        if want_stats:
+            y = y_ref[0, az, pl.ds(P, R), :].astype(jnp.float32)
+            dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
+        dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        db[0, :] += jnp.sum(dyt, axis=0)
+        d3 = dyt.reshape(H1, 2 * G, 128)     # h-deinterleave: blocks
+        for ah in range(2):
+            blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
+            Yg = blk.reshape(H1 * W1, 128).astype(S.dtype)
+            dd = dd + jax.lax.dot_general(
+                Yg, mats[az][ah][...], dimension_numbers=dimsT,
+                preferred_element_type=jnp.float32)
+            dmats[az][ah][...] += jax.lax.dot_general(
+                S, Yg, dimension_numbers=cdims,
+                preferred_element_type=jnp.float32)
+    ddec[0, 0, :, :] = dd.astype(x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
+    """(2,2,2)-stride-2 transposed conv (flax ConvTranspose semantics,
+    reference models/unet.py:328-409) from dec (B, D/2, H/2, W/2, 128)
+    into one flat64 chunk at (H, W) with 64 channels (+ optional
+    per-lane stats)."""
+    B, D1, H1, W1, cin = dec.shape
+    assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    G, R, P = flat_geometry64(H, W)
+    dtype = dec.dtype
+    Ms = pack_upconv_weights64(w)
+    bias_l = _lane_bias64(b)
+
+    kernel = functools.partial(_upconv64_fwd_kernel, G=G, R=R, P=P, H=H,
+                               W1=W1, out_dtype=dtype,
+                               want_stats=want_stats)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [pl.BlockSpec((1, 1, H1 * W1, 128),
+                             lambda b_, d_: (b_, d_, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [dec.reshape(B, D1, H1 * W1, 128)]
+    for az in range(2):
+        for ah in range(2):
+            in_specs.append(pl.BlockSpec((128, 128), c2,
+                                         memory_space=pltpu.VMEM))
+            operands.append(Ms[az][ah].astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(bias_l.astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 2, R + 2 * P, 128),
+                              lambda b_, d_: (b_, d_, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, 2 * D1, R + 2 * P, 128), dtype),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    y, s, q = pl.pallas_call(
+        kernel,
+        grid=(B, D1),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    stats = (s, q) if want_stats else None
+    return (y,), stats
+
+
+def _upconv64_fwd(dec, w, b, H, W, want_stats):
+    out = upconv222_bn_flat64(dec, w, b, H, W, want_stats)
+    (y,), _ = out
+    return out, (dec, w, y)
+
+
+def _upconv64_bwd(H, W, want_stats, res, cts):
+    dec, w, y = res
+    (dy_in,), dstats = cts
+    B, D1, H1, W1, cin = dec.shape
+    G, R, P = flat_geometry64(H, W)
+    dtype = dec.dtype
+    Ms = pack_upconv_weights64(w)
+    dy = (jnp.zeros((B, 2 * D1, R + 2 * P, 128), dtype) if dy_in is None
+          else dy_in.astype(dtype))
+    ds, dq = (dstats if (want_stats and dstats is not None)
+              else (None, None))
+    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(_upconv64_bwd_kernel, G=G, R=R, P=P, H=H,
+                               W1=W1, want_stats=want_stats,
+                               x_dtype=dtype)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, H1 * W1, 128), lambda b_, d_: (b_, d_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, R + 2 * P, 128),
+                     lambda b_, d_: (b_, d_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, R + 2 * P, 128),
+                     lambda b_, d_: (b_, d_, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [dec.reshape(B, D1, H1 * W1, 128), dy, y]
+    for az in range(2):
+        for ah in range(2):
+            in_specs.append(pl.BlockSpec((128, 128), c2,
+                                         memory_space=pltpu.VMEM))
+            operands.append(Ms[az][ah].astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(ds)
+    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(dq)
+
+    out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128),
+                              lambda b_, d_: (b_, d_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D1, H1 * W1, 128), dtype)]
+    for _ in range(4):
+        out_specs.append(pl.BlockSpec((128, 128), c2,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D1),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dd = res_[0].reshape(dec.shape)
+    dM = res_[1:5]
+    dbl = res_[5]
+    # Adjoint of pack_upconv_weights64.
+    dw = jnp.zeros((2, 2, 2, 128, CC64), jnp.float32)
+    k = 0
+    for az in range(2):
+        for ah in range(2):
+            m = dM[k]; k += 1
+            dw = dw.at[1 - az, 1 - ah, 1].add(m[:, 0:CC64])
+            dw = dw.at[1 - az, 1 - ah, 0].add(m[:, CC64:128])
+    dbc = fold_lane_stats64(dbl)
+    return dd, dw.astype(w.dtype), dbc.astype(w.dtype)
+
+
+upconv222_bn_flat64.defvjp(_upconv64_fwd, _upconv64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pytree carriers + XLA seams
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class FlatActs64:
+    """A C=64 level's activations in fused-flat form (raw conv output
+    chunks + consumer prologue vectors)."""
+
+    def __init__(self, chunks, inv, shift):
+        self.chunks = tuple(chunks)
+        self.inv = inv
+        self.shift = shift
+
+    def tree_flatten(self):
+        return (self.chunks, self.inv, self.shift), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        chunks, inv, shift = children
+        return cls(chunks, inv, shift)
+
+
+def materialize_flat_acts64(chunks, inv, shift, H: int, W: int,
+                            C: int, act: str):
+    """XLA seam: apply prologue + act, convert to dense channels-last."""
+    G, R, P = flat_geometry64(H, W)
+    rowmask = jnp.pad(jnp.tile(width_mask64(W), (H, 1)), ((P, P), (0, 0)))
+    outs = []
+    for i, xc in enumerate(chunks):
+        pre = xc.astype(jnp.float32) * inv[i][None, None, None] \
+            + shift[i][None, None, None]
+        outs.append((_act_fwd(pre, act) * rowmask[None, None]
+                     ).astype(xc.dtype))
+    return from_flat64(outs, H, W, C)

@@ -1,0 +1,154 @@
+"""CC=64 fused flat executor (ops/flat_fused64.py): numeric parity vs
+XLA formulations, in interpret mode on CPU. Tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elektronn3_tpu.ops import flat_fused64 as f64
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _conv_ref(a, w):
+    return jax.lax.conv_general_dilated(
+        a, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_to_from_flat64_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(1, 3, 4, 6, 64)), jnp.float32)
+    chunks = f64.to_flat64(x)
+    assert len(chunks) == 1
+    back = f64.from_flat64(chunks, 4, 6, 64)
+    assert np.allclose(np.asarray(back), np.asarray(x))
+    x2 = jnp.asarray(rng.normal(size=(1, 3, 4, 6, 128)), jnp.float32)
+    assert np.allclose(np.asarray(f64.from_flat64(f64.to_flat64(x2),
+                                                  4, 6, 128)),
+                       np.asarray(x2))
+    # narrow-channel pad into one chunk
+    x3 = jnp.asarray(rng.normal(size=(1, 3, 4, 6, 32)), jnp.float32)
+    assert np.allclose(np.asarray(f64.from_flat64(f64.to_flat64(x3),
+                                                  4, 6, 32)),
+                       np.asarray(x3))
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 64), (128, 64), (32, 64)])
+def test_conv3_bnact_flat64_matches_xla(rng, cin, cout):
+    B, D, H, W = 1, 4, 4, 6
+    nin = max(1, cin // 64)
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(cin,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(cin,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def loss_ref(x5, inv_c, shift_c, w, b):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        y = _conv_ref(a, w) + b
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    cpad = nin * 64 - cin
+
+    def loss_f64(x5, inv_c, shift_c, w, b):
+        xs = f64.to_flat64(x5)
+        inv_l = f64.lane_vec64(jnp.pad(inv_c, (0, cpad)))
+        shift_l = f64.lane_vec64(jnp.pad(shift_c, (0, cpad)))
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
+        ys, (s, q) = f64.conv3_bnact_flat64(
+            xs, inv_l, shift_l, wp, b, H, W, True, "relu")
+        y = f64.from_flat64(ys, H, W, cout)
+        s_c = f64.fold_lane_stats64(s)
+        q_c = f64.fold_lane_stats64(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(x5, inv_c, shift_c, w, b)
+    l2 = loss_f64(x5, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_f64, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
+
+
+def test_pool222_bnact_flat64_matches_xla(rng):
+    B, D, H, W, C = 1, 4, 4, 6, 64
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(C,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(C,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D // 2, H // 2, W // 2, C)),
+                      jnp.float32)
+
+    def loss_ref(x5, inv_c, shift_c):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        p = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+                                  "VALID")
+        return jnp.sum((p - tgt) ** 2)
+
+    def loss_f64(x5, inv_c, shift_c):
+        xs = f64.to_flat64(x5)
+        p = f64.pool222_bnact_flat64(
+            xs, f64.lane_vec64(inv_c), f64.lane_vec64(shift_c),
+            H, W, C, "relu")
+        return jnp.sum((p - tgt) ** 2)
+
+    l1 = loss_ref(x5, inv_c, shift_c)
+    l2 = loss_f64(x5, inv_c, shift_c)
+    assert abs(float(l1 - l2)) < 1e-3 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2))(x5, inv_c, shift_c)
+    g2 = jax.grad(loss_f64, (0, 1, 2))(x5, inv_c, shift_c)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
+
+
+def test_upconv222_bn_flat64_matches_xla(rng):
+    import flax.linen as nn
+
+    B, D1, H1, W1 = 1, 2, 2, 3
+    H, W = 2 * H1, 2 * W1
+    dec = jnp.asarray(rng.normal(size=(B, D1, H1, W1, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, 128, 64)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, 2 * D1, H, W, 64)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+
+    mod = nn.ConvTranspose(64, (2, 2, 2), strides=(2, 2, 2))
+
+    def loss_ref(dec, w, b):
+        y = mod.apply({"params": {"kernel": w, "bias": b}}, dec)
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_f64(dec, w, b):
+        (chunk,), (s, q) = f64.upconv222_bn_flat64(dec, w, b, H, W, True)
+        y = f64.from_flat64((chunk,), H, W, 64)
+        s_c = f64.fold_lane_stats64(s)
+        q_c = f64.fold_lane_stats64(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
+
+    l1, l2 = loss_ref(dec, w, b), loss_f64(dec, w, b)
+    assert abs(float(l1 - l2)) < 1e-3 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2))(dec, w, b)
+    g2 = jax.grad(loss_f64, (0, 1, 2))(dec, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
