@@ -53,6 +53,7 @@ from elektronn3_tpu.modules.flat_norm import (
     FlatBatchNorm, FlatBNStats, identity_prologue)
 from elektronn3_tpu.ops import flat_conv as _fc
 from elektronn3_tpu.ops import flat_fused as _ffu
+from elektronn3_tpu.ops import flat_fused64 as _ff64
 
 Dtype = Any
 
@@ -248,6 +249,57 @@ class _Im2colConv(nn.Module):
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
 
 
+class _FusedConv64(nn.Module):
+    """Fused prologue + 3x3x3 conv + stats side outputs on flat64
+    chunks (ops/flat_fused64.conv3_bnact_flat64). Param tree matches
+    nn.Conv (kernel (3,3,3,cin_real,features) + bias); cin is
+    zero-padded up to the chunk multiple inside."""
+    features: int
+    H: int
+    W: int
+    cin_real: int
+    want_stats: bool
+    act: str
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, inv, shift):
+        kernel = self.param("kernel", _kernel_init,
+                            (3, 3, 3, self.cin_real, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        cpad = len(xs) * _ff64.CC64 - self.cin_real
+        w = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
+        return _ff64.conv3_bnact_flat64(
+            tuple(xs), inv, shift, w, bias, self.H, self.W,
+            self.want_stats, self.act)
+
+
+class _FusedUpconv64(nn.Module):
+    """(2,2,2)-stride-2 transposed conv (128 -> 64) into a flat64
+    chunk + stats (ops/flat_fused64.upconv222_bn_flat64). Param tree
+    matches nn.ConvTranspose."""
+    features: int
+    H: int
+    W: int
+    want_stats: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dec):
+        kernel = self.param("kernel", _kernel_init,
+                            (2, 2, 2, dec.shape[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ff64.upconv222_bn_flat64(
+            dec.astype(self.dtype), kernel, bias, self.H, self.W,
+            self.want_stats)
+
+
 class _Conv1FusedFlat(nn.Module):
     """First-layer planar 3x3 conv (C_in == 1) straight into a flat
     chunk with BN-stat side outputs (ops/flat_fused.conv1_bnstats_flat).
@@ -359,6 +411,7 @@ class DownConv(nn.Module):
     conv_mode: str = "same"
     flat: bool = False
     fused: bool = False
+    fused64: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -368,6 +421,59 @@ class DownConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.fused64:
+            # Fully fused C=64 3D executor (ops/flat_fused64.py):
+            # conv1 -> BN -> act -> conv2 -> BN -> act -> (2,2,2) pool
+            # all kernel-resident in the flat64 chunk layout.
+            H, W = x.shape[2], x.shape[3]
+            B, Dd = x.shape[0], x.shape[1]
+            count = B * Dd * H * W
+            C = self.out_channels
+            n = C // _ff64.CC64
+            cin = x.shape[-1]
+            batch = self.normalization == "batch"
+            aname = _act_name(self.activation)
+            xs0 = _ff64.to_flat64(x.astype(self.dtype))
+            id_inv, id_shift = identity_prologue(len(xs0))
+            nidx = 0
+            want1 = batch and self.full_norm and train
+            y1, st1 = _FusedConv64(C, H, W, cin_real=cin,
+                                   want_stats=want1, act="linear",
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv1")(xs0, id_inv, id_shift)
+            if self.full_norm and batch:
+                s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
+                q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
+                inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
+                                           name=f"BatchNorm_{nidx}")(
+                    s1, q1, count, n, not train)
+                nidx += 1
+            else:
+                inv1, shift1 = identity_prologue(n)
+            want2 = batch and train
+            y2, st2 = _FusedConv64(C, H, W, cin_real=C,
+                                   want_stats=want2, act=aname,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv2")(y1, inv1, shift1)
+            if batch:
+                s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
+                q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
+                inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
+                                           name=f"BatchNorm_{nidx}")(
+                    s2, q2, count, n, not train)
+            else:
+                inv2, shift2 = identity_prologue(n)
+            acts = _ff64.FlatActs64(y2, inv2, shift2)
+            if self.pooling:
+                y = _ff64.pool222_bnact_flat64(y2, inv2, shift2, H, W,
+                                               C, aname)
+            else:
+                y = _ff64.materialize_flat_acts64(y2, inv2, shift2,
+                                                  H, W, C, aname)
+            return y, acts
 
         if self.fused:
             # Fully fused flat executor (ops/flat_fused.py): conv1 in
@@ -539,6 +645,7 @@ class UpConv(nn.Module):
     attention: bool = False
     flat: bool = False
     fused: bool = False
+    fused64: bool = False
     flat_hw: Tuple[int, int] = (0, 0)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -549,6 +656,68 @@ class UpConv(nn.Module):
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if self.fused64:
+            # Fully fused C=64 3D decoder level: (2,2,2) upconv -> BN
+            # -> act -> concat skip -> conv1 -> BN -> act -> conv2 ->
+            # BN -> act, kernel-resident (ops/flat_fused64.py). enc is
+            # FlatActs64; dec is the deeper level's dense 5D tensor.
+            H, W = self.flat_hw
+            C = self.out_channels
+            n = C // _ff64.CC64
+            B = dec.shape[0]
+            Dd = dec.shape[1] * 2
+            count = B * Dd * H * W
+            batch = self.normalization == "batch"
+            aname = _act_name(self.activation)
+            nidx = 0
+            wantu = batch and self.full_norm and train
+            yu, stu = _FusedUpconv64(C, H, W, want_stats=wantu,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="upconv")(dec)
+            if self.full_norm and batch:
+                su = _ff64.fold_lane_stats64(stu[0]) if stu else None
+                qu = _ff64.fold_lane_stats64(stu[1]) if stu else None
+                invu, shiftu = FlatBNStats(cc=_ff64.CC64,
+                                           name=f"BatchNorm_{nidx}")(
+                    su, qu, count, n, not train)
+                nidx += 1
+            else:
+                invu, shiftu = identity_prologue(n)
+            xs = tuple(yu) + tuple(enc.chunks)
+            inv_s = jnp.concatenate([invu, enc.inv])
+            shift_s = jnp.concatenate([shiftu, enc.shift])
+            want1 = batch and self.full_norm and train
+            y1, st1 = _FusedConv64(C, H, W, cin_real=len(xs) * _ff64.CC64,
+                                   want_stats=want1, act=aname,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv1")(xs, inv_s, shift_s)
+            if self.full_norm and batch:
+                s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
+                q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
+                inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
+                                           name=f"BatchNorm_{nidx}")(
+                    s1, q1, count, n, not train)
+                nidx += 1
+            else:
+                inv1, shift1 = identity_prologue(n)
+            want2 = batch and train
+            y2, st2 = _FusedConv64(C, H, W, cin_real=C,
+                                   want_stats=want2, act=aname,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv2")(y1, inv1, shift1)
+            if batch:
+                s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
+                q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
+                inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
+                                           name=f"BatchNorm_{nidx}")(
+                    s2, q2, count, n, not train)
+            else:
+                inv2, shift2 = identity_prologue(n)
+            return _ff64.FlatActs64(y2, inv2, shift2), None
 
         if self.fused:
             # Fully fused flat executor: enc arrives as FlatActs (raw
@@ -767,6 +936,24 @@ class UNet(nn.Module):
                 and act_ok and channels == _fc.CC
                 and H % 2 == 0 and W % 8 == 0)
 
+    def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
+                         W: int, D: int, pooling: bool) -> bool:
+        """Is the fused C=64 3D (kd=3) executor applicable here?
+        (ops/flat_fused64.py — the headline model's L1 level.)"""
+        if self.pallas_flat is False:
+            return False
+        if self.pallas_flat == "auto" and jax.default_backend() != "tpu":
+            return False
+        act_ok = isinstance(self.activation, str) and \
+            self.activation in ("relu", "leaky", "lrelu")
+        return (self.dim == 3 and self.conv_mode == "same"
+                and not planar and not self.attention
+                and self.normalization in ("batch", "none")
+                and act_ok and channels == _ff64.CC64
+                and H % 2 == 0 and W % 2 == 0
+                and (not pooling or D % 2 == 0)
+                and H * (W // 2 + 10) <= 8192)   # VMEM scratch bound
+
     def _validate(self):
         if self.n_blocks < 1:
             raise ValueError("n_blocks must be > 0")
@@ -835,10 +1022,16 @@ class UNet(nn.Module):
             H, W = (x.shape[2], x.shape[3]) if self.dim == 3 \
                 else (x.shape[1], x.shape[2])
             fused = self._flat_fused_ok(planar, outs, H, W)
-            flat = (not fused) and self._flat_level_ok(planar, outs, H, W)
+            fused64 = ((not fused)
+                       and not isinstance(x, (tuple, _ffu.FlatActs,
+                                              _ff64.FlatActs64))
+                       and self._flat_fused64_ok(
+                           planar, outs, H, W, x.shape[1], pooling))
+            flat = (not fused and not fused64) \
+                and self._flat_level_ok(planar, outs, H, W)
             down = DownCls(outs, pooling=pooling, planar=planar,
-                           flat=flat, fused=fused, name=f"down_{i}",
-                           **block_kw)
+                           flat=flat, fused=fused, fused64=fused64,
+                           name=f"down_{i}", **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
             encoder_hw.append((H, W))
@@ -852,6 +1045,7 @@ class UNet(nn.Module):
             before_pool = encoder_outs[-(i + 2)]
             H, W = encoder_hw[level]
             skip_fused = isinstance(before_pool, _ffu.FlatActs)
+            skip_fused64 = isinstance(before_pool, _ff64.FlatActs64)
             skip_flat = (not skip_fused) and isinstance(before_pool, tuple)
             # The upsampled decoder tensor must match the skip exactly
             # for the crop-free flat path (even dims guarantee it).
@@ -859,7 +1053,15 @@ class UNet(nn.Module):
                         and self._flat_fused_ok(planar, outs, H, W)
                         and self.up_mode == "transpose"
                         and self.merge_mode in ("concat", "add")
-                        and not isinstance(x, (tuple, _ffu.FlatActs)))
+                        and not isinstance(x, tuple))
+            up_fused64 = (skip_fused64
+                          and self._flat_fused64_ok(
+                              planar, outs, H, W, 0, False)
+                          and self.up_mode == "transpose"
+                          and self.merge_mode == "concat"
+                          and ins == 2 * _ff64.CC64
+                          and not isinstance(x, (tuple, _ffu.FlatActs,
+                                                 _ff64.FlatActs64)))
             up_flat = (skip_flat
                        and self._flat_level_ok(planar, outs, H, W)
                        and self.up_mode == "transpose"
@@ -868,18 +1070,29 @@ class UNet(nn.Module):
                 before_pool = _ffu.materialize_flat_acts(
                     before_pool.chunks, before_pool.inv, before_pool.shift,
                     H, W, _act_name(self.activation))
+            elif skip_fused64 and not up_fused64:
+                before_pool = _ff64.materialize_flat_acts64(
+                    before_pool.chunks, before_pool.inv, before_pool.shift,
+                    H, W, len(before_pool.chunks) * _ff64.CC64,
+                    _act_name(self.activation))
             elif skip_flat and not up_flat:
                 before_pool = _fc.from_flat(before_pool, H, W, padded=True)
             if isinstance(x, _ffu.FlatActs):
                 x = _ffu.materialize_flat_acts(
                     x.chunks, x.inv, x.shift, *up_hw,
                     _act_name(self.activation))
+            elif isinstance(x, _ff64.FlatActs64):
+                x = _ff64.materialize_flat_acts64(
+                    x.chunks, x.inv, x.shift, *up_hw,
+                    len(x.chunks) * _ff64.CC64,
+                    _act_name(self.activation))
             elif isinstance(x, tuple):  # previous up emitted flat chunks
                 x = _fc.from_flat(x, *up_hw, padded=True)
             up = UpCls(ins, outs, merge_mode=self.merge_mode,
                        up_mode=self.up_mode, planar=planar,
                        attention=self.attention, flat=up_flat,
-                       fused=up_fused, flat_hw=(H, W), name=f"up_{i}",
+                       fused=up_fused, fused64=up_fused64,
+                       flat_hw=(H, W), name=f"up_{i}",
                        **block_kw)
             x, _att = up(before_pool, x, train)
             up_hw = (H, W)
@@ -891,6 +1104,15 @@ class UNet(nn.Module):
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name="conv_final")(x.chunks, x.inv, x.shift)
+        elif isinstance(x, _ff64.FlatActs64):
+            # C=64 level feeding the head directly (no planar L0):
+            # materialize, then the plain 1x1 head.
+            x = _ff64.materialize_flat_acts64(
+                x.chunks, x.inv, x.shift, *up_hw,
+                len(x.chunks) * _ff64.CC64, _act_name(self.activation))
+            x = nn.Conv(self.out_channels, (1,) * self.dim,
+                        kernel_init=_kernel_init, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_final")(x)
         elif isinstance(x, tuple):
             # Flat head: 1x1 conv straight from flat chunks.
             x = _Conv1x1FromFlat(self.out_channels, *up_hw,

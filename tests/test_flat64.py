@@ -152,3 +152,48 @@ def test_upconv222_bn_flat64_matches_xla(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=1e-3 * scale), a.shape
+
+
+def test_fused64_unet_matches_standard_unet(rng):
+    """n_blocks=3 UNet with planar L0 (fused CC=32 executor) and a
+    C=64 3D L1 (fused64 executor): outputs, batch stats, and every
+    parameter gradient match the standard XLA path."""
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    shape = (1, 4, 8, 16, 1)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    kw = dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=32,
+              planar_blocks=(0,), dim=3, normalization="batch")
+    m_ref = UNet(pallas_flat=False, **kw)
+    m_fused = UNet(pallas_flat=True, **kw)
+    v = init_unet(m_ref, shape)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(init_unet(m_fused, shape))
+
+    def items(tree):
+        return sorted(((jax.tree_util.keystr(k), a) for k, a in
+                       jax.tree_util.tree_leaves_with_path(tree)),
+                      key=lambda t: t[0])
+
+    o_ref, mut_ref = m_ref.apply(v, x, train=True, mutable=["batch_stats"])
+    o_f, mut_f = m_fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(o_ref), np.asarray(o_f), atol=2e-4)
+    for (k1, a), (k2, r) in zip(items(mut_f["batch_stats"]),
+                                items(mut_ref["batch_stats"])):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-5), k1
+    assert np.allclose(np.asarray(m_ref.apply(v, x, train=False)),
+                       np.asarray(m_fused.apply(v, x, train=False)),
+                       atol=2e-4)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_ref)
+    g_f = jax.grad(loss)(v["params"], m_fused)
+    for (k1, a), (k2, r) in zip(items(g_f), items(g_r)):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=2e-4 * scale), k1
