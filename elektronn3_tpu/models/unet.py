@@ -260,6 +260,7 @@ class _FusedConv64(nn.Module):
     cin_real: int
     want_stats: bool
     act: str
+    forms: Optional[Tuple[str, ...]] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -274,7 +275,7 @@ class _FusedConv64(nn.Module):
         w = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
         return _ff64.conv3_bnact_flat64(
             tuple(xs), inv, shift, w, bias, self.H, self.W,
-            self.want_stats, self.act)
+            self.want_stats, self.act, self.forms)
 
 
 class _FusedUpconv64(nn.Module):
@@ -376,6 +377,31 @@ class _FusedUpconv(nn.Module):
             bias.astype(self.dtype), self.H, self.W, self.want_stats)
 
 
+class _FusedUpconvF64(nn.Module):
+    """(1,2,2)-stride-2 transposed conv consuming the fused64 decoder
+    level's FlatActs64 directly (prologue in kernel) — no materialize
+    seam (ops/flat_fused64.upconv122_from_flat64). Param tree matches
+    nn.ConvTranspose."""
+    features: int
+    H: int
+    W: int
+    want_stats: bool
+    act: str
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, acts):
+        kernel = self.param("kernel", _kernel_init,
+                            (1, 2, 2, _ff64.CC64, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ff64.upconv122_from_flat64(
+            acts.chunks[0], acts.inv, acts.shift, kernel, bias,
+            self.H, self.W, self.want_stats, self.act)
+
+
 class _FusedHead(nn.Module):
     """Prologue + 1x1 conv head from flat chunks (XLA; the prologue
     fuses into the einsum). Param tree matches nn.Conv((1,1,1))."""
@@ -412,6 +438,8 @@ class DownConv(nn.Module):
     flat: bool = False
     fused: bool = False
     fused64: bool = False
+    pool_form: str = "dense5"  # 'compact32': emit the pool's compact
+    #                            form for a fused64 next level
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -426,20 +454,31 @@ class DownConv(nn.Module):
             # Fully fused C=64 3D executor (ops/flat_fused64.py):
             # conv1 -> BN -> act -> conv2 -> BN -> act -> (2,2,2) pool
             # all kernel-resident in the flat64 chunk layout.
-            H, W = x.shape[2], x.shape[3]
-            B, Dd = x.shape[0], x.shape[1]
+            if isinstance(x, _ff64.PoolCompact32):
+                # The L0 pool's compact output feeds conv1 directly
+                # (in-kernel lane shuffle) — no XLA relayout seam.
+                H, W = x.H, x.W
+                B, Dd = x.chunks[0].shape[0], x.chunks[0].shape[1]
+                cin = 32
+                xs0 = x.chunks
+                forms = ("pool32",)
+            else:
+                H, W = x.shape[2], x.shape[3]
+                B, Dd = x.shape[0], x.shape[1]
+                cin = x.shape[-1]
+                xs0 = _ff64.to_flat64(x.astype(self.dtype))
+                forms = ("flat64",) * len(xs0)
             count = B * Dd * H * W
             C = self.out_channels
             n = C // _ff64.CC64
-            cin = x.shape[-1]
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
-            xs0 = _ff64.to_flat64(x.astype(self.dtype))
             id_inv, id_shift = identity_prologue(len(xs0))
             nidx = 0
             want1 = batch and self.full_norm and train
             y1, st1 = _FusedConv64(C, H, W, cin_real=cin,
                                    want_stats=want1, act="linear",
+                                   forms=forms,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs0, id_inv, id_shift)
@@ -533,7 +572,11 @@ class DownConv(nn.Module):
             else:
                 inv2, shift2 = identity_prologue(n)
             acts = _ffu.FlatActs(ys2, inv2, shift2)
-            if self.pooling:
+            if self.pooling and self.pool_form == "compact32":
+                comp = _ffu.pool_bnact_flat(ys2, inv2, shift2, H, W,
+                                            (0,) * n, aname, "compact32")
+                y = _ff64.PoolCompact32(comp, H // 2, W // 2)
+            elif self.pooling:
                 y = _ffu.pool_bnact_flat(ys2, inv2, shift2, H, W,
                                          (0,) * n, aname)
             else:
@@ -726,16 +769,25 @@ class UpConv(nn.Module):
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _fc.CC
-            B, Dd = dec.shape[0], dec.shape[1]
+            if isinstance(dec, _ff64.FlatActs64):
+                B, Dd = dec.chunks[0].shape[0], dec.chunks[0].shape[1]
+            else:
+                B, Dd = dec.shape[0], dec.shape[1]
             count = B * Dd * H * W
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
             nidx = 0
             wantu = batch and self.full_norm and train
-            yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
-                                   dtype=self.dtype,
-                                   param_dtype=self.param_dtype,
-                                   name="upconv")(dec)
+            if isinstance(dec, _ff64.FlatActs64):
+                yu, stu = _FusedUpconvF64(C, H, W, want_stats=wantu,
+                                          act=aname, dtype=self.dtype,
+                                          param_dtype=self.param_dtype,
+                                          name="upconv")(dec)
+            else:
+                yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name="upconv")(dec)
             if self.full_norm and batch:
                 su = _ffu.fold_lane_stats(stu[0]) if stu else None
                 qu = _ffu.fold_lane_stats(stu[1]) if stu else None
@@ -1012,6 +1064,28 @@ class UNet(nn.Module):
         UpCls = (nn.remat(UpConv, static_argnums=(3,), **remat_kw)
                  if self.checkpointing else UpConv)
 
+        # Plan per-level executors upfront from static shapes, so a
+        # producer can emit its consumer's native format (the L0 pool
+        # emits the compact32 form when L1 runs the fused64 executor).
+        if self.dim == 3:
+            pD, pH, pW = x.shape[1], x.shape[2], x.shape[3]
+        else:
+            pD, pH, pW = 1, x.shape[1], x.shape[2]
+        lvl_shape, lvl_fused, lvl_fused64 = [], [], []
+        for i in range(self.n_blocks):
+            planar_i = i in self.planar_blocks
+            ch = self.start_filts * (2 ** i)
+            pooling_i = i < self.n_blocks - 1
+            lvl_shape.append((pD, pH, pW))
+            lvl_fused.append(self._flat_fused_ok(planar_i, ch, pH, pW))
+            lvl_fused64.append(
+                (not lvl_fused[-1]) and self._flat_fused64_ok(
+                    planar_i, ch, pH, pW, pD, pooling_i))
+            if pooling_i:
+                pH, pW = -(-pH // 2), -(-pW // 2)
+                if not planar_i and self.dim == 3:
+                    pD = -(-pD // 2)
+
         encoder_outs = []
         encoder_hw = []   # (H, W) of each level (python ints, trace-time)
         outs = self.start_filts
@@ -1019,18 +1093,23 @@ class UNet(nn.Module):
             pooling = i < self.n_blocks - 1
             planar = i in self.planar_blocks
             outs = self.start_filts * (2 ** i)
-            H, W = (x.shape[2], x.shape[3]) if self.dim == 3 \
-                else (x.shape[1], x.shape[2])
-            fused = self._flat_fused_ok(planar, outs, H, W)
-            fused64 = ((not fused)
+            _, H, W = lvl_shape[i]
+            fused = lvl_fused[i]
+            fused64 = (lvl_fused64[i]
                        and not isinstance(x, (tuple, _ffu.FlatActs,
-                                              _ff64.FlatActs64))
-                       and self._flat_fused64_ok(
-                           planar, outs, H, W, x.shape[1], pooling))
+                                              _ff64.FlatActs64)))
             flat = (not fused and not fused64) \
                 and self._flat_level_ok(planar, outs, H, W)
+            # Emit the pool's compact form when the next level consumes
+            # it (fused64 conv1 with the single-chunk pool32 adapter).
+            pool_form = ("compact32"
+                         if (fused and pooling and outs == _fc.CC
+                             and i + 1 < self.n_blocks
+                             and lvl_fused64[i + 1])
+                         else "dense5")
             down = DownCls(outs, pooling=pooling, planar=planar,
                            flat=flat, fused=fused, fused64=fused64,
+                           pool_form=pool_form,
                            name=f"down_{i}", **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
@@ -1082,10 +1161,16 @@ class UNet(nn.Module):
                     x.chunks, x.inv, x.shift, *up_hw,
                     _act_name(self.activation))
             elif isinstance(x, _ff64.FlatActs64):
-                x = _ff64.materialize_flat_acts64(
-                    x.chunks, x.inv, x.shift, *up_hw,
-                    len(x.chunks) * _ff64.CC64,
-                    _act_name(self.activation))
+                # A fused planar up level can consume the FlatActs64
+                # decoder carry directly (upconv122_from_flat64).
+                keep64 = (up_fused and len(x.chunks) == 1
+                          and up_hw == (H // 2, W // 2)
+                          and (W // 2) % 2 == 0)
+                if not keep64:
+                    x = _ff64.materialize_flat_acts64(
+                        x.chunks, x.inv, x.shift, *up_hw,
+                        len(x.chunks) * _ff64.CC64,
+                        _act_name(self.activation))
             elif isinstance(x, tuple):  # previous up emitted flat chunks
                 x = _fc.from_flat(x, *up_hw, padded=True)
             up = UpCls(ins, outs, merge_mode=self.merge_mode,

@@ -693,21 +693,31 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
             dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str,
+                    out_form: str = "dense5"):
     """Prologue (BN-apply + act) + (1,2,2) max-pool from flat chunks to
-    a dense channels-last (B, D, H/2, W/2, C) tensor.
+    a dense channels-last (B, D, H/2, W/2, C) tensor — or, with
+    ``out_form='compact32'`` (nin == 1 only), the kernel's raw COMPACT
+    form (B, D, H/2 * G, 128): lanes [w-pair-even CC | w-pair-odd CC |
+    zeros]. The compact form is row- and group-aligned with the flat64
+    chunk layout of the pooled level (chunk64 row g covers pooled w'
+    in {2(g-1), 2(g-1)+1} = exactly compact row g's two lane halves),
+    so the fused64 conv1 consumes it with an in-kernel lane shuffle —
+    no XLA compose/relayout seam in either direction.
 
     Alignment: H % 2 == 0, W % 2 == 0 and (W/2 * C) % 128 == 0.
     Gradient note: exact float ties inside a pooling window route the
     cotangent to every tied element (XLA picks one); ties at the ReLU
     zero level are masked out, other ties are measure-zero.
     """
+    assert out_form in ("dense5", "compact32"), out_form
     nin = len(xs)
     C = nin * CC
     G, R, P = flat_geometry(H, W)
     H2, W2 = H // 2, W // 2
-    assert (W2 * C) % 128 == 0, (W2, C)
+    # Dense-row compose needs 128-aligned rows; the compact form doesn't.
+    assert out_form == "compact32" or (W2 * C) % 128 == 0, (W2, C)
     WRp = W2 * C // 128
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
@@ -740,15 +750,18 @@ def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str):
             for _ in range(nin)),
         interpret=_interpret(),
     )(*operands)
+    if out_form == "compact32":
+        assert nin == 1, "compact32 passthrough is single-chunk only"
+        return res if isinstance(res, (tuple, list)) else (res,)
     return _pool_compose_xla(res, H, G, W2, C)
 
 
-def _pool_fwd(xs, inv, shift, H, W, wrs, act):
-    out = pool_bnact_flat(xs, inv, shift, H, W, wrs, act)
+def _pool_fwd(xs, inv, shift, H, W, wrs, act, out_form="dense5"):
+    out = pool_bnact_flat(xs, inv, shift, H, W, wrs, act, out_form)
     return out, (xs, inv, shift, out)
 
 
-def _pool_bwd(H, W, wrs, act, res, dpool):
+def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
     xs, inv, shift, pooled = res
     nin = len(xs)
     C = nin * CC
@@ -769,9 +782,16 @@ def _pool_bwd(H, W, wrs, act, res, dpool):
         operands.append(x)
     # XLA decomposes dense -> compact on the quarter-res tensors so the
     # kernel's expand is pure duplication (measured: expand-from-dense
-    # chains cost ~2.5 ms in-kernel).
-    for arr in (_pool_decompose_xla(pooled, G, nin)
-                + _pool_decompose_xla(dpool.astype(dtype), G, nin)):
+    # chains cost ~2.5 ms in-kernel). In compact32 form both the saved
+    # output and the cotangent already ARE compact.
+    if out_form == "compact32":
+        comps = list(pooled) + [
+            (jnp.zeros_like(pooled[i]) if dp is None else dp.astype(dtype))
+            for i, dp in enumerate(dpool)]
+    else:
+        comps = (_pool_decompose_xla(pooled, G, nin)
+                 + _pool_decompose_xla(dpool.astype(dtype), G, nin))
+    for arr in comps:
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(arr.astype(dtype))

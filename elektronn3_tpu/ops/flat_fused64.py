@@ -204,11 +204,28 @@ def _slab_valid(z) -> jnp.ndarray:
     return jnp.float32(1.0)
 
 
+def _load_raw64(ref, form, *, R, P):
+    """Raw chunk slab -> (R, 128) rows in chunk64 lane layout.
+
+    'flat64': padded flat chunk, body rows.
+    'pool32': the L0 pool kernel's COMPACT output (32 real channels):
+    lanes [w-even ci32 | w-odd ci32 | 0 | 0] -> chunk64 lanes
+    [(j=0, ci32+pad) | (j=1, ci32+pad)] via a 32-lane roll + select.
+    """
+    if form == "pool32":
+        c = ref[0, 0, :, :].astype(jnp.float32)
+        rolled = jnp.concatenate([c[:, 96:], c[:, :96]], axis=-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        a = jnp.where(lane < 64, c, rolled)
+        return a * ((lane % 64) < CC64 // 2).astype(jnp.float32)
+    return ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+
+
 def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
-                     shift_l, mask_ref, act):
+                     shift_l, mask_ref, act, form="flat64"):
     """Load padded flat chunk slab view z, apply prologue, mask, store
     into scratch slot (pad rows pre-zeroed by caller)."""
-    a = ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    a = _load_raw64(ref, form, R=R, P=P)
     pre = a * inv_l[None, :] + shift_l[None, :]
     val = (_act_fwd(pre, act).reshape(H, G, 128)
            * mask_ref[...][None]).reshape(R, 128) * _slab_valid(z)
@@ -217,7 +234,7 @@ def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
 
 def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, out_dtype, act: str,
-                       want_stats: bool):
+                       want_stats: bool, forms):
     ins = refs[:nin * 3]                       # [i][z] slab views
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
         refs[nin * 3:nin * 3 + 6]
@@ -245,7 +262,7 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
                              Ps=Ps, H=H, inv_l=inv_ref[i],
                              shift_l=shift_ref[i], mask_ref=mask_ref,
-                             act=act)
+                             act=act, form=forms[i])
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     dims = (((1,), (0,)), ((), ()))
@@ -283,7 +300,7 @@ def _dpad(x):
 
 
 def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
-                     want_stats, act, nout):
+                     want_stats, act, nout, forms):
     w0, wc = wpk
     nin = len(xs)
     G, R, P = flat_geometry64(H, W)
@@ -294,13 +311,15 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
 
     kernel = functools.partial(
         _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
-        H=H, out_dtype=dtype, act=act, want_stats=want_stats)
+        H=H, out_dtype=dtype, act=act, want_stats=want_stats,
+        forms=forms)
 
     in_specs, operands = [], []
-    for x in xsp:
+    for x, form in zip(xsp, forms):
+        rows = R if form == "pool32" else R + 2 * P
         for z in range(3):
             in_specs.append(pl.BlockSpec(
-                (1, 1, R + 2 * P, 128),
+                (1, 1, rows, 128),
                 lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
                 memory_space=pltpu.VMEM))
             operands.append(x)
@@ -348,7 +367,7 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
 
 def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, act: str,
-                       want_stats: bool, x_dtype):
+                       want_stats: bool, x_dtype, forms):
     pos = 0
     ins = refs[pos:pos + nin * 3]; pos += nin * 3
     dys = refs[pos:pos + nout * 3]; pos += nout * 3
@@ -383,7 +402,7 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
                              Ps=Ps, H=H, inv_l=inv_ref[i],
                              shift_l=shift_ref[i], mask_ref=mask_ref,
-                             act=act)
+                             act=act, form=forms[i])
 
     # Stage B: dy_tot slabs (stats cotangent folded, masked)
     for o in range(nout):
@@ -425,16 +444,24 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         d_c, wcT[o, i, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         # prologue epilogue (center slab)
-        x = ins[i * 3 + 1][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        x = _load_raw64(ins[i * 3 + 1], forms[i], R=R, P=P)
         pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
         gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
             * _act_deriv(pre, act)
         dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
         dshift_ref[i, :] += jnp.sum(gm, axis=0)
         dx = gm * inv_ref[i][None, :]
-        dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
-        dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
-        dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+        if forms[i] == "pool32":
+            # Inverse of the pool32 lane shuffle: compact lanes
+            # [0:32] <- chunk64 [0:32], [32:64] <- chunk64 [64:96].
+            rolledL = jnp.concatenate([dx[:, 32:], dx[:, :32]], axis=-1)
+            dc = jnp.where(lane < CC64 // 2, dx, rolledL) \
+                * (lane < CC64).astype(jnp.float32)
+            dxs[i][0, 0, :, :] = dc.astype(x_dtype)
+        else:
+            dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+            dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+            dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
         # wgrad: a'[z]^T @ dy_tot[center] per tap
         for o in range(nout):
             dyc = dyt_s[o * 3 + 1, pl.ds(Ps, R), :]
@@ -454,9 +481,9 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
-                       want_stats: bool, act: str):
+                       want_stats: bool, act: str, forms=None):
     """Fused prologue + 3x3x3 'same' conv + stats side outputs on
     flat64 chunks.
 
@@ -469,21 +496,25 @@ def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
         (ys, stats): cout//64 padded flat64 chunks + per-lane f32
         (sum, sumsq) or None.
     """
+    forms = forms or ("flat64",) * len(xs)
     bias_l = _lane_bias64(b)
     ys, stats = _conv64_fwd_call(
         xs, inv, shift, pack_weights64(w), bias_l, width_mask64(W),
         H=H, W=W, want_stats=want_stats, act=act,
-        nout=w.shape[-1] // CC64)
+        nout=w.shape[-1] // CC64, forms=forms)
     return ys, stats
 
 
-def _conv64_fwd(xs, inv, shift, w, b, H, W, want_stats, act):
-    out = conv3_bnact_flat64(xs, inv, shift, w, b, H, W, want_stats, act)
+def _conv64_fwd(xs, inv, shift, w, b, H, W, want_stats, act,
+                forms=None):
+    out = conv3_bnact_flat64(xs, inv, shift, w, b, H, W, want_stats,
+                             act, forms)
     ys, _ = out
     return out, (xs, inv, shift, w, ys)
 
 
-def _conv64_bwd(H, W, want_stats, act, res, cts):
+def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
+    forms = forms or ("flat64",) * len(res[0])
     xs, inv, shift, w, ys = res
     dys_in, dstats = cts
     nin, nout = len(xs), len(ys)
@@ -503,16 +534,17 @@ def _conv64_bwd(H, W, want_stats, act, res, cts):
 
     kernel = functools.partial(
         _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
-        H=H, act=act, want_stats=want_stats, x_dtype=dtype)
+        H=H, act=act, want_stats=want_stats, x_dtype=dtype,
+        forms=forms)
 
     in_specs, operands = [], []
 
-    def addv(arr):
+    def addv(arr, rows=R + 2 * P):
         """Add 3 slab views of a D-padded array."""
         ap = _dpad(arr)
         for z in range(3):
             in_specs.append(pl.BlockSpec(
-                (1, 1, R + 2 * P, 128),
+                (1, 1, rows, 128),
                 lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
                 memory_space=pltpu.VMEM))
             operands.append(ap)
@@ -523,8 +555,8 @@ def _conv64_bwd(H, W, want_stats, act, res, cts):
             memory_space=pltpu.VMEM))
         operands.append(arr)
 
-    for x in xs:
-        addv(x)
+    for x, form in zip(xs, forms):
+        addv(x, rows=R if form == "pool32" else R + 2 * P)
     for dy in dys:
         addv(dy)
     if want_stats:
@@ -541,11 +573,12 @@ def _conv64_bwd(H, W, want_stats, act, res, cts):
 
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
-    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                              memory_space=pltpu.VMEM)
-                 for _ in range(nin)]
-    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
-                 for _ in range(nin)]
+    out_specs, out_shape = [], []
+    for form in forms:
+        rows = R if form == "pool32" else R + 2 * P
+        out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
     for shp in ((nin, 128), (nin, 128)):
         out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
@@ -1039,6 +1072,27 @@ upconv222_bn_flat64.defvjp(_upconv64_fwd, _upconv64_bwd)
 # ---------------------------------------------------------------------------
 
 @jax.tree_util.register_pytree_node_class
+class PoolCompact32:
+    """A pooled level's input held in the L0 pool kernel's compact
+    form (see flat_fused.pool_bnact_flat out_form='compact32'), with
+    the pooled level's (H, W) as static metadata. Consumed by
+    conv3_bnact_flat64 with forms=('pool32',)."""
+
+    def __init__(self, chunks, H: int, W: int):
+        self.chunks = tuple(chunks)
+        self.H = int(H)
+        self.W = int(W)
+
+    def tree_flatten(self):
+        return (self.chunks,), (self.H, self.W)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (chunks,) = children
+        return cls(chunks, aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
 class FlatActs64:
     """A C=64 level's activations in fused-flat form (raw conv output
     chunks + consumer prologue vectors)."""
@@ -1069,3 +1123,270 @@ def materialize_flat_acts64(chunks, inv, shift, H: int, W: int,
         outs.append((_act_fwd(pre, act) * rowmask[None, None]
                      ).astype(xc.dtype))
     return from_flat64(outs, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# (1,2,2)-stride-2 transposed conv (64 -> 32, the L0 decoder upconv)
+# consuming a flat64 chunk DIRECTLY (prologue + valid-row slice in
+# kernel) instead of a materialized dense 5D tensor. Output follows
+# flat_fused.upconv_bn_flat's convention: one CC=32 padded flat chunk
+# at (H, W) = (2*H1, 2*W1) plus optional stats. Removes the
+# materialize_flat_acts64 XLA seam between a fused64 decoder level and
+# the fused planar level above it. Reference models/unet.py:328-409.
+# ---------------------------------------------------------------------------
+
+def _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, *, G1, R1, P1,
+                        H1, W1, act):
+    """Chunk slab -> (a' (H1*WRd, 128), pre, x) with WRd = W1*64/128."""
+    x = chunk_ref[0, 0, pl.ds(P1, R1), :].astype(jnp.float32)
+    pre = x * inv_ref[0][None, :] + shift_ref[0][None, :]
+    a = _act_fwd(pre, act).reshape(H1, G1, 128)[:, 1:1 + W1 // JG64, :]
+    return a.reshape(H1 * (W1 // JG64), 128), pre, x
+
+
+def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
+                              m1_ref, mask_ref, bias_ref, out_ref,
+                              s_ref, q_ref, *, G: int, R: int, P: int,
+                              H: int, G1: int, R1: int, P1: int,
+                              H1: int, W1: int, WRd: int, out_dtype,
+                              act: str, want_stats: bool):
+    if want_stats:
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    S, _, _ = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, G1=G1,
+                                  R1=R1, P1=P1, H1=H1, W1=W1, act=act)
+    S = S.astype(out_dtype)
+    dims = (((1,), (0,)), ((), ()))
+    outE = jax.lax.dot_general(S, m0_ref[...], dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    outO = jax.lax.dot_general(S, m1_ref[...], dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    z1 = jnp.zeros((H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((H1, G - WRd - 1, 128), jnp.float32)
+    rows = jnp.concatenate(
+        [z1, outE.reshape(H1, WRd, 128), z2,
+         z1, outO.reshape(H1, WRd, 128), z2], axis=1)
+    y = rows.reshape(H, G, 128) + bias_ref[0][None, None, :]
+    y = (y * mask_ref[...][None]).reshape(R, 128)
+    yc = y.astype(out_dtype)
+    out_ref[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+    out_ref[0, 0, pl.ds(P, R)] = yc
+    out_ref[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+    if want_stats:
+        yf = yc.astype(jnp.float32)
+        s_ref[0, :] += jnp.sum(yf, axis=0)
+        q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
+                              shift_ref, m0_ref, m1_ref, mask_ref,
+                              ds_ref, dq_ref, dchunk, dM0, dM1, db,
+                              dinv_ref, dshift_ref, *, G: int, R: int,
+                              P: int, H: int, G1: int, R1: int,
+                              P1: int, H1: int, W1: int, WRd: int,
+                              want_stats: bool, x_dtype, act: str):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dM0[...] = jnp.zeros_like(dM0)
+        dM1[...] = jnp.zeros_like(dM1)
+        db[...] = jnp.zeros_like(db)
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    S, pre, x = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref,
+                                    G1=G1, R1=R1, P1=P1, H1=H1, W1=W1,
+                                    act=act)
+    Sc = S.astype(x_dtype)
+    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    if want_stats:
+        y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
+    dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+    db[0, :] += jnp.sum(dyt, axis=0)
+    d3 = dyt.reshape(H1, 2 * G, 128)
+    E = d3[:, 1:1 + WRd, :].reshape(H1 * WRd, 128).astype(x_dtype)
+    O = d3[:, G + 1:G + 1 + WRd, :].reshape(H1 * WRd, 128).astype(x_dtype)
+    dimsT = (((1,), (1,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    dS = jax.lax.dot_general(E, m0_ref[...], dimension_numbers=dimsT,
+                             preferred_element_type=jnp.float32) \
+        + jax.lax.dot_general(O, m1_ref[...], dimension_numbers=dimsT,
+                              preferred_element_type=jnp.float32)
+    dM0[...] += jax.lax.dot_general(Sc, E, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+    dM1[...] += jax.lax.dot_general(Sc, O, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+    # prologue backward: embed dS into the chunk's group layout
+    z1 = jnp.zeros((H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((H1, G1 - W1 // JG64 - 1, 128), jnp.float32)
+    demb = jnp.concatenate([z1, dS.reshape(H1, W1 // JG64, 128), z2],
+                           axis=1).reshape(R1, 128)
+    dpre = demb * _act_deriv(pre, act)
+    dinv_ref[0, :] += jnp.sum(dpre * x, axis=0)
+    dshift_ref[0, :] += jnp.sum(dpre, axis=0)
+    dx = dpre * inv_ref[0][None, :]
+    dchunk[0, 0, 0:P1] = jnp.zeros((P1, 128), x_dtype)
+    dchunk[0, 0, pl.ds(P1, R1)] = dx.astype(x_dtype)
+    dchunk[0, 0, P1 + R1:2 * P1 + R1] = jnp.zeros((P1, 128), x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
+                          want_stats: bool, act: str):
+    """(1,2,2)-stride-2 transposed conv (cin 64 -> cout 32) consuming
+    ONE flat64 chunk (+ its BN prologue) and emitting one CC=32 padded
+    flat chunk at (H, W) (flat_fused.upconv_bn_flat convention).
+
+    Args:
+        chunk: (B, D, R1 + 2*P1, 128) flat64 chunk at (H/2, W/2).
+        inv, shift: (1, 128) prologue lane vectors.
+        w: (1, 2, 2, 64, 32) flax ConvTranspose kernel; b: (32,).
+    """
+    from elektronn3_tpu.ops.flat_fused import (
+        pack_upconv_weights, flat_geometry, width_mask)
+    H1, W1 = H // 2, W // 2
+    assert W1 % 2 == 0, W1
+    G, R, P = flat_geometry(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    WRd = W1 * CC64 // 128
+    B, D = chunk.shape[0], chunk.shape[1]
+    dtype = chunk.dtype
+    M0, M1 = pack_upconv_weights(w)
+    bias_l = jnp.tile(b.reshape(-1, 32), (1, 4))
+
+    kernel = functools.partial(
+        _upconv122_f64_fwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
+        P1=P1, H1=H1, W1=W1, WRd=WRd, out_dtype=dtype, act=act,
+        want_stats=want_stats)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    operands = [chunk, inv.astype(jnp.float32),
+                shift.astype(jnp.float32), M0.astype(dtype),
+                M1.astype(dtype), width_mask(W).astype(jnp.float32),
+                bias_l.astype(jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    y, sst, qst = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    stats = (sst, qst) if want_stats else None
+    return (y,), stats
+
+
+def _upconv122_f64_fwd(chunk, inv, shift, w, b, H, W, want_stats, act):
+    out = upconv122_from_flat64(chunk, inv, shift, w, b, H, W,
+                                want_stats, act)
+    (y,), _ = out
+    return out, (chunk, inv, shift, w, y)
+
+
+def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
+    from elektronn3_tpu.ops.flat_fused import (
+        pack_upconv_weights, flat_geometry, width_mask)
+    chunk, inv, shift, w, y = res
+    (dy_in,), dstats = cts
+    H1, W1 = H // 2, W // 2
+    G, R, P = flat_geometry(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    WRd = W1 * CC64 // 128
+    B, D = chunk.shape[0], chunk.shape[1]
+    dtype = chunk.dtype
+    M0, M1 = pack_upconv_weights(w)
+    dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
+          else dy_in.astype(dtype))
+    ds, dq = (dstats if (want_stats and dstats is not None)
+              else (None, None))
+    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(
+        _upconv122_f64_bwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
+        P1=P1, H1=H1, W1=W1, WRd=WRd, want_stats=want_stats,
+        x_dtype=dtype, act=act)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    operands = [chunk, dy, y, inv.astype(jnp.float32),
+                shift.astype(jnp.float32), M0.astype(dtype),
+                M1.astype(dtype), width_mask(W).astype(jnp.float32),
+                ds, dq]
+    out_specs = [
+        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, R1 + 2 * P1, 128), dtype),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    ]
+    dchunk, dM0, dM1, dbl, dinv, dshift = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    # Adjoint of pack_upconv_weights (flat_fused convention).
+    dw = jnp.zeros((1, 2, 2, 64, 32), jnp.float32)
+    for a_, dM in ((0, dM0), (1, dM1)):
+        for j in range(4):
+            m_, p_ = j // 2, j % 2
+            dw = dw.at[0, 1 - a_, 1 - p_].add(
+                dM[m_ * 64:(m_ + 1) * 64, j * 32:(j + 1) * 32])
+    dbc = jnp.sum(dbl.reshape(4, 32), axis=0)
+    return (dchunk, dinv, dshift, dw.astype(w.dtype),
+            dbc.astype(w.dtype))
+
+
+upconv122_from_flat64.defvjp(_upconv122_f64_fwd, _upconv122_f64_bwd)

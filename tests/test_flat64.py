@@ -197,3 +197,58 @@ def test_fused64_unet_matches_standard_unet(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=2e-4 * scale), k1
+
+
+def test_pool_compact32_into_conv64(rng):
+    """L0 pool with out_form='compact32' feeds the fused64 conv1 via
+    the in-kernel lane shuffle (forms=('pool32',)): the chain matches
+    XLA pool + conv, gradients included."""
+    from elektronn3_tpu.ops import flat_conv as fc
+    from elektronn3_tpu.ops import flat_fused as ffu
+
+    B, D, H0, W0 = 1, 3, 8, 12           # L0 level (planar, C=32)
+    H, W = H0 // 2, W0 // 2              # pooled = L1 level
+    C0, C1 = 32, 64
+    x5 = jnp.asarray(rng.normal(size=(B, D, H0, W0, C0)), jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(C0,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(C0,)) * 0.2, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C0, C1)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(C1,)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, C1)), jnp.float32)
+
+    def lane32(v):
+        return jnp.stack([jnp.tile(v[i * 32:(i + 1) * 32], 4)
+                          for i in range(v.shape[0] // 32)])
+
+    def loss_ref(x5, inv_c, shift_c, w, b):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        p = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2, 1), (1, 1, 2, 2, 1),
+                                  "VALID")
+        y = _conv_ref(p, w) + b
+        return jnp.sum((y - tgt) ** 2)
+
+    def loss_chain(x5, inv_c, shift_c, w, b):
+        xs = fc.to_flat(x5)
+        compacts = ffu.pool_bnact_flat(
+            xs, lane32(inv_c), lane32(shift_c), H0, W0, (0,), "relu",
+            "compact32")
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 32), (0, 0)))
+        id_inv = jnp.ones((1, 128), jnp.float32)
+        id_shift = jnp.zeros((1, 128), jnp.float32)
+        ys, _ = f64.conv3_bnact_flat64(
+            tuple(compacts), id_inv, id_shift, wp, b, H, W, False,
+            "linear", ("pool32",))
+        y = f64.from_flat64(ys, H, W, C1)
+        return jnp.sum((y - tgt) ** 2)
+
+    l1 = loss_ref(x5, inv_c, shift_c, w, b)
+    l2 = loss_chain(x5, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-3 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_chain, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
