@@ -23,6 +23,10 @@ parser.add_argument("-r", "--resume", default=None,
                     help="state_dict*.ckpt to resume from")
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("-j", "--num-workers", type=int, default=4)
+parser.add_argument("--pallas-flat", default="auto",
+                    choices=["auto", "off"],
+                    help="fused Pallas executors (auto) or pure XLA "
+                         "(off) — A/B knob for kernel validation")
 parser.add_argument("--bf16", action="store_true",
                     help="bf16 mixed-precision compute")
 args = parser.parse_args()
@@ -93,7 +97,8 @@ preview_batch = get_preview_batch(
 model = UNet(
     in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
     planar_blocks=(0,), activation="relu", normalization="batch",
-    dim=3, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    dim=3, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    pallas_flat=(False if args.pallas_flat == "off" else "auto"))
 
 # Loss (reference :294-296)
 crit = CombinedLoss([CrossEntropyLoss(), DiceLoss(apply_softmax=True)],
