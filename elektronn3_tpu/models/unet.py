@@ -978,7 +978,10 @@ class UNet(nn.Module):
         """
         if self.pallas_flat is False:
             return False
-        if self.pallas_flat == "auto" and jax.default_backend() != "tpu":
+        if self.pallas_flat == "auto" and (
+                jax.default_backend() != "tpu"
+                or self.dtype != jnp.bfloat16):
+            # bf16-only in 'auto' mode — see _flat_fused64_ok.
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")
@@ -994,7 +997,12 @@ class UNet(nn.Module):
         (ops/flat_fused64.py — the headline model's L1 level.)"""
         if self.pallas_flat is False:
             return False
-        if self.pallas_flat == "auto" and jax.default_backend() != "tpu":
+        if self.pallas_flat == "auto" and (
+                jax.default_backend() != "tpu"
+                or self.dtype != jnp.bfloat16):
+            # 'auto' engages only for bf16 on TPU: the f32 kernels'
+            # VMEM working set exceeds the 16 MB scoped limit at
+            # production sizes (and f32 MXU rate is half anyway).
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")

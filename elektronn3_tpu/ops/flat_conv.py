@@ -63,6 +63,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot(a, b, **kw):
+    """dot_general with exact (HIGHEST) precision for f32 operands.
+
+    TPU matmuls at DEFAULT precision decompose f32 operands into bf16
+    passes; the fused kernels must match the interpret/reference f32
+    numerics when running an f32 model (pallas_flat=True). bf16
+    operands keep the default path (exact bf16 MACs, f32 accumulate).
+    """
+    if a.dtype == jnp.float32:
+        kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a, b, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Geometry helpers
 # ---------------------------------------------------------------------------
@@ -194,17 +207,17 @@ def _flat_conv_kernel(*refs, kd: int, nin: int, nout: int, G: int, R: int,
                 for t in range(3):
                     off = P + (t - 1) * G
                     a = a_ref[0, 0, pl.ds(off, R), :]
-                    y = y + jax.lax.dot_general(
+                    y = y + _dot(
                         a, w0_ref[i, o, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
                     # group-crossing taps (kw = 2 from the next group's
                     # first w; kw = 0 from the previous group's last w)
                     a_hi = a_ref[0, 0, pl.ds(off + 1, R), 0:CC]
-                    yc3 = yc3 + jax.lax.dot_general(
+                    yc3 = yc3 + _dot(
                         a_hi, wp_ref[i, o, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
                     a_lo = a_ref[0, 0, pl.ds(off - 1, R), 128 - CC:128]
-                    yc0 = yc0 + jax.lax.dot_general(
+                    yc0 = yc0 + _dot(
                         a_lo, wm_ref[i, o, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         y = y + jnp.concatenate(
@@ -327,15 +340,15 @@ def _wgrad_kernel(*refs, kd: int, nin: int, nout: int, G: int, R: int,
                 for t in range(3):
                     off = P + (t - 1) * G
                     a = a_ref[0, 0, pl.ds(off, R), :]
-                    m0[i, o, z, t] += jax.lax.dot_general(
+                    m0[i, o, z, t] += _dot(
                         a, dy, dimension_numbers=cdims,
                         preferred_element_type=jnp.float32)
                     a_hi = a_ref[0, 0, pl.ds(off + 1, R), 0:CC]
-                    mp[i, o, z, t] += jax.lax.dot_general(
+                    mp[i, o, z, t] += _dot(
                         a_hi, dy[:, 128 - CC:128], dimension_numbers=cdims,
                         preferred_element_type=jnp.float32)
                     a_lo = a_ref[0, 0, pl.ds(off - 1, R), 128 - CC:128]
-                    mm[i, o, z, t] += jax.lax.dot_general(
+                    mm[i, o, z, t] += _dot(
                         a_lo, dy[:, 0:CC], dimension_numbers=cdims,
                         preferred_element_type=jnp.float32)
 

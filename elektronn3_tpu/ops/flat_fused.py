@@ -64,6 +64,19 @@ from elektronn3_tpu.ops.flat_conv import (
 LEAKY_SLOPE = 0.1  # matches modules/layers.py leaky_relu01
 
 
+def _dot(a, b, **kw):
+    """dot_general with exact (HIGHEST) precision for f32 operands.
+
+    TPU matmuls at DEFAULT precision decompose f32 operands into bf16
+    passes; the fused kernels must match the interpret/reference f32
+    numerics when running an f32 model (pallas_flat=True). bf16
+    operands keep the default path (exact bf16 MACs, f32 accumulate).
+    """
+    if a.dtype == jnp.float32:
+        kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a, b, **kw)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -185,15 +198,15 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
             for t in range(3):
                 off = Ps + (t - 1) * G
                 a = scratch[i, pl.ds(off, R), :]
-                y = y + jax.lax.dot_general(
+                y = y + _dot(
                     a, w0_ref[i, o, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
                 a_hi = scratch[i, pl.ds(off + 1, R), 0:CC]
-                yc3 = yc3 + jax.lax.dot_general(
+                yc3 = yc3 + _dot(
                     a_hi, wp_ref[i, o, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
                 a_lo = scratch[i, pl.ds(off - 1, R), 128 - CC:128]
-                yc0 = yc0 + jax.lax.dot_general(
+                yc0 = yc0 + _dot(
                     a_lo, wm_ref[i, o, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
         y = y + jnp.concatenate(
@@ -340,15 +353,15 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             for t in range(3):
                 off = Ps + (t - 1) * G
                 dyv = dyt_s[o, pl.ds(off, R), :]
-                g = g + jax.lax.dot_general(
+                g = g + _dot(
                     dyv, w0T[o, i, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
                 d_hi = dyt_s[o, pl.ds(off + 1, R), 0:CC]
-                gc3 = gc3 + jax.lax.dot_general(
+                gc3 = gc3 + _dot(
                     d_hi, wpT[o, i, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
                 d_lo = dyt_s[o, pl.ds(off - 1, R), 128 - CC:128]
-                gc0 = gc0 + jax.lax.dot_general(
+                gc0 = gc0 + _dot(
                     d_lo, wmT[o, i, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
         g = g + jnp.concatenate(
@@ -381,15 +394,15 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 off = Ps + (t - 1) * G
                 a = a_s[i, pl.ds(off, R), :]
                 dyv = dyt_s[o, pl.ds(Ps, R), :]
-                m0[i, o, 0, t] += jax.lax.dot_general(
+                m0[i, o, 0, t] += _dot(
                     a, dyv, dimension_numbers=cdims,
                     preferred_element_type=jnp.float32)
                 a_hi = a_s[i, pl.ds(off + 1, R), 0:CC]
-                mp[i, o, 0, t] += jax.lax.dot_general(
+                mp[i, o, 0, t] += _dot(
                     a_hi, dyv[:, 128 - CC:128], dimension_numbers=cdims,
                     preferred_element_type=jnp.float32)
                 a_lo = a_s[i, pl.ds(off - 1, R), 128 - CC:128]
-                mm[i, o, 0, t] += jax.lax.dot_general(
+                mm[i, o, 0, t] += _dot(
                     a_lo, dyv[:, 0:CC], dimension_numbers=cdims,
                     preferred_element_type=jnp.float32)
 
@@ -881,9 +894,9 @@ def _upconv_fwd_kernel(*refs, G: int, R: int, P: int, H: int, WRd: int,
     H1 = H // 2
     S = dec_ref[0, 0, :, :]                         # (H1*WRd, 128)
     dims = (((1,), (0,)), ((), ()))
-    outE = jax.lax.dot_general(S, m0_ref[...], dimension_numbers=dims,
+    outE = _dot(S, m0_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
-    outO = jax.lax.dot_general(S, m1_ref[...], dimension_numbers=dims,
+    outO = _dot(S, m1_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
     z1 = jnp.zeros((H1, 1, 128), jnp.float32)
     z2 = jnp.zeros((H1, G - WRd - 1, 128), jnp.float32)
@@ -937,14 +950,14 @@ def _upconv_bwd_kernel(*refs, G: int, R: int, P: int, H: int, WRd: int,
     cdims = (((0,), (0,)), ((), ()))
     Ec = E.astype(S.dtype)
     Oc = O.astype(S.dtype)
-    dd = jax.lax.dot_general(Ec, m0_ref[...], dimension_numbers=dimsT,
+    dd = _dot(Ec, m0_ref[...], dimension_numbers=dimsT,
                              preferred_element_type=jnp.float32) \
-        + jax.lax.dot_general(Oc, m1_ref[...], dimension_numbers=dimsT,
+        + _dot(Oc, m1_ref[...], dimension_numbers=dimsT,
                               preferred_element_type=jnp.float32)
     ddec[0, 0, :, :] = dd.astype(x_dtype)
-    dM0[...] += jax.lax.dot_general(S, Ec, dimension_numbers=cdims,
+    dM0[...] += _dot(S, Ec, dimension_numbers=cdims,
                                     preferred_element_type=jnp.float32)
-    dM1[...] += jax.lax.dot_general(S, Oc, dimension_numbers=cdims,
+    dM1[...] += _dot(S, Oc, dimension_numbers=cdims,
                                     preferred_element_type=jnp.float32)
 
 
@@ -1102,6 +1115,9 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
         for j in range(JG):
             wbig = wbig.at[j * CC:(j + 1) * CC,
                            j * cout:(j + 1) * cout].set(wblk)
+        # Memory-bound head GEMM: default precision on purpose (the
+        # logits feed a softmax loss; f32-HIGHEST would slow the bf16
+        # model's head ~2x for no training benefit).
         ys.append(jax.lax.dot_general(
             a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))     # (B, D, R, JG*cout)
@@ -1192,7 +1208,7 @@ def _conv1_fwd_kernel(x_ref, s_ref, bias_ref, mask_ref, out_ref,
     dims = (((1,), (0,)), ((), ()))
     y = jnp.zeros((H, G * 128), jnp.float32)
     for dh, a_dh in enumerate(_row_shifts(a)):
-        y = y + jax.lax.dot_general(
+        y = y + _dot(
             a_dh, s_ref[dh], dimension_numbers=dims,
             preferred_element_type=jnp.float32)
     y = y.reshape(H, G, 128) + bias_ref[0][None, None, :]
@@ -1228,11 +1244,11 @@ def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
     da = jnp.zeros((H, 128), jnp.float32)
     z = jnp.zeros((1, 128), jnp.float32)
     for dh, a_dh in enumerate(_row_shifts(a)):
-        dsel_ref[dh] += jax.lax.dot_general(
+        dsel_ref[dh] += _dot(
             a_dh, dyh, dimension_numbers=cdims,
             preferred_element_type=jnp.float32)
         # dA[h + dh - 1] += dy[h] @ S[dh]^T
-        t = jax.lax.dot_general(dyh, s_ref[dh], dimension_numbers=ddims,
+        t = _dot(dyh, s_ref[dh], dimension_numbers=ddims,
                                 preferred_element_type=jnp.float32)
         if dh == 0:
             da = da + jnp.concatenate([t[1:], z], axis=0)

@@ -61,6 +61,19 @@ JG64 = 2
 W_OFF64 = 2
 
 
+def _dot(a, b, **kw):
+    """dot_general with exact (HIGHEST) precision for f32 operands.
+
+    TPU matmuls at DEFAULT precision decompose f32 operands into bf16
+    passes; the fused kernels must match the interpret/reference f32
+    numerics when running an f32 model (pallas_flat=True). bf16
+    operands keep the default path (exact bf16 MACs, f32 accumulate).
+    """
+    if a.dtype == jnp.float32:
+        kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a, b, **kw)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -274,13 +287,13 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     a = a_s[slot, pl.ds(off, R), :]
-                    y = y + jax.lax.dot_general(
+                    y = y + _dot(
                         a, w0_ref[i, o, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
                     a_hi = a_s[slot, pl.ds(off + 1, R), :]
                     a_lo = a_s[slot, pl.ds(off - 1, R), :]
                     a_c = jnp.where(lane < CC64, a_hi, a_lo)
-                    y = y + jax.lax.dot_general(
+                    y = y + _dot(
                         a_c, wc_ref[i, o, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         y = y + bias_ref[o][None, :]
@@ -434,13 +447,13 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     dyv = dyt_s[slot, pl.ds(off, R), :]
-                    g = g + jax.lax.dot_general(
+                    g = g + _dot(
                         dyv, w0T[o, i, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
                     d_hi = dyt_s[slot, pl.ds(off + 1, R), :]
                     d_lo = dyt_s[slot, pl.ds(off - 1, R), :]
                     d_c = jnp.where(lane < CC64, d_hi, d_lo)
-                    g = g + jax.lax.dot_general(
+                    g = g + _dot(
                         d_c, wcT[o, i, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         # prologue epilogue (center slab)
@@ -470,13 +483,13 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     a = a_s[slot, pl.ds(off, R), :]
-                    m0[i, o, z, t] += jax.lax.dot_general(
+                    m0[i, o, z, t] += _dot(
                         a, dyc, dimension_numbers=cdims,
                         preferred_element_type=jnp.float32)
                     a_hi = a_s[slot, pl.ds(off + 1, R), :]
                     a_lo = a_s[slot, pl.ds(off - 1, R), :]
                     a_c = jnp.where(lane < CC64, a_hi, a_lo)
-                    mc[i, o, z, t] += jax.lax.dot_general(
+                    mc[i, o, z, t] += _dot(
                         a_c, dyc, dimension_numbers=cdims,
                         preferred_element_type=jnp.float32)
 
@@ -870,7 +883,7 @@ def _upconv64_fwd_kernel(dec_ref, m00, m01, m10, m11, mask_ref,
     for az in range(2):
         Ys = []
         for ah in range(2):
-            Y = jax.lax.dot_general(S, mats[az][ah][...],
+            Y = _dot(S, mats[az][ah][...],
                                     dimension_numbers=dims,
                                     preferred_element_type=jnp.float32)
             Ys.append(Y.reshape(H1, W1, 128))
@@ -923,10 +936,10 @@ def _upconv64_bwd_kernel(dec_ref, dy_ref, y_ref, m00, m01, m10, m11,
         for ah in range(2):
             blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
             Yg = blk.reshape(H1 * W1, 128).astype(S.dtype)
-            dd = dd + jax.lax.dot_general(
+            dd = dd + _dot(
                 Yg, mats[az][ah][...], dimension_numbers=dimsT,
                 preferred_element_type=jnp.float32)
-            dmats[az][ah][...] += jax.lax.dot_general(
+            dmats[az][ah][...] += _dot(
                 S, Yg, dimension_numbers=cdims,
                 preferred_element_type=jnp.float32)
     ddec[0, 0, :, :] = dd.astype(x_dtype)
@@ -1163,9 +1176,9 @@ def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
                                   R1=R1, P1=P1, H1=H1, W1=W1, act=act)
     S = S.astype(out_dtype)
     dims = (((1,), (0,)), ((), ()))
-    outE = jax.lax.dot_general(S, m0_ref[...], dimension_numbers=dims,
+    outE = _dot(S, m0_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
-    outO = jax.lax.dot_general(S, m1_ref[...], dimension_numbers=dims,
+    outO = _dot(S, m1_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
     z1 = jnp.zeros((H1, 1, 128), jnp.float32)
     z2 = jnp.zeros((H1, G - WRd - 1, 128), jnp.float32)
@@ -1216,13 +1229,13 @@ def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
     O = d3[:, G + 1:G + 1 + WRd, :].reshape(H1 * WRd, 128).astype(x_dtype)
     dimsT = (((1,), (1,)), ((), ()))
     cdims = (((0,), (0,)), ((), ()))
-    dS = jax.lax.dot_general(E, m0_ref[...], dimension_numbers=dimsT,
+    dS = _dot(E, m0_ref[...], dimension_numbers=dimsT,
                              preferred_element_type=jnp.float32) \
-        + jax.lax.dot_general(O, m1_ref[...], dimension_numbers=dimsT,
+        + _dot(O, m1_ref[...], dimension_numbers=dimsT,
                               preferred_element_type=jnp.float32)
-    dM0[...] += jax.lax.dot_general(Sc, E, dimension_numbers=cdims,
+    dM0[...] += _dot(Sc, E, dimension_numbers=cdims,
                                     preferred_element_type=jnp.float32)
-    dM1[...] += jax.lax.dot_general(Sc, O, dimension_numbers=cdims,
+    dM1[...] += _dot(Sc, O, dimension_numbers=cdims,
                                     preferred_element_type=jnp.float32)
     # prologue backward: embed dS into the chunk's group layout
     z1 = jnp.zeros((H1, 1, 128), jnp.float32)
