@@ -27,6 +27,7 @@ import optax
 
 from elektronn3_tpu.models.unet import UNet
 from elektronn3_tpu.modules import CEDiceLoss
+from elektronn3_tpu.utils.timing import sync_overhead_s
 
 REFERENCE_GPU_BASELINE_VOX_S = 8.7e6  # documented estimate, see docstring
 
@@ -75,15 +76,19 @@ def main():
             params, batch_stats, opt_state, x, y)
     float(loss)
 
+    # Measure the drain-read (device->host fetch) overhead at runtime
+    # instead of hardcoding the relay's RTT — ~0 on a real TPU host,
+    # ~35 ms through the axon relay (docs/design.md "Measurement
+    # calibration"). It is host-link cost, not device time.
+    rtt = sync_overhead_s()
+
     t0 = time.perf_counter()
     for _ in range(STEPS):
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, y)
     final_loss = float(loss)  # full pipeline drain
-    # Subtract the axon relay's calibrated ~35 ms device->host RTT for
-    # the final drain read (docs/design.md "Measurement calibration") —
-    # a real TPU host does not pay it, and it is not device time.
-    dt = time.perf_counter() - t0 - 0.035
+    dt_raw = time.perf_counter() - t0
+    dt = dt_raw - rtt
     assert np.isfinite(final_loss)
 
     vox_per_step = int(np.prod(shape))
@@ -93,6 +98,8 @@ def main():
         "value": round(vox_s, 1),
         "unit": "vox/s",
         "vs_baseline": round(vox_s / REFERENCE_GPU_BASELINE_VOX_S, 3),
+        "raw_value": round(vox_per_step * STEPS / dt_raw, 1),
+        "sync_overhead_ms": round(rtt * 1e3, 2),
     }))
 
 

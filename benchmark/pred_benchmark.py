@@ -6,10 +6,14 @@ and 3D (8,1,80,80,80) inputs x {fp32, bf16}, timed reps after warmup,
 prints average MVox/s. (bf16 replaces the reference's fp16 — the TPU's
 native half precision.)
 
-Timing methodology (CLAUDE.md): reps are scan-chained inside one jit
-program with a loop-carried perturbation (prevents hoisting), one host
-sync at the end, and the axon relay's ~35 ms D2H RTT subtracted — so
-the number is true device time per forward.
+Timing methodology (CLAUDE.md): two numbers are printed per config.
+The 'device-only' number scan-chains the reps inside one jit program
+with a loop-carried perturbation (prevents hoisting), one host sync at
+the end, minus the MEASURED drain-read overhead — true device time per
+forward. The 'per-call' number times separate dispatched forwards like
+the reference harness (reference pred_benchmark.py:93-99) and is the
+apples-to-apples figure (through the axon relay it includes relay
+round trips a real host would not pay).
 """
 
 import argparse
@@ -25,13 +29,15 @@ parser.add_argument("--reps", type=int, default=20)
 args = parser.parse_args()
 
 from elektronn3_tpu.models.unet import UNet, init_unet
+from elektronn3_tpu.utils.timing import sync_overhead_s
 
 CONFIGS = [
     ("2d", (8, 640, 640, 1), dict(dim=2)),
     ("3d", (8, 80, 80, 80, 1), dict(dim=3, planar_blocks=(0,))),
 ]
 
-RTT = 0.035  # axon relay D2H round trip (calibrated, docs/design.md)
+RTT = sync_overhead_s()  # measured drain-read overhead (~0 off-relay)
+print(f"(measured sync overhead: {RTT * 1e3:.1f} ms)")
 
 for name, shape, mkw in CONFIGS:
     for dtype_name, dtype in [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]:
@@ -58,5 +64,16 @@ for name, shape, mkw in CONFIGS:
         float(jnp.sum(out))
         dt = (time.perf_counter() - t0 - RTT) / args.reps
         mvx = np.prod(shape) / dt / 1e6
-        print(f"UNet {name} {dtype_name}: {mvx:.2f} MVox/s "
-              f"({dt * 1e3:.2f} ms / batch)")
+
+        # Reference-style per-call timing: separate dispatched forwards
+        # with a sync each (reference pred_benchmark.py:93-99).
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        float(jnp.sum(fwd(variables, x)))  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            float(jnp.sum(fwd(variables, x)))
+        dt_call = (time.perf_counter() - t0) / args.reps
+        mvx_call = np.prod(shape) / dt_call / 1e6
+        print(f"UNet {name} {dtype_name}: {mvx:.2f} MVox/s device-only "
+              f"({dt * 1e3:.2f} ms / batch); "
+              f"{mvx_call:.2f} MVox/s per-call ({dt_call * 1e3:.2f} ms)")

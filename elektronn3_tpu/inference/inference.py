@@ -229,9 +229,9 @@ class Predictor:
         self.argmax_with_threshold = argmax_with_threshold
         self.strict_shapes = strict_shapes
         self.verbose = verbose
-        # Integer specs are resolved lazily in predict(): the 2D vs 3D
-        # default table depends on the input rank (a 3D axis id of 4
-        # would be the channel axis of a channels-last 2D tensor).
+        # Integer specs are resolved per call from the input rank (the
+        # 2D vs 3D default table depends on it) — never written back,
+        # so one Predictor is shareable across volumes of any rank.
         self.augmentations = augmentations
 
         # Resolve the model into an apply callable on channels-last
@@ -265,6 +265,10 @@ class Predictor:
         else:
             self._auto_offset = False
         self.offset = None if offset is None else tuple(offset)
+        # Auto-probed offsets, keyed by input rank (the conv shrinkage
+        # is rank-dependent but shape-independent); written only after a
+        # successful probe so a failed predict leaves no stale state.
+        self._offset_by_rank: Dict[int, Tuple[int, ...]] = {}
 
         # Multi-chip sharding (SURVEY.md §7 step 6):
         # - shard_mode='spatial': shard one spatial axis of the volume
@@ -312,16 +316,28 @@ class Predictor:
 
     # -- device-side forward on channels-last tiles ---------------------
 
+    def _resolve_augmentations(self, ndim: int):
+        """Resolve an int TTA spec against the input rank (N,C,*spatial
+        ndim == channels-last ndim). Pure — no instance mutation, so the
+        jit trace cache (keyed on input shape/rank) stays consistent."""
+        aug = self.augmentations
+        if isinstance(aug, int):
+            defaults = (DEFAULT_AUGMENTATIONS_3D if ndim >= 5
+                        else DEFAULT_AUGMENTATIONS_2D)
+            aug = defaults[:aug]
+        return aug or ()
+
     def _forward_cl(self, x_cl: jnp.ndarray) -> jnp.ndarray:
         if self.float16:
             x_cl = x_cl.astype(jnp.bfloat16)
         out = self._apply_fn(x_cl)
-        if self.augmentations:
+        augmentations = self._resolve_augmentations(x_cl.ndim)
+        if augmentations:
             # Flip-TTA: average predictions over spatial-flip variants
             # (reference FlipAugment, inference.py:215-243). Axis ids in
             # the spec are NC(D)HW-based; convert to channels-last.
             n_total = out.astype(jnp.float32)
-            for axes in self.augmentations:
+            for axes in augmentations:
                 if not axes:
                     continue
                 cl_axes = tuple(a - 1 for a in axes)  # NCDHW ax -> NDHWC ax
@@ -329,7 +345,7 @@ class Predictor:
                 o = self._apply_fn(flipped)
                 o = jnp.flip(o, cl_axes)
                 n_total = n_total + o.astype(jnp.float32)
-            out = n_total / (1 + sum(1 for a in self.augmentations if a))
+            out = n_total / (1 + sum(1 for a in augmentations if a))
         out = out.astype(jnp.float32)
         if self.apply_softmax:
             out = jax.nn.softmax(out, axis=-1)
@@ -375,13 +391,10 @@ class Predictor:
             while inp.ndim < len(self.out_shape):
                 inp = inp[None]
 
-        if isinstance(self.augmentations, int):
-            defaults = (DEFAULT_AUGMENTATIONS_3D if inp.ndim >= 5
-                        else DEFAULT_AUGMENTATIONS_2D)
-            self.augmentations = defaults[:self.augmentations]
-        if self.augmentations:
+        augmentations = self._resolve_augmentations(inp.ndim)
+        if augmentations:
             # Axis ids are NC(D)HW-based; spatial axes are 2..ndim-1.
-            for axes in self.augmentations:
+            for axes in augmentations:
                 bad = [a for a in axes if not 2 <= a < inp.ndim]
                 if bad:
                     raise ValueError(
@@ -396,12 +409,17 @@ class Predictor:
                 tr.append(t)
             inp = np.stack(tr)
 
-        if self._auto_offset and self.offset is None:
-            probe = np.zeros_like(inp[:1])
-            pout = self._predict(probe)
-            self.offset = tuple(
-                (np.array(inp.shape[2:]) - np.array(pout.shape[2:])) // 2)
-            logger.info(f"Auto-detected offset: {self.offset}")
+        offset_spec = self.offset
+        if self._auto_offset and offset_spec is None:
+            offset_spec = self._offset_by_rank.get(inp.ndim)
+            if offset_spec is None:
+                probe = np.zeros_like(inp[:1])
+                pout = self._predict(probe)
+                offset_spec = tuple(
+                    (np.array(inp.shape[2:])
+                     - np.array(pout.shape[2:])) // 2)
+                self._offset_by_rank[inp.ndim] = offset_spec
+                logger.info(f"Auto-detected offset: {offset_spec}")
 
         out_channels = self.out_channels
         if out_channels is None:
@@ -409,8 +427,8 @@ class Predictor:
             out_channels = probe.shape[1]
             self.out_channels = out_channels
 
-        offset = np.zeros(inp.ndim - 2, np.int64) if self.offset is None \
-            else np.array(self.offset)
+        offset = np.zeros(inp.ndim - 2, np.int64) if offset_spec is None \
+            else np.array(offset_spec)
         out_spatial = np.array(inp.shape[2:]) - 2 * offset
         out_shape = np.array(
             (inp.shape[0], out_channels, *out_spatial))

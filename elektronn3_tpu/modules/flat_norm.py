@@ -132,7 +132,10 @@ class FlatBNStats(nn.Module):
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
-        inv_c = jax.lax.rsqrt(var + self.epsilon) * scale
+        # The sum/sumsq formulation can go slightly negative from
+        # cancellation over millions of voxels; clamp before rsqrt
+        # (running stats above keep the raw value for flax parity).
+        inv_c = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon) * scale
         shift_c = bias - mean * inv_c
         inv = jnp.stack([jnp.tile(inv_c[i * cc:(i + 1) * cc], jg)
                          for i in range(n_chunks)])

@@ -25,8 +25,10 @@ measured XLA L0 throughput, with dense HBM traffic).
 
 Width padding contract: the image occupies w in [W_OFF, W_OFF + W);
 columns outside are ZERO and every consumer must keep them zero (the
-kernel masks its output; see `width_mask`). W_OFF = 2 so 'same'
-conv taps never wrap into the previous/next h row. Row padding: P =
+kernel masks its output; see `width_mask`). W_OFF = JG (= 4) keeps
+'same' conv taps from wrapping into the previous/next h row AND makes
+flat rows ROW-ALIGNED with dense channels-last rows (see the W_OFF
+constant below for the alignment identity). Row padding: P =
 G + 1 zero rows before/after each (b, d) slab; kd handled by z-shifted
 views of a depth-padded array.
 

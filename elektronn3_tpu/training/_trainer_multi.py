@@ -61,24 +61,27 @@ class TrainerMulti(Trainer):
                 state, inp, target, rng, weight)
             grad_accum = jax.tree_util.tree_map(
                 jnp.add, grad_accum, grads)
-            new_state = TrainState(params=state.params, batch_stats=new_bs,
-                                   opt_state=state.opt_state,
-                                   step=state.step)
-            return new_state, loss, grad_accum
+            # Return only what changed (batch_stats, loss, grad_accum);
+            # params/opt_state passthrough outputs would break donation
+            # matching for the donated grad_accum buffers.
+            return new_bs, loss, grad_accum
 
-        def apply_step(state, grad_accum, lr, n_accum):
+        def apply_step(params, opt_state, grad_accum, lr, n_accum):
             grads = jax.tree_util.tree_map(
                 lambda g: g / n_accum, grad_accum)
-            opt_state = state.opt_state
             if hasattr(opt_state, "hyperparams"):
                 opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = optimizer.update(
-                grads, opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params=params, batch_stats=state.batch_stats,
-                              opt_state=opt_state, step=state.step + 1)
+                grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state
 
-        self._accum_step_jit = jax.jit(accum_step)
+        # Donate only buffers with a matching output to alias: grad_accum
+        # in the accumulate step (updated in place), params/opt_state in
+        # the apply step. grad_accum has NO output in apply_step and
+        # batch_stats passes through untouched — donating either would
+        # trigger "donated buffers were not usable".
+        self._accum_step_jit = jax.jit(accum_step, donate_argnums=(5,))
         self._apply_step_jit = jax.jit(apply_step, donate_argnums=(0, 1))
         return None  # train loop drives the two-phase steps directly
 
@@ -110,8 +113,11 @@ class TrainerMulti(Trainer):
                 w = np.where(np.isfinite(m), m, 1.0).mean()
                 weight = jnp.asarray(w, jnp.float32)
             self._rng, step_rng = jax.random.split(self._rng)
-            self.state, loss, grad_accum = self._accum_step_jit(
+            new_bs, loss, grad_accum = self._accum_step_jit(
                 self.state, inp, target, step_rng, weight, grad_accum)
+            self.state = TrainState(
+                params=self.state.params, batch_stats=new_bs,
+                opt_state=self.state.opt_state, step=self.state.step)
             n_accum += 1
             # Delayed loss fetch: read the PREVIOUS step's loss so the
             # device queue never drains on a host round trip (same
@@ -124,9 +130,12 @@ class TrainerMulti(Trainer):
             pending_loss = loss
             if n_accum >= self.optimizer_iterations:
                 lr = self.lr_scheduler.get_lr()
-                self.state = self._apply_step_jit(
-                    self.state, grad_accum,
+                params, opt_state = self._apply_step_jit(
+                    self.state.params, self.state.opt_state, grad_accum,
                     jnp.asarray(lr, jnp.float32), float(n_accum))
+                self.state = TrainState(
+                    params=params, batch_stats=self.state.batch_stats,
+                    opt_state=opt_state, step=self.state.step + 1)
                 grad_accum = self._zero_grads()
                 n_accum = 0
                 self.step += 1

@@ -140,6 +140,36 @@ def _tb_log_sample_images(trainer, images: dict,
         _tb_log_sample_videos(trainer, images, group=group)
 
 
+def _tb_log_sample_images_all_img(trainer, images: dict,
+                                  z_plane: Optional[int] = None,
+                                  group: str = "sample") -> None:
+    """Plot EVERY array in ``images`` as 2D grayscale figures,
+    splitting multi-channel arrays per channel. Reference
+    handlers.py:450-480 (_tb_log_sample_images_all_img)."""
+    if trainer.tb is None:
+        return
+    images = dict(images)
+    fname = images.pop("fname", None)
+    name = fname[0] if fname else ""
+    for key, img in images.items():
+        if img is None:
+            continue
+        img = np.asarray(img)[:1]
+        if img.ndim == 3:  # (N, H, W) dense targets
+            img = img[:, None]
+        batch2img = _get_batch2img_function(img, z_plane)
+        img2d = batch2img(img)
+        if img2d.shape[0] == 1:
+            fig = plot_image(img2d[0], cmap="gray", filename=name or key)
+            _fig_to_tb(trainer.tb, f"{group}/{key}", fig, trainer.step)
+        else:
+            for c in range(img2d.shape[0]):
+                fig = plot_image(img2d[c], cmap="gray",
+                                 filename=name or f"{key}{c}")
+                _fig_to_tb(trainer.tb, f"{group}/{key}{c}", fig,
+                           trainer.step)
+
+
 def _tb_log_sample_videos(trainer, images: dict,
                           group: str = "sample") -> None:
     """3D samples as 2D videos over the D axis (reference

@@ -88,6 +88,11 @@ class Trainer:
         valid_metrics: dict name -> Evaluator callable.
         preview_batch / preview_interval / inference_kwargs: preview
             inference via the Predictor (trainer.py:988-1003).
+        preview_tile_shape / preview_overlap_shape / preview_offset:
+            tiling spec for the preview Predictor (reference
+            trainer.py:156-165); None = whole-volume inference.
+        nan_check_interval: steps between batched loss fetches / NaN
+            checks (1 = reference per-step behavior).
         extra_save_steps: additional snapshot steps (trainer.py:170).
         mixed_precision: bf16 compute (model must be built with
             dtype=jnp.bfloat16 for full effect; loss stays f32).
@@ -142,6 +147,7 @@ class Trainer:
             seed: int = 0,
             tqdm_kwargs: Optional[Dict] = None,
             profile_steps: Optional[Tuple[int, int]] = None,
+            nan_check_interval: int = 10,
     ):
         self.model = model
         self.criterion = criterion
@@ -184,7 +190,14 @@ class Trainer:
 
         self.step = 0
         self.epoch = 0
-        self._loss_fetch_interval = 10  # batched device->host loss reads
+        # Losses are fetched (and NaN-checked) every nan_check_interval
+        # steps in ONE stacked transfer — a larger interval keeps the
+        # device queue fuller but lets up to interval-1 NaN steps run
+        # before the abort; 1 restores the reference's per-step sync
+        # (reference trainer.py:535-537).
+        if nan_check_interval < 1:
+            raise ValueError("nan_check_interval must be >= 1")
+        self._loss_fetch_interval = nan_check_interval
         self._lr_nhood = []  # recent LRs for LR-minimum detection
         self.best_val_loss = inf
         self.swa: Optional[SWA] = None
@@ -619,6 +632,9 @@ class Trainer:
                                             None if target is None
                                             else jnp.asarray(target))
             val_loss.append(float(loss))
+            # Keep the last validation batch for TB sample images
+            # (reference logs val_samples each epoch, trainer.py:936-938).
+            self._last_val_sample = (inp, target, out)
             if target is None:
                 continue
             if streaming:
@@ -686,22 +702,28 @@ class Trainer:
                 self.sample_plotting_handler(self)
             except Exception:
                 logger.exception("sample_plotting_handler failed")
-        elif getattr(self, "_last_sample", None) is not None:
-            # Default sample-image logging (reference
-            # handlers._tb_log_sample_images, trainer.py:925-929).
-            try:
-                from elektronn3_tpu.training import handlers
-                inp, target, out = self._last_sample
-                images = {
-                    "inp": np.moveaxis(np.asarray(inp), -1, 1),
-                    "target": None if target is None
-                    else np.asarray(target),
-                    "out": np.moveaxis(np.asarray(out), -1, 1),
-                }
-                handlers._tb_log_sample_images(self, images,
-                                               group="train_samples")
-            except Exception:
-                logger.exception("default sample plotting failed")
+        else:
+            # Default sample-image logging of the last training AND
+            # validation batches (reference handlers._tb_log_sample_images
+            # calls, trainer.py:925-938).
+            for attr, group in (("_last_sample", "train_samples"),
+                                ("_last_val_sample", "val_samples")):
+                sample = getattr(self, attr, None)
+                if sample is None:
+                    continue
+                try:
+                    from elektronn3_tpu.training import handlers
+                    inp, target, out = sample
+                    images = {
+                        "inp": np.moveaxis(np.asarray(inp), -1, 1),
+                        "target": None if target is None
+                        else np.asarray(target),
+                        "out": np.moveaxis(np.asarray(out), -1, 1),
+                    }
+                    handlers._tb_log_sample_images(self, images,
+                                                   group=group)
+                except Exception:
+                    logger.exception("default sample plotting failed")
         if self.tb_hist_interval \
                 and self.epoch % self.tb_hist_interval == 0:
             try:
@@ -755,12 +777,22 @@ class Trainer:
 
     def _run_preview_inference(self):
         from elektronn3_tpu.inference import Predictor
+        # Preview tiling spec (reference trainer.py:988-1003 passes
+        # tile/overlap/offset into its Predictor); explicit
+        # inference_kwargs win over the preview_* constructor args.
+        pkw = {k: v for k, v in self.inference_kwargs.items()
+               if k != "apply_softmax"}
+        if self.preview_tile_shape is not None:
+            pkw.setdefault("tile_shape", self.preview_tile_shape)
+        if self.preview_overlap_shape is not None:
+            pkw.setdefault("overlap_shape", self.preview_overlap_shape)
+        if self.preview_offset is not None:
+            pkw.setdefault("offset", self.preview_offset)
         predictor = Predictor(
             model=self.model,
             state={"params": self.state.params,
                    "batch_stats": self.state.batch_stats},
-            **{k: v for k, v in self.inference_kwargs.items()
-               if k != "apply_softmax"})
+            **pkw)
         inp = self.preview_batch
         out = predictor.predict(inp)
         if self.preview_plotting_handler is not None:

@@ -146,6 +146,12 @@ def test_predictor_valid_conv_offset(rng):
     pr = Predictor(model=model, state=variables, offset="auto")
     inp = rng.normal(size=(1, 1, 20, 20)).astype(np.float32)
     out = pr.predict(inp)
-    # 1-block valid UNet shrinks by 2 convs * 2 px = 4 total, 2 per side
-    assert pr.offset == (2, 2)
+    # 1-block valid UNet shrinks by 2 convs * 2 px = 4 total, 2 per side.
+    # Probed offsets live in a rank-keyed cache (self.offset stays as
+    # configured so one Predictor serves volumes of any rank).
+    assert pr._offset_by_rank[4] == (2, 2)
+    assert pr.offset is None
     assert out.shape == (1, 2, 16, 16)
+    # Second predict on the same rank reuses the cached offset.
+    out2 = pr.predict(inp)
+    assert out2.shape == (1, 2, 16, 16)
