@@ -248,6 +248,15 @@ class Predictor:
         else:
             assert state is not None, \
                 "state (variables dict) required with a flax Module"
+            if isinstance(state, str):
+                # Reference torch checkpoint (state_dict*.pth / model*.pt,
+                # reference inference.py:418-440): convert into flax
+                # variables for this model (models/torch_import.py).
+                from elektronn3_tpu.models.torch_import import \
+                    load_torch_state_dict
+                state = load_torch_state_dict(
+                    state, model,
+                    example_input_shape=self._probe_shape(model))
             variables = dict(state)
             mdl = model
             if self.out_channels is None:
@@ -313,6 +322,18 @@ class Predictor:
                 f"got {shard_mode!r}")
         else:
             self._jit_forward = jax.jit(self._forward_cl)
+
+    @staticmethod
+    def _probe_shape(model):
+        """A minimal valid channels-last input shape for initializing a
+        model's parameter template (shapes only — values are zeros)."""
+        dim = getattr(model, "dim", 3)
+        n_blocks = getattr(model, "n_blocks", 4)
+        in_ch = getattr(model, "in_channels", 1)
+        s = 2 ** max(int(n_blocks), 1)
+        if getattr(model, "conv_mode", "same") == "valid":
+            s *= 8  # headroom for per-level conv shrinkage
+        return (1,) + (s,) * int(dim) + (int(in_ch),)
 
     # -- device-side forward on channels-last tiles ---------------------
 
