@@ -160,7 +160,18 @@ class KnossosLabels(Dataset):
         if not self.kzip_paths:
             raise FileNotFoundError(
                 f"No .k.zip files found in {self.dir_path_label}")
-        self._bounds = [self._get_file_bounds(p) for p in self.kzip_paths]
+        # Group annotation files by identical movement-area bounds: all
+        # kzips covering the same region are label-SUMMED per patch and
+        # contradicting voxels zeroed (reference
+        # knossos_labels.py:93-133 file_bounds grouping + overlap
+        # zeroing in _get_data).
+        groups: dict = {}
+        for p in self.kzip_paths:
+            lo, hi = self._get_file_bounds(p)
+            key = (tuple(lo), tuple(hi))
+            groups.setdefault(key, []).append(p)
+        self._bounds = [(np.array(lo), np.array(hi)) for lo, hi in groups]
+        self._group_paths = list(groups.values())
         sizes = [float(np.prod(hi - lo)) for lo, hi in self._bounds]
         self._weights = np.array(sizes) / np.sum(sizes)
 
@@ -173,21 +184,42 @@ class KnossosLabels(Dataset):
         hi = lo + np.array(area_sz) // self.mag
         return lo, hi
 
-    def _get_data(self, kzip_path, lo, size):
-        label = self.kd_label.from_kzip_to_matrix(
-            kzip_path, size=tuple(size), offset=tuple(lo), mag=self.mag,
-            verbose=False, show_progress=False)
+    def _get_data(self, kzip_paths, lo, size):
+        """Load a raw patch + the merged labels of every kzip covering
+        these bounds. Labels are summed; voxels labeled non-background
+        by more than one annotation file contradict and are zeroed with
+        a count warning (reference knossos_labels.py:110-133)."""
+        label_sum = None
+        nonbg_count = None
+        for kzip_path in kzip_paths:
+            label = np.asarray(self.kd_label.from_kzip_to_matrix(
+                kzip_path, size=tuple(size), offset=tuple(lo),
+                mag=self.mag, verbose=False, show_progress=False))
+            if label_sum is None:
+                label_sum = label.copy()
+                nonbg_count = (label != 0).astype(np.int32)
+            else:
+                label_sum = label_sum + label
+                nonbg_count += label != 0
+        conflicts = nonbg_count > 1
+        n_conflicts = int(conflicts.sum())
+        if n_conflicts:
+            logger.warning(
+                f"Detected {n_conflicts} overlapping/contradicting label "
+                f"voxels across {len(kzip_paths)} annotation files at "
+                f"offset {tuple(lo)}; setting them to background.")
+            label_sum[conflicts] = 0
         raw = self.kd_raw.load_raw(offset=tuple(lo), size=tuple(size),
                                    mag=self.mag)
-        return raw, label
+        return raw, label_sum
 
     def __getitem__(self, index: int):
-        fi = np.random.choice(len(self.kzip_paths), p=self._weights)
+        fi = np.random.choice(len(self._group_paths), p=self._weights)
         lo, hi = self._bounds[fi]
         span = hi - lo - self.patch_shape
         off = lo + np.array([np.random.randint(0, max(s, 1))
                              for s in span])
-        raw, label = self._get_data(self.kzip_paths[fi], off,
+        raw, label = self._get_data(self._group_paths[fi], off,
                                     self.patch_shape)
         label = np.asarray(label, np.int64) - self.label_offset
         if self.label_order is not None:

@@ -122,6 +122,45 @@ def test_labels_bounds_weights_and_reorder(fake_knossos, tmp_path):
     assert len(ds) == 7
 
 
+def test_labels_multi_kzip_merge_and_conflict_zeroing(fake_knossos,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """Two kzips with IDENTICAL bounds are grouped; their labels sum,
+    and voxels annotated non-background in both are zeroed (reference
+    knossos_labels.py:110-133)."""
+    (tmp_path / "c.k.zip").touch()
+    (tmp_path / "d.k.zip").touch()
+
+    class KD2(fake_knossos):
+        def get_movement_area(self, kzip_path):
+            return (0, 0, 0), (16, 16, 16)  # same bounds for both files
+
+        def from_kzip_to_matrix(self, kzip_path, size, offset, mag=1,
+                                verbose=False, show_progress=False):
+            m = np.zeros(size, np.int64)
+            if "c.k.zip" in kzip_path:
+                m[0] = 1          # plane 0: only c -> survives as 1
+                m[1] = 2          # plane 1: c=2, d=3 -> conflict -> 0
+            else:
+                m[1] = 3
+                m[2] = 4          # plane 2: only d -> survives as 4
+            return m
+
+    monkeypatch.setattr(kn, "KnossosDataset", KD2)
+    ds = kn.KnossosLabels(
+        "conf_l", "conf_r", str(tmp_path), patch_shape=(4, 4, 4),
+        epoch_size=3)
+    assert len(ds._group_paths) == 1          # grouped by bounds
+    assert len(ds._group_paths[0]) == 2
+    raw, label = ds._get_data(ds._group_paths[0], (0, 0, 0), (4, 4, 4))
+    assert np.all(label[0] == 1)              # exclusive c annotation
+    assert np.all(label[1] == 0)              # contradiction zeroed
+    assert np.all(label[2] == 4)              # exclusive d annotation
+    np.random.seed(0)
+    s = ds[0]
+    assert s["target"].shape == (4, 4, 4)
+
+
 def test_labels_requires_kzips(fake_knossos, tmp_path):
     with pytest.raises(FileNotFoundError):
         kn.KnossosLabels("c", "c", str(tmp_path), patch_shape=(4, 4, 4))
