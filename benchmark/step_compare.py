@@ -20,6 +20,9 @@ p = argparse.ArgumentParser()
 p.add_argument("--steps", type=int, default=20)
 p.add_argument("--batch", type=int, default=8)
 p.add_argument("--patch", type=int, nargs=3, default=(44, 88, 88))
+p.add_argument("--logit-bf16", action="store_true",
+               help="emit bf16 logits (UNet logit_dtype=bf16)")
+p.add_argument("--only", choices=["xla", "fused"], default=None)
 args = p.parse_args()
 
 BATCH = args.batch
@@ -29,7 +32,8 @@ PATCH = tuple(args.patch)
 def measure(pallas_flat):
     model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
                  planar_blocks=(0,), dim=3, normalization="batch",
-                 dtype=jnp.bfloat16, pallas_flat=pallas_flat)
+                 dtype=jnp.bfloat16, pallas_flat=pallas_flat,
+                 logit_dtype=jnp.bfloat16 if args.logit_bf16 else None)
     crit = CEDiceLoss(1.0, 1.0)
     shape = (BATCH,) + PATCH + (1,)
     rng = np.random.default_rng(0)
@@ -70,6 +74,11 @@ def measure(pallas_flat):
     return dt
 
 
-t_xla = measure(False)
-t_fused = measure("auto")
-print(f"speedup: {t_xla/t_fused:.2f}x")
+if args.only == "xla":
+    measure(False)
+elif args.only == "fused":
+    measure("auto")
+else:
+    t_xla = measure(False)
+    t_fused = measure("auto")
+    print(f"speedup: {t_xla/t_fused:.2f}x")

@@ -250,10 +250,13 @@ class _Im2colConv(nn.Module):
 
 
 class _FusedConv64(nn.Module):
-    """Fused prologue + 3x3x3 conv + stats side outputs on flat64
-    chunks (ops/flat_fused64.conv3_bnact_flat64). Param tree matches
-    nn.Conv (kernel (3,3,3,cin_real,features) + bias); cin is
-    zero-padded up to the chunk multiple inside."""
+    """Fused prologue + 3x3x3 (or planar (1,3,3) / 2D 3x3) conv +
+    stats side outputs on flat64 chunks
+    (ops/flat_fused64.conv3_bnact_flat64). Param tree matches nn.Conv
+    for the same block in the non-fused path (kernel
+    (kd,3,3,cin_real,features) for dim=3, (3,3,cin_real,features) for
+    dim=2) so checkpoints interop; cin is zero-padded up to the chunk
+    multiple inside."""
     features: int
     H: int
     W: int
@@ -261,18 +264,28 @@ class _FusedConv64(nn.Module):
     want_stats: bool
     act: str
     forms: Optional[Tuple[str, ...]] = None
+    kd: int = 3
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs, inv, shift):
-        kernel = self.param("kernel", _kernel_init,
-                            (3, 3, 3, self.cin_real, self.features),
-                            self.param_dtype)
+        if self.dim == 2:
+            kernel = self.param("kernel", _kernel_init,
+                                (3, 3, self.cin_real, self.features),
+                                self.param_dtype)
+            w = kernel[None]
+        else:
+            kernel = self.param("kernel", _kernel_init,
+                                (self.kd, 3, 3, self.cin_real,
+                                 self.features),
+                                self.param_dtype)
+            w = kernel
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         cpad = len(xs) * _ff64.CC64 - self.cin_real
-        w = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
         return _ff64.conv3_bnact_flat64(
             tuple(xs), inv, shift, w, bias, self.H, self.W,
             self.want_stats, self.act, self.forms)
@@ -411,6 +424,7 @@ class _FusedHead(nn.Module):
     act: str
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    out_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, chunks, inv, shift):
@@ -422,7 +436,8 @@ class _FusedHead(nn.Module):
                           (self.features,), self.param_dtype)
         return _ffu.head_bnact_from_flat(
             chunks, inv, shift, kernel.astype(self.dtype),
-            bias.astype(self.dtype), self.H, self.W, self.act)
+            bias.astype(self.dtype), self.H, self.W, self.act,
+            out_dtype=self.out_dtype)
 
 
 class DownConv(nn.Module):
@@ -948,6 +963,11 @@ class UNet(nn.Module):
     pallas_flat: Union[bool, str] = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # Output logit dtype. None = float32 (reference semantics). For
+    # bf16 models, jnp.bfloat16 halves the HBM traffic of the logit
+    # volume (written once, read by the loss fwd+bwd) — the losses in
+    # modules/loss.py upcast internally, so training math stays f32.
+    logit_dtype: Optional[Dtype] = None
 
     def _flat_level_ok(self, planar: bool, channels: int, H: int,
                        W: int) -> bool:
@@ -1196,6 +1216,7 @@ class UNet(nn.Module):
                            act=_act_name(self.activation),
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
+                           out_dtype=self.logit_dtype or jnp.float32,
                            name="conv_final")(x.chunks, x.inv, x.shift)
         elif isinstance(x, _ff64.FlatActs64):
             # C=64 level feeding the head directly (no planar L0):
@@ -1216,7 +1237,7 @@ class UNet(nn.Module):
             x = nn.Conv(self.out_channels, (1,) * self.dim,
                         kernel_init=_kernel_init, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_final")(x)
-        return x.astype(jnp.float32)
+        return x.astype(self.logit_dtype or jnp.float32)
 
 
 def init_unet(model: UNet, input_shape: Sequence[int],

@@ -71,6 +71,9 @@ def cross_entropy(output: jnp.ndarray, target: jnp.ndarray,
     ignore_index, used everywhere the reference drivers use CE.
     """
     num_classes = output.shape[-1]
+    # Upcast on load: bf16-logit models (UNet logit_dtype=bf16) keep
+    # loss math in f32; for f32 logits this is a no-op.
+    output = output.astype(jnp.float32)
     logp = jax.nn.log_softmax(output, axis=-1)
     onehot = _as_onehot(output, target)
     if label_smoothing > 0:
@@ -131,6 +134,7 @@ class DiceLoss:
         self.smooth = smooth
 
     def __call__(self, output, target):
+        output = output.astype(jnp.float32)  # f32 math for bf16 logits
         probs = jax.nn.softmax(output, axis=-1) if self.apply_softmax else output
         return dice_loss(probs, target, weight=self.weight, smooth=self.smooth)
 
@@ -208,6 +212,7 @@ class CEDiceLoss:
         self.smooth = smooth
 
     def __call__(self, output, target):
+        output = output.astype(jnp.float32)  # f32 math for bf16 logits
         onehot = _as_onehot(output, target)
         logp = jax.nn.log_softmax(output, axis=-1)
         probs = jnp.exp(logp)

@@ -181,6 +181,21 @@ def pack_flat_weights(w: jnp.ndarray):
     return w0, chunked(2), chunked(0)
 
 
+def combine_corner_weights(wp: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
+    """(wplus, wminus) CCxCC corner blocks -> ONE anti-diagonal
+    (..., 128, 128) combined-corner weight (flat64's trick,
+    flat_fused64.py pack_weights64): the operand lane-selects rows
+    off+1 into lanes 0:CC and rows off-1 into lanes 96:128, so
+    [0:CC, 96:128] = wplus (j1=0 -> j2=JG-1) and [96:128, 0:CC] =
+    wminus (j1=JG-1 -> j2=0). One full-occupancy 128x128 matmul
+    replaces two CC-wide matmuls with misaligned narrow loads."""
+    shape = wp.shape[:-2] + (128, 128)
+    wc = jnp.zeros(shape, wp.dtype)
+    wc = wc.at[..., 0:CC, 128 - CC:128].set(wp)
+    wc = wc.at[..., 128 - CC:128, 0:CC].set(wm)
+    return wc
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------

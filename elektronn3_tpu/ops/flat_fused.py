@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from elektronn3_tpu.ops.flat_conv import (
     CC, JG, W_OFF, flat_geometry, pad_width, width_mask,
-    pack_flat_weights, _flip_transpose,
+    pack_flat_weights, combine_corner_weights, _flip_transpose,
 )
 
 LEAKY_SLOPE = 0.1  # matches modules/layers.py leaky_relu01
@@ -163,10 +163,10 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                        Ps: int, H: int, wrs, out_dtype, act: str,
                        want_stats: bool):
     ins = refs[:nin]
-    w0_ref, wp_ref, wm_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
-        refs[nin:nin + 7]
-    outs = refs[nin + 7:nin + 7 + nout]
-    idx = nin + 7 + nout
+    w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
+        refs[nin:nin + 6]
+    outs = refs[nin + 6:nin + 6 + nout]
+    idx = nin + 6 + nout
     if want_stats:
         s_ref, q_ref = refs[idx:idx + 2]
         scratches = refs[idx + 2:]
@@ -189,11 +189,10 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                        Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
                        mask_ref=mask_ref, act=act)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     dims = (((1,), (0,)), ((), ()))
     for o in range(nout):
         y = jnp.zeros((R, 128), jnp.float32)
-        yc0 = jnp.zeros((R, CC), jnp.float32)
-        yc3 = jnp.zeros((R, CC), jnp.float32)
         for i in range(nin):
             for t in range(3):
                 off = Ps + (t - 1) * G
@@ -201,16 +200,14 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                 y = y + _dot(
                     a, w0_ref[i, o, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                a_hi = scratch[i, pl.ds(off + 1, R), 0:CC]
-                yc3 = yc3 + _dot(
-                    a_hi, wp_ref[i, o, 0, t], dimension_numbers=dims,
+                # Combined corner: ONE anti-diagonal matmul for both
+                # group-crossing taps (see combine_corner_weights).
+                a_hi = scratch[i, pl.ds(off + 1, R), :]
+                a_lo = scratch[i, pl.ds(off - 1, R), :]
+                a_c = jnp.where(lane < CC, a_hi, a_lo)
+                y = y + _dot(
+                    a_c, wc_ref[i, o, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                a_lo = scratch[i, pl.ds(off - 1, R), 128 - CC:128]
-                yc0 = yc0 + _dot(
-                    a_lo, wm_ref[i, o, 0, t], dimension_numbers=dims,
-                    preferred_element_type=jnp.float32)
-        y = y + jnp.concatenate(
-            [yc0, jnp.zeros((R, 128 - 2 * CC), jnp.float32), yc3], axis=-1)
         y = y + bias_ref[o][None, :]
         y = (y.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
         yc = y.astype(out_dtype)
@@ -226,6 +223,7 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
 def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
                    want_stats, act, nout):
     w0, wplus, wminus = wpk
+    wcomb = combine_corner_weights(wplus, wminus)
     nin = len(xs)
     G, R, P = flat_geometry(H, W)
     Ps = G + 8
@@ -244,7 +242,7 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
                                      lambda b, d: (b, d, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(x)
-    for warr in (w0, wplus, wminus):
+    for warr in (w0, wcomb):
         in_specs.append(pl.BlockSpec(warr.shape,
                                      lambda b, d, nd=warr.ndim: (0,) * nd,
                                      memory_space=pltpu.VMEM))
@@ -292,22 +290,22 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
 def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                            P: int, Ps: int, H: int, wrs, act: str,
                            want_stats: bool, x_dtype):
-    # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wp,wm),
+    # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wc),
     #         mask, inv, shift, ds, dq
-    # outputs: dxs[nin], dinv, dshift, m0, mp, mm, db
+    # outputs: dxs[nin], dinv, dshift, m0, mc, db
     # scratch: a' (nin, Rps, 128), dyt (nout, Rps, 128)
     pos = 0
     ins = refs[pos:pos + nin]; pos += nin
     dys = refs[pos:pos + nout]; pos += nout
     ys = refs[pos:pos + nout] if want_stats else ()
     pos += nout if want_stats else 0
-    w0T, wpT, wmT = refs[pos:pos + 3]; pos += 3
+    w0T, wcT = refs[pos:pos + 2]; pos += 2
     mask_ref = refs[pos]; pos += 1
     inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
     if want_stats:
         ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
     dxs = refs[pos:pos + nin]; pos += nin
-    dinv_ref, dshift_ref, m0, mp, mm, db = refs[pos:pos + 6]; pos += 6
+    dinv_ref, dshift_ref, m0, mc, db = refs[pos:pos + 5]; pos += 5
     a_s, dyt_s = refs[pos:pos + 2]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -317,8 +315,7 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         dinv_ref[...] = jnp.zeros_like(dinv_ref)
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
         m0[...] = jnp.zeros_like(m0)
-        mp[...] = jnp.zeros_like(mp)
-        mm[...] = jnp.zeros_like(mm)
+        mc[...] = jnp.zeros_like(mc)
         db[...] = jnp.zeros_like(db)
 
     # Stage A: recompute normalized/activated inputs a' into scratch
@@ -342,13 +339,13 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
         db[o, :] += jnp.sum(dy, axis=0)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     dims = (((1,), (0,)), ((), ()))
     cdims = (((0,), (0,)), ((), ()))
     for i in range(nin):
         # dgrad: conv of dy_tot with flipped/transposed weights
+        # (combined-corner form, same structure as the forward)
         g = jnp.zeros((R, 128), jnp.float32)
-        gc0 = jnp.zeros((R, CC), jnp.float32)
-        gc3 = jnp.zeros((R, CC), jnp.float32)
         for o in range(nout):
             for t in range(3):
                 off = Ps + (t - 1) * G
@@ -356,16 +353,12 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 g = g + _dot(
                     dyv, w0T[o, i, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                d_hi = dyt_s[o, pl.ds(off + 1, R), 0:CC]
-                gc3 = gc3 + _dot(
-                    d_hi, wpT[o, i, 0, t], dimension_numbers=dims,
+                d_hi = dyt_s[o, pl.ds(off + 1, R), :]
+                d_lo = dyt_s[o, pl.ds(off - 1, R), :]
+                d_c = jnp.where(lane < CC, d_hi, d_lo)
+                g = g + _dot(
+                    d_c, wcT[o, i, 0, t], dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                d_lo = dyt_s[o, pl.ds(off - 1, R), 128 - CC:128]
-                gc0 = gc0 + _dot(
-                    d_lo, wmT[o, i, 0, t], dimension_numbers=dims,
-                    preferred_element_type=jnp.float32)
-        g = g + jnp.concatenate(
-            [gc0, jnp.zeros((R, 128 - 2 * CC), jnp.float32), gc3], axis=-1)
         # prologue epilogue: da' -> (dx, dinv, dshift)
         wr = wrs[i]
         if wr:
@@ -388,7 +381,9 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
             dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
             dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
-        # wgrad: a'^T dy_tot per tap block
+        # wgrad: a'^T dy_tot per tap block; the combined-corner
+        # accumulator's useful blocks are [0:CC, 96:128] (= wplus grad,
+        # a_hi lanes x dy high lanes) and [96:128, 0:CC] (= wminus).
         for o in range(nout):
             for t in range(3):
                 off = Ps + (t - 1) * G
@@ -397,18 +392,20 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                 m0[i, o, 0, t] += _dot(
                     a, dyv, dimension_numbers=cdims,
                     preferred_element_type=jnp.float32)
-                a_hi = a_s[i, pl.ds(off + 1, R), 0:CC]
-                mp[i, o, 0, t] += _dot(
-                    a_hi, dyv[:, 128 - CC:128], dimension_numbers=cdims,
-                    preferred_element_type=jnp.float32)
-                a_lo = a_s[i, pl.ds(off - 1, R), 128 - CC:128]
-                mm[i, o, 0, t] += _dot(
-                    a_lo, dyv[:, 0:CC], dimension_numbers=cdims,
+                a_hi = a_s[i, pl.ds(off + 1, R), :]
+                a_lo = a_s[i, pl.ds(off - 1, R), :]
+                a_c = jnp.where(lane < CC, a_hi, a_lo)
+                mc[i, o, 0, t] += _dot(
+                    a_c, dyv, dimension_numbers=cdims,
                     preferred_element_type=jnp.float32)
 
 
-def _unpack_wgrad(m0, mp, mm, nin, nout):
-    """Tap-block accumulators -> dw (1, 3, 3, cin, cout) f32."""
+def _unpack_wgrad(m0, mc, nin, nout):
+    """Tap-block accumulators -> dw (1, 3, 3, cin, cout) f32. mc is the
+    combined-corner accumulator; its anti-diagonal blocks carry the
+    wplus/wminus grads."""
+    mp = mc[..., 0:CC, 128 - CC:128]
+    mm = mc[..., 128 - CC:128, 0:CC]
     cin, cout = nin * CC, nout * CC
     dw = jnp.zeros((1, 3, 3, cin, cout), jnp.float32)
     for kw in range(3):
@@ -471,7 +468,8 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
     mask = width_mask(W)
-    wT = pack_flat_weights(_flip_transpose(w))
+    w0T, wpT, wmT = pack_flat_weights(_flip_transpose(w))
+    wT = (w0T, combine_corner_weights(wpT, wmT))
 
     # Incoming cotangents may be symbolic zeros; concretize.
     dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
@@ -520,8 +518,7 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
     for shp in ((nin, 128), (nin, 128)):
         out_specs.append(pl.BlockSpec(shp, const2, memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
-    for shp in ((nin, nout, 1, 3, 128, 128), (nin, nout, 1, 3, CC, CC),
-                (nin, nout, 1, 3, CC, CC)):
+    for shp in ((nin, nout, 1, 3, 128, 128), (nin, nout, 1, 3, 128, 128)):
         out_specs.append(pl.BlockSpec(
             shp, lambda b_, d_, nd=len(shp): (0,) * nd,
             memory_space=pltpu.VMEM))
@@ -541,8 +538,8 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
-    dinv, dshift, m0, mp, mm, db = res_[nin:nin + 6]
-    dw = _unpack_wgrad(m0, mp, mm, nin, nout).astype(w.dtype)
+    dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    dw = _unpack_wgrad(m0, mc, nin, nout).astype(w.dtype)
     dbc = jnp.sum(db.reshape(nout, JG, CC), axis=1).reshape(-1)
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
 
@@ -1091,9 +1088,12 @@ upconv_bn_flat.defvjp(_upconv_fwd, _upconv_bwd)
 # into the einsum). Reference models/unet.py conv_final.
 # ---------------------------------------------------------------------------
 
-def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
+def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str,
+                         out_dtype=jnp.float32):
     """1x1 conv head consuming flat chunks with a BN-apply +
-    activation prologue, emitting (B, D, H, W, cout) f32 logits.
+    activation prologue, emitting (B, D, H, W, cout) logits in
+    ``out_dtype`` (f32 default; bf16 halves the logit volume's HBM
+    traffic for bf16 models — losses upcast internally).
 
     Formulated as ONE lane-contraction GEMM per chunk with
     block-diagonal weights Wbig[(j, ci), (j', co)] = w[ci, co] iff
@@ -1123,7 +1123,7 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str):
             preferred_element_type=jnp.float32))     # (B, D, R, JG*cout)
     y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG)
     y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
-    return y
+    return y.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -155,38 +155,41 @@ def fold_lane_stats64(s: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def pack_weights64(w: jnp.ndarray):
-    """(3, 3, 3, cin, cout) -> (w0, wc), each (nin, nout, 3, 3, 128, 128).
+    """(kd, 3, 3, cin, cout) -> (w0, wc), each
+    (nin, nout, kd, 3, 128, 128); kd in {1, 3} (3 = full 3D, 1 =
+    planar levels — e.g. C=64 planar blocks and every 2D-model level).
 
     w0: within-row blocks [(j1, ci), (j2, co)] = w[z, t, 1 + j1 - j2].
     wc: combined corner — [0:64, 64:128] = w[z, t, 2] (row g+1 j1=0 ->
     j2=1), [64:128, 0:64] = w[z, t, 0] (row g-1 j1=1 -> j2=0)."""
     kd, kh, kw_, cin, cout = w.shape
-    assert kd == 3 and kh == 3 and kw_ == 3, w.shape
+    assert kd in (1, 3) and kh == 3 and kw_ == 3, w.shape
     nin, nout = cin // CC64, cout // CC64
 
     def blk(kw):
-        b = w[:, :, kw].reshape(3, 3, nin, CC64, nout, CC64)
+        b = w[:, :, kw].reshape(kd, 3, nin, CC64, nout, CC64)
         return jnp.transpose(b, (2, 4, 0, 1, 3, 5))
 
-    w0 = jnp.zeros((nin, nout, 3, 3, 128, 128), w.dtype)
+    w0 = jnp.zeros((nin, nout, kd, 3, 128, 128), w.dtype)
     w0 = w0.at[..., 0:64, 0:64].set(blk(1))
     w0 = w0.at[..., 64:128, 64:128].set(blk(1))
     w0 = w0.at[..., 64:128, 0:64].set(blk(2))
     w0 = w0.at[..., 0:64, 64:128].set(blk(0))
-    wc = jnp.zeros((nin, nout, 3, 3, 128, 128), w.dtype)
+    wc = jnp.zeros((nin, nout, kd, 3, 128, 128), w.dtype)
     wc = wc.at[..., 0:64, 64:128].set(blk(2))
     wc = wc.at[..., 64:128, 0:64].set(blk(0))
     return w0, wc
 
 
 def _unpack_wgrad64(m0, mc, nin, nout):
-    """Tap accumulators -> dw (3, 3, 3, cin, cout) f32."""
+    """Tap accumulators -> dw (kd, 3, 3, cin, cout) f32."""
     cin, cout = nin * CC64, nout * CC64
+    kd = m0.shape[2]
 
     def fold(acc):
-        # (nin, nout, 3, 3, 64, 64) -> (3, 3, cin, cout)
+        # (nin, nout, kd, 3, 64, 64) -> (kd, 3, cin, cout)
         return jnp.transpose(acc, (2, 3, 0, 4, 1, 5)).reshape(
-            3, 3, cin, cout)
+            kd, 3, cin, cout)
 
     dw1 = fold(m0[..., 0:64, 0:64] + m0[..., 64:128, 64:128])
     dw2 = fold(m0[..., 64:128, 0:64] + mc[..., 0:64, 64:128])
@@ -247,12 +250,12 @@ def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
 
 def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, out_dtype, act: str,
-                       want_stats: bool, forms):
-    ins = refs[:nin * 3]                       # [i][z] slab views
+                       want_stats: bool, forms, kd: int = 3):
+    ins = refs[:nin * kd]                      # [i][z] slab views
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
-        refs[nin * 3:nin * 3 + 6]
-    outs = refs[nin * 3 + 6:nin * 3 + 6 + nout]
-    idx = nin * 3 + 6 + nout
+        refs[nin * kd:nin * kd + 6]
+    outs = refs[nin * kd + 6:nin * kd + 6 + nout]
+    idx = nin * kd + 6 + nout
     if want_stats:
         s_ref, q_ref = refs[idx:idx + 2]
         idx += 2
@@ -268,11 +271,12 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             q_ref[...] = jnp.zeros_like(q_ref)
 
     for i in range(nin):
-        for z in range(3):
-            slot = i * 3 + z
+        for z in range(kd):
+            slot = i * kd + z
             a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
             a_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
-            _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
+            _build_scratch64(ins[slot], z if kd == 3 else 1, a_s, slot,
+                             G=G, R=R, P=P,
                              Ps=Ps, H=H, inv_l=inv_ref[i],
                              shift_l=shift_ref[i], mask_ref=mask_ref,
                              act=act, form=forms[i])
@@ -282,8 +286,8 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     for o in range(nout):
         y = jnp.zeros((R, 128), jnp.float32)
         for i in range(nin):
-            for z in range(3):
-                slot = i * 3 + z
+            for z in range(kd):
+                slot = i * kd + z
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     a = a_s[slot, pl.ds(off, R), :]
@@ -308,32 +312,43 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             q_ref[o, :] += jnp.sum(yf * yf, axis=0)
 
 
-def _dpad(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+def _slab_index_map(z: int, D: int):
+    """Index map for z-tap slab views WITHOUT materializing a D-padded
+    copy (the old jnp.pad round trip cost ~1.5-2 ms/step at headline
+    shapes): out-of-range slabs clamp to a real slab whose VALUES are
+    zeroed by _slab_valid, so only the index needs to stay in range."""
+    def imap(b_, d_):
+        s = d_ + z - 1
+        s = jnp.maximum(s, 0) if z == 0 else jnp.minimum(s, D - 1)
+        return (b_, s, 0, 0)
+    if z == 1:
+        return lambda b_, d_: (b_, d_, 0, 0)
+    return imap
 
 
 def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                      want_stats, act, nout, forms):
     w0, wc = wpk
+    kd = w0.shape[2]
     nin = len(xs)
     G, R, P = flat_geometry64(H, W)
     Ps = G + 8
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
-    xsp = [_dpad(x) for x in xs]
 
     kernel = functools.partial(
         _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
         H=H, out_dtype=dtype, act=act, want_stats=want_stats,
-        forms=forms)
+        forms=forms, kd=kd)
 
     in_specs, operands = [], []
-    for x, form in zip(xsp, forms):
+    for x, form in zip(xs, forms):
         rows = R if form == "pool32" else R + 2 * P
-        for z in range(3):
+        for z in range(kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
+                _slab_index_map(z, D) if kd == 3
+                else (lambda b_, d_: (b_, d_, 0, 0)),
                 memory_space=pltpu.VMEM))
             operands.append(x)
     for warr in (w0, wc):
@@ -366,10 +381,10 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((nin * 3, R + 2 * Ps, 128), dtype)],
+        scratch_shapes=[pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * R * 128 * 256 * nin * nout * 9,
-            bytes_accessed=(3 * nin + nout) * B * D * (R + 2 * P) * 256,
+            flops=2 * B * D * R * 128 * 256 * nin * nout * 3 * kd,
+            bytes_accessed=(kd * nin + nout) * B * D * (R + 2 * P) * 256,
             transcendentals=0),
         interpret=_interpret(),
     )(*operands)
@@ -380,13 +395,13 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
 
 def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, act: str,
-                       want_stats: bool, x_dtype, forms):
+                       want_stats: bool, x_dtype, forms, kd: int = 3):
     pos = 0
-    ins = refs[pos:pos + nin * 3]; pos += nin * 3
-    dys = refs[pos:pos + nout * 3]; pos += nout * 3
+    ins = refs[pos:pos + nin * kd]; pos += nin * kd
+    dys = refs[pos:pos + nout * kd]; pos += nout * kd
     ys = ()
     if want_stats:
-        ys = refs[pos:pos + nout * 3]; pos += nout * 3
+        ys = refs[pos:pos + nout * kd]; pos += nout * kd
     w0T, wcT = refs[pos:pos + 2]; pos += 2
     mask_ref = refs[pos]; pos += 1
     inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
@@ -408,19 +423,20 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
 
     # Stage A: a' slabs into scratch
     for i in range(nin):
-        for z in range(3):
-            slot = i * 3 + z
+        for z in range(kd):
+            slot = i * kd + z
             a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
             a_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
-            _build_scratch64(ins[slot], z, a_s, slot, G=G, R=R, P=P,
+            _build_scratch64(ins[slot], z if kd == 3 else 1, a_s, slot,
+                             G=G, R=R, P=P,
                              Ps=Ps, H=H, inv_l=inv_ref[i],
                              shift_l=shift_ref[i], mask_ref=mask_ref,
                              act=act, form=forms[i])
 
     # Stage B: dy_tot slabs (stats cotangent folded, masked)
     for o in range(nout):
-        for z in range(3):
-            slot = o * 3 + z
+        for z in range(kd):
+            slot = o * kd + z
             dyt_s[slot, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
             dyt_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128),
                                                       dyt_s.dtype)
@@ -428,10 +444,11 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             if want_stats:
                 y = ys[slot][0, 0, pl.ds(P, R), :].astype(jnp.float32)
                 dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
-            dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
-                * _slab_valid(z)
+            dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            if kd == 3:
+                dy = dy * _slab_valid(z)
             dyt_s[slot, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
-            if z == 1:
+            if z == kd // 2:
                 db[o, :] += jnp.sum(dy, axis=0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -442,8 +459,8 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         # slab/tap structure as forward, roles of a and dy swapped)
         g = jnp.zeros((R, 128), jnp.float32)
         for o in range(nout):
-            for z in range(3):
-                slot = o * 3 + z
+            for z in range(kd):
+                slot = o * kd + z
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     dyv = dyt_s[slot, pl.ds(off, R), :]
@@ -457,7 +474,7 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         d_c, wcT[o, i, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         # prologue epilogue (center slab)
-        x = _load_raw64(ins[i * 3 + 1], forms[i], R=R, P=P)
+        x = _load_raw64(ins[i * kd + kd // 2], forms[i], R=R, P=P)
         pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
         gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
             * _act_deriv(pre, act)
@@ -477,9 +494,9 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
         # wgrad: a'[z]^T @ dy_tot[center] per tap
         for o in range(nout):
-            dyc = dyt_s[o * 3 + 1, pl.ds(Ps, R), :]
-            for z in range(3):
-                slot = i * 3 + z
+            dyc = dyt_s[o * kd + kd // 2, pl.ds(Ps, R), :]
+            for z in range(kd):
+                slot = i * kd + z
                 for t in range(3):
                     off = Ps + (t - 1) * G
                     a = a_s[slot, pl.ds(off, R), :]
@@ -536,6 +553,7 @@ def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
     mask = width_mask64(W)
+    kd = w.shape[0]
     w0T, wcT = pack_weights64(_flip_transpose64(w))
 
     dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
@@ -548,19 +566,20 @@ def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
     kernel = functools.partial(
         _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
         H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-        forms=forms)
+        forms=forms, kd=kd)
 
     in_specs, operands = [], []
 
     def addv(arr, rows=R + 2 * P):
-        """Add 3 slab views of a D-padded array."""
-        ap = _dpad(arr)
-        for z in range(3):
+        """Add kd clamped slab views (no D-padded copy; see
+        _slab_index_map)."""
+        for z in range(kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                lambda b_, d_, z=z: (b_, d_ + z, 0, 0),
+                _slab_index_map(z, D) if kd == 3
+                else (lambda b_, d_: (b_, d_, 0, 0)),
                 memory_space=pltpu.VMEM))
-            operands.append(ap)
+            operands.append(arr)
 
     def addc(arr, shape):
         in_specs.append(pl.BlockSpec(
@@ -595,8 +614,8 @@ def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
     for shp in ((nin, 128), (nin, 128)):
         out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
-    for shp in ((nin, nout, 3, 3, 128, 128),
-                (nin, nout, 3, 3, 128, 128)):
+    for shp in ((nin, nout, kd, 3, 128, 128),
+                (nin, nout, kd, 3, 128, 128)):
         out_specs.append(pl.BlockSpec(
             shp, lambda b_, d_, nd=len(shp): (0,) * nd,
             memory_space=pltpu.VMEM))
@@ -611,8 +630,8 @@ def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((nin * 3, R + 2 * Ps, 128), dtype),
-                        pltpu.VMEM((nout * 3, R + 2 * Ps, 128), dtype)],
+        scratch_shapes=[pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype),
+                        pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)],
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
@@ -838,6 +857,163 @@ def _pool64_bwd(H, W, C, act, res, dpool):
 
 
 pool222_bnact_flat64.defvjp(_pool64_fwd, _pool64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Planar (1,2,2) max pool: flat64 chunk + prologue -> dense 5D rows.
+# Used by planar C=64 levels (and every level of a 2D model, D == 1).
+# ---------------------------------------------------------------------------
+
+def _pool122_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                        act: str, out_dtype):
+    ins = refs[:nin]
+    mask_ref, inv_ref, shift_ref = refs[nin:nin + 3]
+    outs = refs[nin + 3:]
+    H2 = H // 2
+    for i in range(nin):
+        a3, _, _ = _load_prologue64(
+            ins[i], 0, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
+            shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+        V = _pool64_compact(a3, H, G)
+        outs[i][0, 0, :, :] = V.reshape(H2 * G, 128).astype(out_dtype)
+
+
+def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
+                        act: str, x_dtype):
+    ins = refs[:nin]
+    y_refs = refs[nin:2 * nin]
+    dy_refs = refs[2 * nin:3 * nin]
+    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
+    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
+    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    for i in range(nin):
+        yb = _pool64_expand(y_refs[i][0, 0, :, :].astype(jnp.float32),
+                            H, G)
+        dyb = _pool64_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
+                             H, G)
+        a3, pre, x = _load_prologue64(
+            ins[i], 0, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
+            shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+        sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
+        dpre = dyb * sel * _act_deriv(pre, act)
+        dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
+        dshift_ref[i, :] += jnp.sum(dpre.reshape(R, 128), axis=0)
+        dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
+        dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+        dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+        dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pool122_bnact_flat64(xs, inv, shift, H: int, W: int, C: int,
+                         act: str):
+    """Prologue + (1,2,2) max pool from flat64 chunks to a dense
+    channels-last (B, D, H/2, W/2, C) tensor (planar levels; D stays).
+    Reference models/unet.py:202-253 planar pooling."""
+    nin = len(xs)
+    G, R, P = flat_geometry64(H, W)
+    H2 = H // 2
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool122_fwd_kernel, nin=nin, G=G, R=R,
+                               P=P, H=H, act=act, out_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs, operands = [], []
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, H2 * G, 128), bd,
+                         memory_space=pltpu.VMEM)
+            for _ in range(nin)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, D, H2 * G, 128), dtype)
+            for _ in range(nin)),
+        interpret=_interpret(),
+    )(*operands)
+    res = res if isinstance(res, (tuple, list)) else (res,)
+    return _pool64_compose_xla(res, H, W, C)
+
+
+def _pool122_fwd(xs, inv, shift, H, W, C, act):
+    out = pool122_bnact_flat64(xs, inv, shift, H, W, C, act)
+    return out, (xs, inv, shift, out)
+
+
+def _pool122_bwd(H, W, C, act, res, dpool):
+    xs, inv, shift, pooled = res
+    nin = len(xs)
+    G, R, P = flat_geometry64(H, W)
+    H2 = H // 2
+    B, D = xs[0].shape[0], xs[0].shape[1]
+    dtype = xs[0].dtype
+
+    kernel = functools.partial(_pool122_bwd_kernel, nin=nin, G=G, R=R,
+                               P=P, H=H, act=act, x_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs, operands = [], []
+    for x in xs:
+        in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(x)
+    for arr in (_pool64_decompose_xla(pooled, G, nin)
+                + _pool64_decompose_xla(dpool.astype(dtype), G, nin)):
+        in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec(v.shape, c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+
+    out_specs, out_shape = [], []
+    for _ in range(nin):
+        out_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, R + 2 * P, 128),
+                                              dtype))
+    for _ in range(2):
+        out_specs.append(pl.BlockSpec((nin, 128), c2,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dxs = tuple(res_[:nin])
+    return dxs, res_[nin], res_[nin + 1]
+
+
+pool122_bnact_flat64.defvjp(_pool122_fwd, _pool122_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1078,6 +1254,216 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
 
 
 upconv222_bn_flat64.defvjp(_upconv64_fwd, _upconv64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Planar (1,2,2) stride-2 transposed conv: deeper-level dense 5D
+# (cin = 128) -> one flat64 chunk (cout = 64) + stats side outputs.
+# The planar-level / 2D-model decoder analog of upconv222_bn_flat64.
+# ---------------------------------------------------------------------------
+
+def pack_upconv122_weights64(w: jnp.ndarray):
+    """(1, 2, 2, 128, 64) flax ConvTranspose kernel -> M[ah], each
+    (128, 128): M[ah][ci, p*64 + co] = w[0, 1-ah, 1-p, ci, co]."""
+    assert w.shape == (1, 2, 2, 128, CC64), w.shape
+    return [jnp.concatenate([w[0, 1 - ah, 1], w[0, 1 - ah, 0]], axis=-1)
+            for ah in range(2)]
+
+
+def _upconv122_64_fwd_kernel(dec_ref, m0, m1, mask_ref, bias_ref,
+                             out_ref, s_ref, q_ref, *, G: int, R: int,
+                             P: int, H: int, W1: int, out_dtype,
+                             want_stats: bool):
+    if want_stats:
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    H1 = H // 2
+    S = dec_ref[0, 0, :, :]                     # (H1*W1, 128)
+    dims = (((1,), (0,)), ((), ()))
+    Ys = []
+    for m in (m0, m1):
+        Y = _dot(S, m[...], dimension_numbers=dims,
+                 preferred_element_type=jnp.float32)
+        Ys.append(Y.reshape(H1, W1, 128))
+    I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
+                        axis=1).reshape(H, W1, 128)
+    zl = jnp.zeros((H, 1, 128), jnp.float32)
+    zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
+    rows = jnp.concatenate([zl, I, zr], axis=1)
+    y = rows + bias_ref[0][None, None, :]
+    y = (y * mask_ref[...][None]).reshape(R, 128)
+    yc = y.astype(out_dtype)
+    out_ref[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+    out_ref[0, 0, pl.ds(P, R)] = yc
+    out_ref[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+    if want_stats:
+        yf = yc.astype(jnp.float32)
+        s_ref[0, :] += jnp.sum(yf, axis=0)
+        q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _upconv122_64_bwd_kernel(dec_ref, dy_ref, y_ref, m0, m1, mask_ref,
+                             ds_ref, dq_ref, ddec, dM0, dM1, db, *,
+                             G: int, R: int, P: int, H: int, W1: int,
+                             want_stats: bool, x_dtype):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dM0[...] = jnp.zeros_like(dM0)
+        dM1[...] = jnp.zeros_like(dM1)
+        db[...] = jnp.zeros_like(db)
+
+    H1 = H // 2
+    S = dec_ref[0, 0, :, :]
+    dimsT = (((1,), (1,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    if want_stats:
+        y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
+    dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+    db[0, :] += jnp.sum(dyt, axis=0)
+    d3 = dyt.reshape(H1, 2 * G, 128)
+    dd = jnp.zeros((H1 * W1, 128), jnp.float32)
+    for ah, (m, dM) in enumerate(((m0, dM0), (m1, dM1))):
+        blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
+        Yg = blk.reshape(H1 * W1, 128).astype(S.dtype)
+        dd = dd + _dot(Yg, m[...], dimension_numbers=dimsT,
+                       preferred_element_type=jnp.float32)
+        dM[...] += _dot(S, Yg, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+    ddec[0, 0, :, :] = dd.astype(x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
+    """(1,2,2)-stride-2 transposed conv (flax ConvTranspose semantics)
+    from dec (B, D, H/2, W/2, 128) into one flat64 chunk at (H, W)
+    with 64 channels (+ optional per-lane stats). Planar-level variant
+    of upconv222_bn_flat64; reference models/unet.py:328-409."""
+    B, D, H1, W1, cin = dec.shape
+    assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    G, R, P = flat_geometry64(H, W)
+    dtype = dec.dtype
+    Ms = pack_upconv122_weights64(w)
+    bias_l = _lane_bias64(b)
+
+    kernel = functools.partial(_upconv122_64_fwd_kernel, G=G, R=R, P=P,
+                               H=H, W1=W1, out_dtype=dtype,
+                               want_stats=want_stats)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
+                             memory_space=pltpu.VMEM)]
+    operands = [dec.reshape(B, D, H1 * W1, 128)]
+    for m in Ms:
+        in_specs.append(pl.BlockSpec((128, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(m.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(bias_l.astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    y, s, q = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    stats = (s, q) if want_stats else None
+    return (y,), stats
+
+
+def _upconv122_64_fwd(dec, w, b, H, W, want_stats):
+    out = upconv122_bn_flat64(dec, w, b, H, W, want_stats)
+    (y,), _ = out
+    return out, (dec, w, y)
+
+
+def _upconv122_64_bwd(H, W, want_stats, res, cts):
+    dec, w, y = res
+    (dy_in,), dstats = cts
+    B, D, H1, W1, cin = dec.shape
+    G, R, P = flat_geometry64(H, W)
+    dtype = dec.dtype
+    Ms = pack_upconv122_weights64(w)
+    dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
+          else dy_in.astype(dtype))
+    ds, dq = (dstats if (want_stats and dstats is not None)
+              else (None, None))
+    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(_upconv122_64_bwd_kernel, G=G, R=R, P=P,
+                               H=H, W1=W1, want_stats=want_stats,
+                               x_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, H1 * W1, 128), bd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [dec.reshape(B, D, H1 * W1, 128), dy, y]
+    for m in Ms:
+        in_specs.append(pl.BlockSpec((128, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(m.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (ds, dq):
+        in_specs.append(pl.BlockSpec((1, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v)
+
+    out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, H1 * W1, 128), dtype)]
+    for _ in range(2):
+        out_specs.append(pl.BlockSpec((128, 128), c2,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dd = res_[0].reshape(dec.shape)
+    dM0, dM1, dbl = res_[1], res_[2], res_[3]
+    dw = jnp.zeros((1, 2, 2, 128, CC64), jnp.float32)
+    for ah, m in ((0, dM0), (1, dM1)):
+        dw = dw.at[0, 1 - ah, 1].add(m[:, 0:CC64])
+        dw = dw.at[0, 1 - ah, 0].add(m[:, CC64:128])
+    dbc = fold_lane_stats64(dbl)
+    return dd, dw.astype(w.dtype), dbc.astype(w.dtype)
+
+
+upconv122_bn_flat64.defvjp(_upconv122_64_fwd, _upconv122_64_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -252,3 +252,121 @@ def test_pool_compact32_into_conv64(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=1e-3 * scale), a.shape
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 64), (128, 64)])
+def test_conv_planar_kd1_flat64_matches_xla(rng, cin, cout):
+    """kd=1 (planar / 2D-model) conv through the generalized
+    conv3_bnact_flat64."""
+    B, D, H, W = 1, 3, 4, 6
+    nin = cin // 64
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(cin,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(cin,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def loss_ref(x5, inv_c, shift_c, w, b):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        y = _conv_ref(a, w) + b
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_f64(x5, inv_c, shift_c, w, b):
+        xs = f64.to_flat64(x5)
+        ys, (s, q) = f64.conv3_bnact_flat64(
+            xs, f64.lane_vec64(inv_c), f64.lane_vec64(shift_c),
+            w, b, H, W, True, "relu")
+        y = f64.from_flat64(ys, H, W, cout)
+        s_c = f64.fold_lane_stats64(s)
+        q_c = f64.fold_lane_stats64(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) \
+            + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(x5, inv_c, shift_c, w, b)
+    l2 = loss_f64(x5, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_f64, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
+
+
+def test_pool122_bnact_flat64_matches_xla(rng):
+    B, D, H, W, C = 1, 3, 4, 6, 64
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(C,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(C,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H // 2, W // 2, C)),
+                      jnp.float32)
+
+    def loss_ref(x5, inv_c, shift_c):
+        a = jnp.maximum(x5 * inv_c + shift_c, 0.0)
+        p = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2, 1), (1, 1, 2, 2, 1),
+                                  "VALID")
+        return jnp.sum((p - tgt) ** 2)
+
+    def loss_f64(x5, inv_c, shift_c):
+        xs = f64.to_flat64(x5)
+        p = f64.pool122_bnact_flat64(
+            xs, f64.lane_vec64(inv_c), f64.lane_vec64(shift_c),
+            H, W, C, "relu")
+        return jnp.sum((p - tgt) ** 2)
+
+    l1 = loss_ref(x5, inv_c, shift_c)
+    l2 = loss_f64(x5, inv_c, shift_c)
+    assert abs(float(l1 - l2)) < 1e-3 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2))(x5, inv_c, shift_c)
+    g2 = jax.grad(loss_f64, (0, 1, 2))(x5, inv_c, shift_c)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
+
+
+def test_upconv122_bn_flat64_matches_xla(rng):
+    import flax.linen as nn
+
+    B, D, H1, W1 = 1, 2, 2, 3
+    H, W = 2 * H1, 2 * W1
+    dec = jnp.asarray(rng.normal(size=(B, D, H1, W1, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 2, 2, 128, 64)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, 64)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+
+    mod = nn.ConvTranspose(64, (1, 2, 2), strides=(1, 2, 2))
+
+    def loss_ref(dec, w, b):
+        y = mod.apply({"params": {"kernel": w, "bias": b}}, dec)
+        s = jnp.sum(y, axis=(0, 1, 2, 3))
+        q = jnp.sum(y * y, axis=(0, 1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_f64(dec, w, b):
+        (yc,), (s, q) = f64.upconv122_bn_flat64(dec, w, b, H, W, True)
+        y = f64.from_flat64((yc,), H, W, 64)
+        s_c = f64.fold_lane_stats64(s)
+        q_c = f64.fold_lane_stats64(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) \
+            + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(dec, w, b)
+    l2 = loss_f64(dec, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2))(dec, w, b)
+    g2 = jax.grad(loss_f64, (0, 1, 2))(dec, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
