@@ -55,6 +55,13 @@ from elektronn3_tpu.ops import flat_conv as _fc
 from elektronn3_tpu.ops import flat_fused as _ffu
 from elektronn3_tpu.ops import flat_fused64 as _ff64
 
+import logging
+
+logger = logging.getLogger(__name__)
+# One decline log line per distinct (level, config) across traces —
+# flax re-traces __call__ several times per jit compile.
+_DECLINES_LOGGED: set = set()
+
 Dtype = Any
 
 # Activations that map 0 -> 0 (required to preserve the flat layout's
@@ -219,12 +226,40 @@ def _act_name(activation) -> str:
     return "leaky" if activation in ("leaky", "lrelu") else "relu"
 
 
+def _lift2d(x):
+    """2D (N, H, W, C) -> the fused executors' 5D view (N, 1, H, W, C).
+
+    The flat executors treat a 2D model as a 3D volume with one planar
+    (kd=1) slab; D=1 keeps every row of the image in one kernel grid
+    step (the gate bounds H * W so this fits VMEM)."""
+    return x[:, None] if x.ndim == 4 else x
+
+
+def _drop2d(y):
+    """Inverse of _lift2d on dense outputs: (N, 1, H, W, C) -> 4D."""
+    return y[:, 0] if y.ndim == 5 else y
+
+
+def _p2d(shape, dim):
+    """Fused-module param shape: drop the leading depth-tap axis for
+    dim=2 so param trees match the 2D XLA path (nn.Conv/ConvTranspose
+    with 2D kernels) for checkpoint interop."""
+    return shape[1:] if dim == 2 else shape
+
+
+def _k2d(kernel, dim):
+    """Lift a 2D kernel param back to the fused ops' leading-depth
+    form ((1, kh, kw, cin, cout))."""
+    return kernel[None] if dim == 2 else kernel
+
+
 class _Im2colConv(nn.Module):
     """Planar 3x3 'same' conv as an im2col GEMM (for small C_in where
     XLA's conv emitter is pathologically slow — measured 6.5 ms f+b
     for the headline 1->32 conv vs ~2 ms for this form). Param tree
     matches nn.Conv. Emits the 5D dense channels-last tensor."""
     features: int
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -233,8 +268,10 @@ class _Im2colConv(nn.Module):
         cin = x.shape[-1]
         H, W = x.shape[2], x.shape[3]
         kernel = self.param("kernel", _kernel_init,
-                            (1, 3, 3, cin, self.features),
+                            _p2d((1, 3, 3, cin, self.features),
+                                 self.dim),
                             self.param_dtype)
+        kernel = _k2d(kernel, self.dim)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         xp = jnp.pad(x.astype(self.dtype),
@@ -292,25 +329,44 @@ class _FusedConv64(nn.Module):
 
 
 class _FusedUpconv64(nn.Module):
-    """(2,2,2)-stride-2 transposed conv (128 -> 64) into a flat64
-    chunk + stats (ops/flat_fused64.upconv222_bn_flat64). Param tree
-    matches nn.ConvTranspose."""
+    """Stride-2 transposed conv (128 -> 64) into a flat64 chunk +
+    stats: (2,2,2) for 3D levels (upconv222_bn_flat64), (1,2,2) for
+    planar levels ((2,2) param shape for dim=2; upconv122_bn_flat64).
+    Param tree matches nn.ConvTranspose for the same level in the
+    non-fused path so checkpoints interop."""
     features: int
     H: int
     W: int
     want_stats: bool
+    planar: bool = False
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, dec):
-        kernel = self.param("kernel", _kernel_init,
-                            (2, 2, 2, dec.shape[-1], self.features),
-                            self.param_dtype)
+        cin = dec.shape[-1]
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
-        return _ff64.upconv222_bn_flat64(
-            dec.astype(self.dtype), kernel, bias, self.H, self.W,
+        if self.dim == 2:
+            kernel = self.param("kernel", _kernel_init,
+                                (2, 2, cin, self.features),
+                                self.param_dtype)
+            w = kernel[None]
+        elif self.planar:
+            kernel = self.param("kernel", _kernel_init,
+                                (1, 2, 2, cin, self.features),
+                                self.param_dtype)
+            w = kernel
+        else:
+            kernel = self.param("kernel", _kernel_init,
+                                (2, 2, 2, cin, self.features),
+                                self.param_dtype)
+            return _ff64.upconv222_bn_flat64(
+                dec.astype(self.dtype), kernel, bias, self.H, self.W,
+                self.want_stats)
+        return _ff64.upconv122_bn_flat64(
+            dec.astype(self.dtype), w, bias, self.H, self.W,
             self.want_stats)
 
 
@@ -321,17 +377,19 @@ class _Conv1FusedFlat(nn.Module):
     features: int
     H: int
     W: int
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", _kernel_init,
-                            (1, 3, 3, 1, self.features), self.param_dtype)
+                            _p2d((1, 3, 3, 1, self.features), self.dim),
+                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
-        return _ffu.conv1_bnstats_flat(x, kernel, bias, self.H, self.W,
-                                       self.dtype)
+        return _ffu.conv1_bnstats_flat(x, _k2d(kernel, self.dim), bias,
+                                       self.H, self.W, self.dtype)
 
 
 class _FusedConv(nn.Module):
@@ -346,6 +404,7 @@ class _FusedConv(nn.Module):
     want_stats: bool
     act: str
     dup_weights: bool = False
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -354,11 +413,12 @@ class _FusedConv(nn.Module):
         nin = len(xs)
         cin = nin * _fc.CC // (2 if self.dup_weights else 1)
         kernel = self.param("kernel", _kernel_init,
-                            (1, 3, 3, cin, self.features),
+                            _p2d((1, 3, 3, cin, self.features),
+                                 self.dim),
                             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
-        k = kernel.astype(self.dtype)
+        k = _k2d(kernel, self.dim).astype(self.dtype)
         if self.dup_weights:
             k = jnp.concatenate([k, k], axis=3)
         return _ffu.conv_bnact_flat(
@@ -374,6 +434,7 @@ class _FusedUpconv(nn.Module):
     H: int
     W: int
     want_stats: bool
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -381,12 +442,14 @@ class _FusedUpconv(nn.Module):
     def __call__(self, dec):
         cin = dec.shape[-1]
         kernel = self.param("kernel", _kernel_init,
-                            (1, 2, 2, cin, self.features),
+                            _p2d((1, 2, 2, cin, self.features),
+                                 self.dim),
                             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return _ffu.upconv_bn_flat(
-            dec.astype(self.dtype), kernel.astype(self.dtype),
+            dec.astype(self.dtype),
+            _k2d(kernel, self.dim).astype(self.dtype),
             bias.astype(self.dtype), self.H, self.W, self.want_stats)
 
 
@@ -400,18 +463,21 @@ class _FusedUpconvF64(nn.Module):
     W: int
     want_stats: bool
     act: str
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, acts):
         kernel = self.param("kernel", _kernel_init,
-                            (1, 2, 2, _ff64.CC64, self.features),
+                            _p2d((1, 2, 2, _ff64.CC64, self.features),
+                                 self.dim),
                             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return _ff64.upconv122_from_flat64(
-            acts.chunks[0], acts.inv, acts.shift, kernel, bias,
+            acts.chunks[0], acts.inv, acts.shift,
+            _k2d(kernel, self.dim), bias,
             self.H, self.W, self.want_stats, self.act)
 
 
@@ -422,6 +488,7 @@ class _FusedHead(nn.Module):
     H: int
     W: int
     act: str
+    dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     out_dtype: Dtype = jnp.float32
@@ -430,12 +497,14 @@ class _FusedHead(nn.Module):
     def __call__(self, chunks, inv, shift):
         cin = _fc.CC * len(chunks)
         kernel = self.param("kernel", _kernel_init,
-                            (1, 1, 1, cin, self.features),
+                            _p2d((1, 1, 1, cin, self.features),
+                                 self.dim),
                             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return _ffu.head_bnact_from_flat(
-            chunks, inv, shift, kernel.astype(self.dtype),
+            chunks, inv, shift,
+            _k2d(kernel, self.dim).astype(self.dtype),
             bias.astype(self.dtype), self.H, self.W, self.act,
             out_dtype=self.out_dtype)
 
@@ -466,9 +535,12 @@ class DownConv(nn.Module):
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         if self.fused64:
-            # Fully fused C=64 3D executor (ops/flat_fused64.py):
-            # conv1 -> BN -> act -> conv2 -> BN -> act -> (2,2,2) pool
-            # all kernel-resident in the flat64 chunk layout.
+            # Fully fused C=64 executor (ops/flat_fused64.py):
+            # conv1 -> BN -> act -> conv2 -> BN -> act -> pool, all
+            # kernel-resident in the flat64 chunk layout. kd=3 for 3D
+            # levels; kd=1 (planar conv + (1,2,2) pool) for planar
+            # levels and 2D models (dim=2 lifts to a D-tiled 5D view).
+            kd = 1 if (self.planar or self.dim == 2) else 3
             if isinstance(x, _ff64.PoolCompact32):
                 # The L0 pool's compact output feeds conv1 directly
                 # (in-kernel lane shuffle) — no XLA relayout seam.
@@ -478,6 +550,8 @@ class DownConv(nn.Module):
                 xs0 = x.chunks
                 forms = ("pool32",)
             else:
+                if self.dim == 2:
+                    x = _lift2d(x)
                 H, W = x.shape[2], x.shape[3]
                 B, Dd = x.shape[0], x.shape[1]
                 cin = x.shape[-1]
@@ -493,7 +567,7 @@ class DownConv(nn.Module):
             want1 = batch and self.full_norm and train
             y1, st1 = _FusedConv64(C, H, W, cin_real=cin,
                                    want_stats=want1, act="linear",
-                                   forms=forms,
+                                   forms=forms, kd=kd, dim=self.dim,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs0, id_inv, id_shift)
@@ -509,6 +583,7 @@ class DownConv(nn.Module):
             want2 = batch and train
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
+                                   kd=kd, dim=self.dim,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
@@ -521,18 +596,26 @@ class DownConv(nn.Module):
             else:
                 inv2, shift2 = identity_prologue(n)
             acts = _ff64.FlatActs64(y2, inv2, shift2)
-            if self.pooling:
+            if self.pooling and kd == 1:
+                y = _ff64.pool122_bnact_flat64(y2, inv2, shift2, H, W,
+                                               C, aname)
+            elif self.pooling:
                 y = _ff64.pool222_bnact_flat64(y2, inv2, shift2, H, W,
                                                C, aname)
             else:
                 y = _ff64.materialize_flat_acts64(y2, inv2, shift2,
                                                   H, W, C, aname)
+            if self.dim == 2:
+                y = _drop2d(y)
             return y, acts
 
         if self.fused:
             # Fully fused flat executor (ops/flat_fused.py): conv1 in
             # XLA (small C_in), then BN-stats/apply/act/conv/pool all
             # kernel-resident — zero full-resolution XLA seams.
+            # dim=2 models run as one planar slab (D=1, _lift2d).
+            if self.dim == 2:
+                x = _lift2d(x)
             H, W = x.shape[2], x.shape[3]
             B, Dd = x.shape[0], x.shape[1]
             count = B * Dd * H * W
@@ -546,7 +629,7 @@ class DownConv(nn.Module):
                 # input into the flat chunk + stats side outputs — no
                 # XLA im2col/layout seams (ops/flat_fused.py conv1).
                 xs1, st1 = _Conv1FusedFlat(
-                    C, H, W, dtype=self.dtype,
+                    C, H, W, dim=self.dim, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(x)
                 wrs1 = (0,)
                 if self.full_norm and batch:
@@ -558,7 +641,7 @@ class DownConv(nn.Module):
                 else:
                     inv1, shift1 = identity_prologue(n)
             else:
-                y1 = _Im2colConv(C, dtype=self.dtype,
+                y1 = _Im2colConv(C, dim=self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv1")(x)
                 if self.full_norm and batch:
@@ -576,7 +659,8 @@ class DownConv(nn.Module):
                     wrs1 = (0,) * n
             want2 = batch and train
             ys2, st2 = _FusedConv(C, H, W, wrs=wrs1, want_stats=want2,
-                                  act=aname, dtype=self.dtype,
+                                  act=aname, dim=self.dim,
+                                  dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="conv2")(xs1, inv1, shift1)
             if batch:
@@ -597,6 +681,8 @@ class DownConv(nn.Module):
             else:
                 y = _ffu.materialize_flat_acts(ys2, inv2, shift2, H, W,
                                                aname)
+            if self.dim == 2 and isinstance(y, jnp.ndarray):
+                y = _drop2d(y)
             return y, acts
 
         if self.flat:
@@ -716,21 +802,26 @@ class UpConv(nn.Module):
         norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         if self.fused64:
-            # Fully fused C=64 3D decoder level: (2,2,2) upconv -> BN
+            # Fully fused C=64 decoder level: stride-2 upconv -> BN
             # -> act -> concat skip -> conv1 -> BN -> act -> conv2 ->
             # BN -> act, kernel-resident (ops/flat_fused64.py). enc is
-            # FlatActs64; dec is the deeper level's dense 5D tensor.
+            # FlatActs64; dec is the deeper level's dense tensor.
+            # kd=1 (planar (1,2,2) upconv) for planar levels / dim=2.
+            kd = 1 if (self.planar or self.dim == 2) else 3
+            if self.dim == 2:
+                dec = _lift2d(dec)
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _ff64.CC64
             B = dec.shape[0]
-            Dd = dec.shape[1] * 2
+            Dd = dec.shape[1] * (1 if kd == 1 else 2)
             count = B * Dd * H * W
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
             nidx = 0
             wantu = batch and self.full_norm and train
             yu, stu = _FusedUpconv64(C, H, W, want_stats=wantu,
+                                     planar=self.planar, dim=self.dim,
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype,
                                      name="upconv")(dec)
@@ -749,6 +840,7 @@ class UpConv(nn.Module):
             want1 = batch and self.full_norm and train
             y1, st1 = _FusedConv64(C, H, W, cin_real=len(xs) * _ff64.CC64,
                                    want_stats=want1, act=aname,
+                                   kd=kd, dim=self.dim,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs, inv_s, shift_s)
@@ -764,6 +856,7 @@ class UpConv(nn.Module):
             want2 = batch and train
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
+                                   kd=kd, dim=self.dim,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
@@ -781,6 +874,8 @@ class UpConv(nn.Module):
             # Fully fused flat executor: enc arrives as FlatActs (raw
             # chunks + prologue); upconv/convs are Pallas kernels with
             # the BN-apply + act of their inputs fused into the load.
+            if self.dim == 2 and not isinstance(dec, _ff64.FlatActs64):
+                dec = _lift2d(dec)
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _fc.CC
@@ -795,11 +890,13 @@ class UpConv(nn.Module):
             wantu = batch and self.full_norm and train
             if isinstance(dec, _ff64.FlatActs64):
                 yu, stu = _FusedUpconvF64(C, H, W, want_stats=wantu,
-                                          act=aname, dtype=self.dtype,
+                                          act=aname, dim=self.dim,
+                                          dtype=self.dtype,
                                           param_dtype=self.param_dtype,
                                           name="upconv")(dec)
             else:
                 yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
+                                       dim=self.dim,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name="upconv")(dec)
@@ -818,7 +915,7 @@ class UpConv(nn.Module):
             y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
                                  want_stats=want1, act=aname,
                                  dup_weights=self.merge_mode == "add",
-                                 dtype=self.dtype,
+                                 dim=self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv1")(xs, inv_s, shift_s)
             if self.full_norm and batch:
@@ -831,7 +928,8 @@ class UpConv(nn.Module):
                 inv1, shift1 = identity_prologue(n)
             want2 = batch and train
             y2, st2 = _FusedConv(C, H, W, wrs=(0,) * n, want_stats=want2,
-                                 act=aname, dtype=self.dtype,
+                                 act=aname, dim=self.dim,
+                                 dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv2")(y1, inv1, shift1)
             if batch:
@@ -1005,16 +1103,19 @@ class UNet(nn.Module):
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")
-        return (self.dim == 3 and self.conv_mode == "same" and planar
+        return ((planar or self.dim == 2)
+                and self.conv_mode == "same"
                 and not self.attention
                 and self.normalization in ("batch", "none")
                 and act_ok and channels == _fc.CC
-                and H % 2 == 0 and W % 8 == 0)
+                and H % 2 == 0 and W % 8 == 0
+                and H * ((W + _fc.W_OFF) // _fc.JG) <= 8192)  # VMEM
 
     def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
                          W: int, D: int, pooling: bool) -> bool:
-        """Is the fused C=64 3D (kd=3) executor applicable here?
-        (ops/flat_fused64.py — the headline model's L1 level.)"""
+        """Is the fused C=64 executor applicable here?
+        (ops/flat_fused64.py — kd=3 for 3D levels like the headline
+        model's L1; kd=1 for planar C=64 levels and 2D models.)"""
         if self.pallas_flat is False:
             return False
         if self.pallas_flat == "auto" and (
@@ -1026,13 +1127,48 @@ class UNet(nn.Module):
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")
-        return (self.dim == 3 and self.conv_mode == "same"
-                and not planar and not self.attention
+        kd1 = planar or self.dim == 2
+        return (self.conv_mode == "same" and not self.attention
                 and self.normalization in ("batch", "none")
                 and act_ok and channels == _ff64.CC64
                 and H % 2 == 0 and W % 2 == 0
-                and (not pooling or D % 2 == 0)
+                and (not pooling or kd1 or D % 2 == 0)
                 and H * (W // 2 + 10) <= 8192)   # VMEM scratch bound
+
+    def _fused_decline_reason(self, planar: bool, channels: int,
+                              H: int, W: int, D: int,
+                              pooling: bool) -> str:
+        """First reason the fused executors don't cover this level —
+        logged so users learn they're on the (~2x slower) XLA path
+        instead of silently falling back (round-2 review item)."""
+        if self.pallas_flat == "auto" and jax.default_backend() != "tpu":
+            return "backend is not TPU ('auto' engages on TPU only)"
+        if self.pallas_flat == "auto" and self.dtype != jnp.bfloat16:
+            return ("dtype is not bfloat16 (f32 working sets exceed the "
+                    "16 MB VMEM limit at production sizes)")
+        if self.conv_mode != "same":
+            return "conv_mode != 'same'"
+        if self.attention:
+            return "attention=True is not kernel-fused"
+        if self.normalization not in ("batch", "none"):
+            return f"normalization {self.normalization!r} not fused"
+        if not (isinstance(self.activation, str)
+                and self.activation in ("relu", "leaky", "lrelu")):
+            return f"activation {self.activation!r} has no fused deriv"
+        if channels not in (_fc.CC, _ff64.CC64):
+            return (f"C={channels} has no fused executor "
+                    f"(covered: C={_fc.CC} planar/2D, C={_ff64.CC64})")
+        if H % 2 != 0 or W % 2 != 0:
+            return f"odd level shape H={H}, W={W}"
+        if channels == _fc.CC and not (planar or self.dim == 2):
+            return f"C={_fc.CC} executor is planar-only"
+        if channels == _fc.CC and W % 8 != 0:
+            return f"W={W} not 8-aligned (pooled dense rows)"
+        if channels == _ff64.CC64 and not planar and self.dim == 3 \
+                and pooling and D % 2 != 0:
+            return f"odd depth D={D} with (2,2,2) pooling"
+        return (f"level VMEM working set too large "
+                f"(H*W/2 = {H * (W // 2)} rows > 8192)")
 
     def _validate(self):
         if self.n_blocks < 1:
@@ -1109,6 +1245,18 @@ class UNet(nn.Module):
             lvl_fused64.append(
                 (not lvl_fused[-1]) and self._flat_fused64_ok(
                     planar_i, ch, pH, pW, pD, pooling_i))
+            if (self.pallas_flat is not False and not lvl_fused[-1]
+                    and not lvl_fused64[-1]):
+                reason = self._fused_decline_reason(
+                    planar_i, ch, pH, pW, pD, pooling_i)
+                key = (i, ch, pD, pH, pW, reason)
+                if key not in _DECLINES_LOGGED:
+                    _DECLINES_LOGGED.add(key)
+                    logger.info(
+                        "UNet level %d (C=%d, %dx%dx%d): fused flat "
+                        "executor declined — %s; falling back to the "
+                        "XLA executor for this level.",
+                        i, ch, pD, pH, pW, reason)
             if pooling_i:
                 pH, pW = -(-pH // 2), -(-pW // 2)
                 if not planar_i and self.dim == 3:
@@ -1177,17 +1325,23 @@ class UNet(nn.Module):
                 before_pool = _ffu.materialize_flat_acts(
                     before_pool.chunks, before_pool.inv, before_pool.shift,
                     H, W, _act_name(self.activation))
+                if self.dim == 2:
+                    before_pool = _drop2d(before_pool)
             elif skip_fused64 and not up_fused64:
                 before_pool = _ff64.materialize_flat_acts64(
                     before_pool.chunks, before_pool.inv, before_pool.shift,
                     H, W, len(before_pool.chunks) * _ff64.CC64,
                     _act_name(self.activation))
+                if self.dim == 2:
+                    before_pool = _drop2d(before_pool)
             elif skip_flat and not up_flat:
                 before_pool = _fc.from_flat(before_pool, H, W, padded=True)
             if isinstance(x, _ffu.FlatActs):
                 x = _ffu.materialize_flat_acts(
                     x.chunks, x.inv, x.shift, *up_hw,
                     _act_name(self.activation))
+                if self.dim == 2:
+                    x = _drop2d(x)
             elif isinstance(x, _ff64.FlatActs64):
                 # A fused planar up level can consume the FlatActs64
                 # decoder carry directly (upconv122_from_flat64).
@@ -1199,6 +1353,8 @@ class UNet(nn.Module):
                         x.chunks, x.inv, x.shift, *up_hw,
                         len(x.chunks) * _ff64.CC64,
                         _act_name(self.activation))
+                    if self.dim == 2:
+                        x = _drop2d(x)
             elif isinstance(x, tuple):  # previous up emitted flat chunks
                 x = _fc.from_flat(x, *up_hw, padded=True)
             up = UpCls(ins, outs, merge_mode=self.merge_mode,
@@ -1214,16 +1370,20 @@ class UNet(nn.Module):
             # Fused head: prologue + 1x1 conv from flat chunks.
             x = _FusedHead(self.out_channels, *up_hw,
                            act=_act_name(self.activation),
-                           dtype=self.dtype,
+                           dim=self.dim, dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            out_dtype=self.logit_dtype or jnp.float32,
                            name="conv_final")(x.chunks, x.inv, x.shift)
+            if self.dim == 2:
+                x = _drop2d(x)
         elif isinstance(x, _ff64.FlatActs64):
             # C=64 level feeding the head directly (no planar L0):
             # materialize, then the plain 1x1 head.
             x = _ff64.materialize_flat_acts64(
                 x.chunks, x.inv, x.shift, *up_hw,
                 len(x.chunks) * _ff64.CC64, _act_name(self.activation))
+            if self.dim == 2:
+                x = _drop2d(x)
             x = nn.Conv(self.out_channels, (1,) * self.dim,
                         kernel_init=_kernel_init, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_final")(x)

@@ -370,3 +370,57 @@ def test_upconv122_bn_flat64_matches_xla(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=1e-3 * scale), a.shape
+
+
+@pytest.mark.parametrize("kw,shape", [
+    # planar C=64 L1 (kd=1 fused64: planar conv, pool122, upconv122)
+    (dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=32,
+          planar_blocks=(0, 1), dim=3, normalization="batch"),
+     (1, 2, 8, 16, 1)),
+    # 2D model: every level planar-by-construction (D=1 lift); L0 on
+    # the CC=32 executor, L1 on the kd=1 fused64 executor
+    (dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=32,
+          dim=2, normalization="batch"),
+     (2, 16, 16, 1)),
+])
+def test_fused_planar_and_2d_unet_match_standard(rng, kw, shape):
+    """Planar C=64 levels (kd=1) and 2D models through the fused
+    executors: outputs, batch stats, and every parameter gradient
+    match the XLA path; param trees interop."""
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    m_ref = UNet(pallas_flat=False, **kw)
+    m_fused = UNet(pallas_flat=True, **kw)
+    v = init_unet(m_ref, shape)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(init_unet(m_fused, shape))
+
+    def items(tree):
+        return sorted(((jax.tree_util.keystr(k), a) for k, a in
+                       jax.tree_util.tree_leaves_with_path(tree)),
+                      key=lambda t: t[0])
+
+    o_ref, mut_ref = m_ref.apply(v, x, train=True, mutable=["batch_stats"])
+    o_f, mut_f = m_fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert o_ref.shape == o_f.shape
+    assert np.allclose(np.asarray(o_ref), np.asarray(o_f), atol=2e-4)
+    for (k1, a), (k2, r) in zip(items(mut_f["batch_stats"]),
+                                items(mut_ref["batch_stats"])):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-5), k1
+    assert np.allclose(np.asarray(m_ref.apply(v, x, train=False)),
+                       np.asarray(m_fused.apply(v, x, train=False)),
+                       atol=2e-4)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_ref)
+    g_f = jax.grad(loss)(v["params"], m_fused)
+    for (k1, a), (k2, r) in zip(items(g_f), items(g_r)):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=2e-4 * scale), k1
