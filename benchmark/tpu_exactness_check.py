@@ -21,6 +21,14 @@ import numpy as np
 
 from elektronn3_tpu.models.unet import UNet, init_unet
 
+# Pin HIGHEST matmul/conv precision for BOTH sides: under TPU DEFAULT
+# precision XLA lowers f32 convs to single-pass bf16, which would make
+# the XLA *reference* side the less exact one (the fused kernels pin
+# HIGHEST internally; their bf16 dots pin DEFAULT explicitly so this
+# context can't leak fp32 contract precision into Mosaic). First run
+# without this showed the identical ~5e-2 eval diff in both dtype
+# configs — the signature of a bf16 baseline, not a kernel bug.
+
 # Tolerances: f32 kernels use HIGHEST-precision matmuls and must agree
 # tightly; bf16 differs only by accumulation order (both sides do exact
 # bf16 MACs with f32 accumulation), so modest relative slack suffices.
@@ -34,6 +42,11 @@ def items(tree):
 
 
 def check(dtype_name, dtype):
+    with jax.default_matmul_precision("highest"):
+        return _check(dtype_name, dtype)
+
+
+def _check(dtype_name, dtype):
     atol = TOLS[dtype_name]
     rng = np.random.default_rng(0)
     # Shapes engage BOTH fused executors: planar CC=32 L0 + C=64 kd=3 L1

@@ -74,6 +74,12 @@ def _dot(a, b, **kw):
     """
     if a.dtype == jnp.float32:
         kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    else:
+        # Pin DEFAULT explicitly: a jax_default_matmul_precision
+        # context (e.g. 'highest' around an XLA reference model) must
+        # not leak fp32 contract precision onto bf16 kernel operands —
+        # Mosaic rejects that combination ('Bad lhs type').
+        kw.setdefault("precision", jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(a, b, **kw)
 
 

@@ -71,6 +71,12 @@ def _dot(a, b, **kw):
     """
     if a.dtype == jnp.float32:
         kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    else:
+        # Pin DEFAULT explicitly: a jax_default_matmul_precision
+        # context (e.g. 'highest' around an XLA reference model) must
+        # not leak fp32 contract precision onto bf16 kernel operands —
+        # Mosaic rejects that combination ('Bad lhs type').
+        kw.setdefault("precision", jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(a, b, **kw)
 
 
@@ -248,14 +254,44 @@ def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
     dst[slot, pl.ds(Ps, R)] = val.astype(dst.dtype)
 
 
+def _load_raw_strip64(ref, form, row0, *, G, P):
+    """One image-row strip (G rows) of a raw chunk slab, chunk64 lane
+    layout (strip variant of _load_raw64; row0 in slab-body rows)."""
+    if form == "pool32":
+        c = ref[0, 0, pl.ds(row0, G), :].astype(jnp.float32)
+        rolled = jnp.concatenate([c[:, 96:], c[:, :96]], axis=-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+        a = jnp.where(lane < 64, c, rolled)
+        return a * ((lane % 64) < CC64 // 2).astype(jnp.float32)
+    return ref[0, 0, pl.ds(P + row0, G), :].astype(jnp.float32)
+
+
+def _build_halo64(ref, side, dst, slot, *, G, R, P, Ps, inv_l,
+                  shift_l, mask_ref, act, form="flat64"):
+    """H-tiled (d_halo) mode: write ONE image-row halo strip from the
+    adjacent H-slab into the scratch pad region, prologued like the
+    body rows. side=0: previous slab's LAST row -> rows [Ps-G:Ps];
+    side=2: next slab's FIRST row -> [Ps+R:Ps+R+G]. At the volume
+    edges the clamped slab view repeats the own slab, so the strip is
+    zeroed (_slab_valid) — conv zero padding, exactly as untiled."""
+    row0 = R - G if side == 0 else 0
+    a = _load_raw_strip64(ref, form, row0, G=G, P=P)
+    pre = a * inv_l[None, :] + shift_l[None, :]
+    val = _act_fwd(pre, act) * mask_ref[...] * _slab_valid(side)
+    dst[slot, pl.ds(Ps - G if side == 0 else Ps + R, G)] = \
+        val.astype(dst.dtype)
+
+
 def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, out_dtype, act: str,
-                       want_stats: bool, forms, kd: int = 3):
-    ins = refs[:nin * kd]                      # [i][z] slab views
+                       want_stats: bool, forms, kd: int = 3,
+                       d_halo: bool = False):
+    zv = 3 if d_halo else kd                   # views per chunk
+    ins = refs[:nin * zv]                      # [i][z] slab views
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
-        refs[nin * kd:nin * kd + 6]
-    outs = refs[nin * kd + 6:nin * kd + 6 + nout]
-    idx = nin * kd + 6 + nout
+        refs[nin * zv:nin * zv + 6]
+    outs = refs[nin * zv + 6:nin * zv + 6 + nout]
+    idx = nin * zv + 6 + nout
     if want_stats:
         s_ref, q_ref = refs[idx:idx + 2]
         idx += 2
@@ -271,6 +307,23 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             q_ref[...] = jnp.zeros_like(q_ref)
 
     for i in range(nin):
+        if d_halo:
+            # H-tiled 2D mode: ONE slot per chunk — center slab body
+            # plus one prologued image-row halo strip from each
+            # neighboring H-slab in the pad regions, so the ±G row
+            # taps cross tile boundaries correctly.
+            a_s[i, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
+            a_s[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+            _build_scratch64(ins[i * 3 + 1], 1, a_s, i, G=G, R=R, P=P,
+                             Ps=Ps, H=H, inv_l=inv_ref[i],
+                             shift_l=shift_ref[i], mask_ref=mask_ref,
+                             act=act, form=forms[i])
+            for side, v in ((0, ins[i * 3]), (2, ins[i * 3 + 2])):
+                _build_halo64(v, side, a_s, i, G=G, R=R, P=P, Ps=Ps,
+                              inv_l=inv_ref[i], shift_l=shift_ref[i],
+                              mask_ref=mask_ref, act=act,
+                              form=forms[i])
+            continue
         for z in range(kd):
             slot = i * kd + z
             a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
@@ -327,9 +380,10 @@ def _slab_index_map(z: int, D: int):
 
 
 def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
-                     want_stats, act, nout, forms):
+                     want_stats, act, nout, forms, d_halo=False):
     w0, wc = wpk
     kd = w0.shape[2]
+    assert not d_halo or kd == 1, (d_halo, kd)
     nin = len(xs)
     G, R, P = flat_geometry64(H, W)
     Ps = G + 8
@@ -339,15 +393,15 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
     kernel = functools.partial(
         _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
         H=H, out_dtype=dtype, act=act, want_stats=want_stats,
-        forms=forms, kd=kd)
+        forms=forms, kd=kd, d_halo=d_halo)
 
     in_specs, operands = [], []
     for x, form in zip(xs, forms):
         rows = R if form == "pool32" else R + 2 * P
-        for z in range(kd):
+        for z in range(3 if d_halo else kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                _slab_index_map(z, D) if kd == 3
+                _slab_index_map(z, D) if (kd == 3 or d_halo)
                 else (lambda b_, d_: (b_, d_, 0, 0)),
                 memory_space=pltpu.VMEM))
             operands.append(x)
@@ -395,13 +449,15 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
 
 def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, act: str,
-                       want_stats: bool, x_dtype, forms, kd: int = 3):
+                       want_stats: bool, x_dtype, forms, kd: int = 3,
+                       d_halo: bool = False):
+    nv = 3 if d_halo else kd                   # views per chunk
     pos = 0
-    ins = refs[pos:pos + nin * kd]; pos += nin * kd
-    dys = refs[pos:pos + nout * kd]; pos += nout * kd
+    ins = refs[pos:pos + nin * nv]; pos += nin * nv
+    dys = refs[pos:pos + nout * nv]; pos += nout * nv
     ys = ()
     if want_stats:
-        ys = refs[pos:pos + nout * kd]; pos += nout * kd
+        ys = refs[pos:pos + nout * nv]; pos += nout * nv
     w0T, wcT = refs[pos:pos + 2]; pos += 2
     mask_ref = refs[pos]; pos += 1
     inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
@@ -423,6 +479,19 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
 
     # Stage A: a' slabs into scratch
     for i in range(nin):
+        if d_halo:
+            a_s[i, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
+            a_s[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+            _build_scratch64(ins[i * 3 + 1], 1, a_s, i, G=G, R=R, P=P,
+                             Ps=Ps, H=H, inv_l=inv_ref[i],
+                             shift_l=shift_ref[i], mask_ref=mask_ref,
+                             act=act, form=forms[i])
+            for side, v in ((0, ins[i * 3]), (2, ins[i * 3 + 2])):
+                _build_halo64(v, side, a_s, i, G=G, R=R, P=P, Ps=Ps,
+                              inv_l=inv_ref[i], shift_l=shift_ref[i],
+                              mask_ref=mask_ref, act=act,
+                              form=forms[i])
+            continue
         for z in range(kd):
             slot = i * kd + z
             a_s[slot, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
@@ -434,16 +503,42 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                              act=act, form=forms[i])
 
     # Stage B: dy_tot slabs (stats cotangent folded, masked)
+    def _dy_tot(o, dyv, yv, rows):
+        dy = dyv[0, 0, rows, :].astype(jnp.float32)
+        if want_stats:
+            y = yv[0, 0, rows, :].astype(jnp.float32)
+            dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+        return dy
+
     for o in range(nout):
+        if d_halo:
+            dyt_s[o, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
+            dyt_s[o, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128),
+                                                    dyt_s.dtype)
+            dy = _dy_tot(o, dys[o * 3 + 1],
+                         ys[o * 3 + 1] if want_stats else None,
+                         pl.ds(P, R))
+            dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
+            db[o, :] += jnp.sum(dy, axis=0)
+            # Halo strips of dy_tot: dgrad of edge rows needs dy from
+            # the adjacent H-slab (same layout as the a' halo).
+            for side, iv in ((0, 0), (2, 2)):
+                row0 = R - G if side == 0 else 0
+                dyh = _dy_tot(o, dys[o * 3 + iv],
+                              ys[o * 3 + iv] if want_stats else None,
+                              pl.ds(P + row0, G))
+                dyh = dyh * mask_ref[...] * _slab_valid(side)
+                dst = Ps - G if side == 0 else Ps + R
+                dyt_s[o, pl.ds(dst, G)] = dyh.astype(dyt_s.dtype)
+            continue
         for z in range(kd):
             slot = o * kd + z
             dyt_s[slot, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
             dyt_s[slot, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128),
                                                       dyt_s.dtype)
-            dy = dys[slot][0, 0, pl.ds(P, R), :].astype(jnp.float32)
-            if want_stats:
-                y = ys[slot][0, 0, pl.ds(P, R), :].astype(jnp.float32)
-                dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+            dy = _dy_tot(o, dys[slot],
+                         ys[slot] if want_stats else None, pl.ds(P, R))
             dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
             if kd == 3:
                 dy = dy * _slab_valid(z)
@@ -474,7 +569,7 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         d_c, wcT[o, i, z, t], dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
         # prologue epilogue (center slab)
-        x = _load_raw64(ins[i * kd + kd // 2], forms[i], R=R, P=P)
+        x = _load_raw64(ins[i * nv + nv // 2], forms[i], R=R, P=P)
         pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
         gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
             * _act_deriv(pre, act)
@@ -511,9 +606,11 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
-                       want_stats: bool, act: str, forms=None):
+                       want_stats: bool, act: str, forms=None,
+                       d_halo: bool = False):
     """Fused prologue + 3x3x3 'same' conv + stats side outputs on
     flat64 chunks.
 
@@ -531,19 +628,19 @@ def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
     ys, stats = _conv64_fwd_call(
         xs, inv, shift, pack_weights64(w), bias_l, width_mask64(W),
         H=H, W=W, want_stats=want_stats, act=act,
-        nout=w.shape[-1] // CC64, forms=forms)
+        nout=w.shape[-1] // CC64, forms=forms, d_halo=d_halo)
     return ys, stats
 
 
 def _conv64_fwd(xs, inv, shift, w, b, H, W, want_stats, act,
-                forms=None):
+                forms=None, d_halo=False):
     out = conv3_bnact_flat64(xs, inv, shift, w, b, H, W, want_stats,
-                             act, forms)
+                             act, forms, d_halo)
     ys, _ = out
     return out, (xs, inv, shift, w, ys)
 
 
-def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
+def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     forms = forms or ("flat64",) * len(res[0])
     xs, inv, shift, w, ys = res
     dys_in, dstats = cts
@@ -566,17 +663,18 @@ def _conv64_bwd(H, W, want_stats, act, forms, res, cts):
     kernel = functools.partial(
         _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
         H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-        forms=forms, kd=kd)
+        forms=forms, kd=kd, d_halo=d_halo)
 
     in_specs, operands = [], []
 
     def addv(arr, rows=R + 2 * P):
-        """Add kd clamped slab views (no D-padded copy; see
-        _slab_index_map)."""
-        for z in range(kd):
+        """Add per-chunk clamped slab views (no D-padded copy; see
+        _slab_index_map): kd z-taps, or center + 2 halo neighbors in
+        d_halo mode."""
+        for z in range(3 if d_halo else kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                _slab_index_map(z, D) if kd == 3
+                _slab_index_map(z, D) if (kd == 3 or d_halo)
                 else (lambda b_, d_: (b_, d_, 0, 0)),
                 memory_space=pltpu.VMEM))
             operands.append(arr)

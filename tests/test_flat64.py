@@ -424,3 +424,50 @@ def test_fused_planar_and_2d_unet_match_standard(rng, kw, shape):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=2e-4 * scale), k1
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 64), (128, 64)])
+def test_conv_d_halo_tiling_matches_dense(rng, cin, cout):
+    """H-tiled 2D mode (d_halo=True): an (8, W) image processed as two
+    4-row H-slabs with halo strips matches the whole-image dense conv,
+    gradients and stats included."""
+    B, Hf, W = 1, 8, 6
+    Ht, nt = 4, 2
+    x4 = jnp.asarray(rng.normal(size=(B, Hf, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(cin,)) * 0.5 + 1.0, jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(cin,)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, Hf, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def loss_ref(x4, inv_c, shift_c, w, b):
+        a = jnp.maximum(x4[:, None] * inv_c + shift_c, 0.0)
+        y = _conv_ref(a, w)[:, 0] + b
+        s = jnp.sum(y, axis=(0, 1, 2))
+        q = jnp.sum(y * y, axis=(0, 1, 2))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_tiled(x4, inv_c, shift_c, w, b):
+        x5 = x4.reshape(B, nt, Ht, W, cin)
+        xs = f64.to_flat64(x5)
+        ys, (s, q) = f64.conv3_bnact_flat64(
+            xs, f64.lane_vec64(inv_c), f64.lane_vec64(shift_c),
+            w, b, Ht, W, True, "relu", None, True)
+        y = f64.from_flat64(ys, Ht, W, cout).reshape(B, Hf, W, cout)
+        s_c = f64.fold_lane_stats64(s)
+        q_c = f64.fold_lane_stats64(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) \
+            + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(x4, inv_c, shift_c, w, b)
+    l2 = loss_tiled(x4, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x4, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_tiled, (0, 1, 2, 3, 4))(x4, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-3 * scale), a.shape
