@@ -226,18 +226,30 @@ def _act_name(activation) -> str:
     return "leaky" if activation in ("leaky", "lrelu") else "relu"
 
 
-def _lift2d(x):
-    """2D (N, H, W, C) -> the fused executors' 5D view (N, 1, H, W, C).
+def _lift2d(x, tile: int = 0):
+    """2D (N, H, W, C) -> the fused executors' 5D view.
 
-    The flat executors treat a 2D model as a 3D volume with one planar
-    (kd=1) slab; D=1 keeps every row of the image in one kernel grid
-    step (the gate bounds H * W so this fits VMEM)."""
-    return x[:, None] if x.ndim == 4 else x
+    The flat executors treat a 2D model as a 3D volume of planar
+    (kd=1) H-slabs. tile=0 (or tile == H): ONE slab (N, 1, H, W, C) —
+    the whole image per kernel grid step. Otherwise the image is
+    H-tiled into (N, H/tile, tile, W, C) slabs (a free, contiguous
+    reshape) and the convs run with d_halo strips so big images fit
+    the VMEM row bound."""
+    if x.ndim != 4:
+        return x
+    if tile and tile < x.shape[1]:
+        B, H, W, C = x.shape
+        return x.reshape(B, H // tile, tile, W, C)
+    return x[:, None]
 
 
 def _drop2d(y):
-    """Inverse of _lift2d on dense outputs: (N, 1, H, W, C) -> 4D."""
-    return y[:, 0] if y.ndim == 5 else y
+    """Inverse of _lift2d on dense outputs: merge the slab axes back
+    into (N, H, W, C) (contiguous, free)."""
+    if y.ndim != 5:
+        return y
+    B, D, h, W, C = y.shape
+    return y.reshape(B, D * h, W, C)
 
 
 def _p2d(shape, dim):
@@ -282,7 +294,9 @@ class _Im2colConv(nn.Module):
         w2 = kernel.reshape(9 * cin, self.features).astype(self.dtype)
         y = jax.lax.dot_general(
             pats, w2, dimension_numbers=(((4,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if pats.dtype == jnp.float32 else None))
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
 
 
@@ -303,6 +317,7 @@ class _FusedConv64(nn.Module):
     forms: Optional[Tuple[str, ...]] = None
     kd: int = 3
     dim: int = 3
+    d_halo: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -325,7 +340,7 @@ class _FusedConv64(nn.Module):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, 0)))
         return _ff64.conv3_bnact_flat64(
             tuple(xs), inv, shift, w, bias, self.H, self.W,
-            self.want_stats, self.act, self.forms)
+            self.want_stats, self.act, self.forms, self.d_halo)
 
 
 class _FusedUpconv64(nn.Module):
@@ -405,6 +420,7 @@ class _FusedConv(nn.Module):
     act: str
     dup_weights: bool = False
     dim: int = 3
+    d_halo: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -423,7 +439,8 @@ class _FusedConv(nn.Module):
             k = jnp.concatenate([k, k], axis=3)
         return _ffu.conv_bnact_flat(
             tuple(xs), inv, shift, k, bias.astype(self.dtype),
-            self.H, self.W, tuple(self.wrs), self.want_stats, self.act)
+            self.H, self.W, tuple(self.wrs), self.want_stats, self.act,
+            self.d_halo)
 
 
 class _FusedUpconv(nn.Module):
@@ -524,6 +541,7 @@ class DownConv(nn.Module):
     fused64: bool = False
     pool_form: str = "dense5"  # 'compact32': emit the pool's compact
     #                            form for a fused64 next level
+    tile: int = 0   # dim=2 H-tiling slab height (0 = untiled)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -541,6 +559,7 @@ class DownConv(nn.Module):
             # levels; kd=1 (planar conv + (1,2,2) pool) for planar
             # levels and 2D models (dim=2 lifts to a D-tiled 5D view).
             kd = 1 if (self.planar or self.dim == 2) else 3
+            tiled = self.dim == 2 and self.tile > 0
             if isinstance(x, _ff64.PoolCompact32):
                 # The L0 pool's compact output feeds conv1 directly
                 # (in-kernel lane shuffle) — no XLA relayout seam.
@@ -551,7 +570,7 @@ class DownConv(nn.Module):
                 forms = ("pool32",)
             else:
                 if self.dim == 2:
-                    x = _lift2d(x)
+                    x = _lift2d(x, self.tile)
                 H, W = x.shape[2], x.shape[3]
                 B, Dd = x.shape[0], x.shape[1]
                 cin = x.shape[-1]
@@ -568,6 +587,7 @@ class DownConv(nn.Module):
             y1, st1 = _FusedConv64(C, H, W, cin_real=cin,
                                    want_stats=want1, act="linear",
                                    forms=forms, kd=kd, dim=self.dim,
+                                   d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs0, id_inv, id_shift)
@@ -584,6 +604,7 @@ class DownConv(nn.Module):
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
                                    kd=kd, dim=self.dim,
+                                   d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
@@ -613,9 +634,11 @@ class DownConv(nn.Module):
             # Fully fused flat executor (ops/flat_fused.py): conv1 in
             # XLA (small C_in), then BN-stats/apply/act/conv/pool all
             # kernel-resident — zero full-resolution XLA seams.
-            # dim=2 models run as one planar slab (D=1, _lift2d).
+            # dim=2 models run as planar H-slabs (_lift2d; d_halo
+            # strips when tiled).
+            tiled = self.dim == 2 and self.tile > 0
             if self.dim == 2:
-                x = _lift2d(x)
+                x = _lift2d(x, self.tile)
             H, W = x.shape[2], x.shape[3]
             B, Dd = x.shape[0], x.shape[1]
             count = B * Dd * H * W
@@ -624,7 +647,8 @@ class DownConv(nn.Module):
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
             nidx = 0
-            if x.shape[-1] == 1 and C == _fc.CC and W <= 128:
+            if x.shape[-1] == 1 and C == _fc.CC and W <= 128 \
+                    and not tiled:
                 # Fully fused conv1: direct Pallas conv from the raw
                 # input into the flat chunk + stats side outputs — no
                 # XLA im2col/layout seams (ops/flat_fused.py conv1).
@@ -641,9 +665,16 @@ class DownConv(nn.Module):
                 else:
                     inv1, shift1 = identity_prologue(n)
             else:
+                # conv1 runs on the UNTILED image (its own H-taps must
+                # cross slab boundaries), then the dense output is
+                # re-sliced into slabs for the kernel-resident chain.
+                xin = (x.reshape(B, 1, Dd * H, W, x.shape[-1])
+                       if tiled else x)
                 y1 = _Im2colConv(C, dim=self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 name="conv1")(x)
+                                 name="conv1")(xin)
+                if tiled:
+                    y1 = y1.reshape(B, Dd, H, W, C)
                 if self.full_norm and batch:
                     s1, q1 = _ffu.channel_stats_dense(y1)
                     inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
@@ -660,6 +691,7 @@ class DownConv(nn.Module):
             want2 = batch and train
             ys2, st2 = _FusedConv(C, H, W, wrs=wrs1, want_stats=want2,
                                   act=aname, dim=self.dim,
+                                  d_halo=tiled,
                                   dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="conv2")(xs1, inv1, shift1)
@@ -791,6 +823,7 @@ class UpConv(nn.Module):
     fused: bool = False
     fused64: bool = False
     flat_hw: Tuple[int, int] = (0, 0)
+    tile: int = 0   # dim=2 H-tiling slab height (0 = untiled)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -808,8 +841,9 @@ class UpConv(nn.Module):
             # FlatActs64; dec is the deeper level's dense tensor.
             # kd=1 (planar (1,2,2) upconv) for planar levels / dim=2.
             kd = 1 if (self.planar or self.dim == 2) else 3
+            tiled = self.dim == 2 and self.tile > 0
             if self.dim == 2:
-                dec = _lift2d(dec)
+                dec = _lift2d(dec, self.tile // 2)
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _ff64.CC64
@@ -840,7 +874,7 @@ class UpConv(nn.Module):
             want1 = batch and self.full_norm and train
             y1, st1 = _FusedConv64(C, H, W, cin_real=len(xs) * _ff64.CC64,
                                    want_stats=want1, act=aname,
-                                   kd=kd, dim=self.dim,
+                                   kd=kd, dim=self.dim, d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs, inv_s, shift_s)
@@ -856,7 +890,7 @@ class UpConv(nn.Module):
             want2 = batch and train
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
-                                   kd=kd, dim=self.dim,
+                                   kd=kd, dim=self.dim, d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
@@ -874,8 +908,9 @@ class UpConv(nn.Module):
             # Fully fused flat executor: enc arrives as FlatActs (raw
             # chunks + prologue); upconv/convs are Pallas kernels with
             # the BN-apply + act of their inputs fused into the load.
+            tiled = self.dim == 2 and self.tile > 0
             if self.dim == 2 and not isinstance(dec, _ff64.FlatActs64):
-                dec = _lift2d(dec)
+                dec = _lift2d(dec, self.tile // 2)
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _fc.CC
@@ -915,7 +950,8 @@ class UpConv(nn.Module):
             y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
                                  want_stats=want1, act=aname,
                                  dup_weights=self.merge_mode == "add",
-                                 dim=self.dim, dtype=self.dtype,
+                                 dim=self.dim, d_halo=tiled,
+                                 dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv1")(xs, inv_s, shift_s)
             if self.full_norm and batch:
@@ -929,6 +965,7 @@ class UpConv(nn.Module):
             want2 = batch and train
             y2, st2 = _FusedConv(C, H, W, wrs=(0,) * n, want_stats=want2,
                                  act=aname, dim=self.dim,
+                                 d_halo=tiled,
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv2")(y1, inv1, shift1)
@@ -1059,6 +1096,10 @@ class UNet(nn.Module):
     # kernel-fused as well. True forces the flat path (tests use the
     # interpreter off-TPU); False disables.
     pallas_flat: Union[bool, str] = "auto"
+    # dim=2 H-tiling override: force the L0 slab height instead of the
+    # auto plan (_plan_tile2d). Tests use this to exercise the d_halo
+    # path at small shapes; production leaves it None.
+    tile2d: Optional[int] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     # Output logit dtype. None = float32 (reference semantics). For
@@ -1134,6 +1175,23 @@ class UNet(nn.Module):
                 and H % 2 == 0 and W % 2 == 0
                 and (not pooling or kd1 or D % 2 == 0)
                 and H * (W // 2 + 10) <= 8192)   # VMEM scratch bound
+
+    def _plan_tile2d(self, H0: int, W0: int) -> int:
+        """L0 slab height for 2D H-tiling: largest divisor of H0 that
+        keeps every level's per-slab VMEM rows within the 8192-row
+        bound (halves per level alongside G, so L0 dominates). Returns
+        H0 when the whole image fits (untiled, no halo cost); 0 when
+        no valid tiling exists."""
+        gmax = max(_fc.flat_geometry(2, W0)[0],
+                   _ff64.flat_geometry64(2, W0)[0])
+        if H0 * gmax <= 8192:
+            return H0
+        t = (8192 // gmax) & ~3          # slab % 4: L1 slab stays even
+        while t >= 4:
+            if H0 % t == 0:
+                return t
+            t -= 4
+        return 0
 
     def _fused_decline_reason(self, planar: bool, channels: int,
                               H: int, W: int, D: int,
@@ -1235,20 +1293,30 @@ class UNet(nn.Module):
             pD, pH, pW = x.shape[1], x.shape[2], x.shape[3]
         else:
             pD, pH, pW = 1, x.shape[1], x.shape[2]
-        lvl_shape, lvl_fused, lvl_fused64 = [], [], []
+        # 2D H-tiling: big images run the fused executors as H-slabs
+        # with halo strips (_lift2d / d_halo). tile0 is the L0 slab
+        # height; each level's slab halves with its H.
+        tile0 = 0
+        if self.dim == 2 and self.pallas_flat is not False:
+            t = self.tile2d or self._plan_tile2d(pH, pW)
+            if t and t < pH:
+                tile0 = t
+        lvl_shape, lvl_fused, lvl_fused64, lvl_tile = [], [], [], []
         for i in range(self.n_blocks):
             planar_i = i in self.planar_blocks
             ch = self.start_filts * (2 ** i)
             pooling_i = i < self.n_blocks - 1
-            lvl_shape.append((pD, pH, pW))
-            lvl_fused.append(self._flat_fused_ok(planar_i, ch, pH, pW))
+            gH = (tile0 >> i) if tile0 else pH   # fused-geometry H
+            lvl_shape.append((pD, gH, pW))
+            lvl_tile.append(gH if tile0 else 0)
+            lvl_fused.append(self._flat_fused_ok(planar_i, ch, gH, pW))
             lvl_fused64.append(
                 (not lvl_fused[-1]) and self._flat_fused64_ok(
-                    planar_i, ch, pH, pW, pD, pooling_i))
+                    planar_i, ch, gH, pW, pD, pooling_i))
             if (self.pallas_flat is not False and not lvl_fused[-1]
                     and not lvl_fused64[-1]):
                 reason = self._fused_decline_reason(
-                    planar_i, ch, pH, pW, pD, pooling_i)
+                    planar_i, ch, gH, pW, pD, pooling_i)
                 key = (i, ch, pD, pH, pW, reason)
                 if key not in _DECLINES_LOGGED:
                     _DECLINES_LOGGED.add(key)
@@ -1285,7 +1353,7 @@ class UNet(nn.Module):
                          else "dense5")
             down = DownCls(outs, pooling=pooling, planar=planar,
                            flat=flat, fused=fused, fused64=fused64,
-                           pool_form=pool_form,
+                           pool_form=pool_form, tile=lvl_tile[i],
                            name=f"down_{i}", **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
@@ -1361,7 +1429,8 @@ class UNet(nn.Module):
                        up_mode=self.up_mode, planar=planar,
                        attention=self.attention, flat=up_flat,
                        fused=up_fused, fused64=up_fused64,
-                       flat_hw=(H, W), name=f"up_{i}",
+                       flat_hw=(H, W), tile=lvl_tile[level],
+                       name=f"up_{i}",
                        **block_kw)
             x, _att = up(before_pool, x, train)
             up_hw = (H, W)

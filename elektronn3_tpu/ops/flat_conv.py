@@ -562,7 +562,9 @@ def conv3_into_flat(x5: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     pat = pat.reshape(B, D, R, JG, 9 * cin)
     wm = w.reshape(9 * cin, cout).astype(x5.dtype)      # (t,s,ci) major
     y = jnp.einsum("bdrjk,kc->bdrjc", pat, wm,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=(jax.lax.Precision.HIGHEST
+                              if pat.dtype == jnp.float32 else None))
     if b is not None:
         y = y + b.astype(y.dtype)
     # width mask: pad columns got pat=0 but bias must not leak there
@@ -617,6 +619,8 @@ def upconv2_transpose_to_flat(dec: jnp.ndarray, w: jnp.ndarray,
     # (gradient-of-conv convention) -> flip the phase taps.
     z = jnp.einsum("ndhwc,apco->ndhwapo", decp,
                    w[0, ::-1, ::-1].astype(dec.dtype),
+                   precision=(jax.lax.Precision.HIGHEST
+                              if dec.dtype == jnp.float32 else None),
                    preferred_element_type=jnp.float32)  # a=kh phase, b=kw phase
     if b is not None:
         z = z + b.astype(z.dtype)
@@ -648,6 +652,9 @@ def conv1x1_from_flat(chunks, w: jnp.ndarray, b: jnp.ndarray,
         v = xc[:, :, P:P + R].reshape(B, D, R, JG, CC)
         ys.append(jnp.einsum("bdrjc,co->bdrjo", v,
                              w2[i * CC:(i + 1) * CC].astype(xc.dtype),
+                             precision=(jax.lax.Precision.HIGHEST
+                                        if xc.dtype == jnp.float32
+                                        else None),
                              preferred_element_type=jnp.float32))
     y = sum(ys)
     if b is not None:

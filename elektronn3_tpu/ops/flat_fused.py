@@ -165,14 +165,58 @@ def _build_scratch(ref, i, scratch, *, wr: int, G: int, R: int, P: int,
     scratch[i, pl.ds(Ps, R)] = val.reshape(R, 128).astype(scratch.dtype)
 
 
+def _halo_valid(side) -> jnp.ndarray:
+    """0.0 for halo strips at the volume edge (clamped neighbor view
+    repeats the own slab; conv padding must stay zero)."""
+    pd = pl.program_id(1)
+    if side == 0:
+        return (pd > 0).astype(jnp.float32)
+    return (pd < pl.num_programs(1) - 1).astype(jnp.float32)
+
+
+def _build_halo(ref, i, side, scratch, *, wr: int, G: int, R: int,
+                P: int, Ps: int, H: int, inv_ref, shift_ref, mask_ref,
+                act: str):
+    """H-tiled (d_halo) mode: one prologued image-row halo strip from
+    the adjacent H-slab into the scratch pad region (see flat_fused64
+    _build_halo64). side=0: prev slab's LAST row -> [Ps-G:Ps]; side=2:
+    next slab's FIRST row -> [Ps+R:Ps+R+G]."""
+    if wr:  # dense-row adapter: one image row = wr dense rows
+        row0 = (H - 1) * wr if side == 0 else 0
+        a = ref[0, 0, pl.ds(row0, wr), :].astype(jnp.float32)
+        z1 = jnp.zeros((1, 128), jnp.float32)
+        z2 = jnp.zeros((G - wr - 1, 128), jnp.float32)
+        a = jnp.concatenate([z1, a, z2], axis=0)
+    else:
+        row0 = R - G if side == 0 else 0
+        a = ref[0, 0, pl.ds(P + row0, G), :].astype(jnp.float32)
+    pre = a * inv_ref[i][None, :] + shift_ref[i][None, :]
+    val = _act_fwd(pre, act) * mask_ref[...] * _halo_valid(side)
+    scratch[i, pl.ds(Ps - G if side == 0 else Ps + R, G)] = \
+        val.astype(scratch.dtype)
+
+
+def _halo_index_map(z: int, D: int):
+    """Clamped prev/center/next slab index maps (values at the clamped
+    edges are zeroed by _halo_valid)."""
+    def imap(b_, d_):
+        s = d_ + z - 1
+        s = jnp.maximum(s, 0) if z == 0 else jnp.minimum(s, D - 1)
+        return (b_, s, 0, 0)
+    if z == 1:
+        return lambda b_, d_: (b_, d_, 0, 0)
+    return imap
+
+
 def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                        Ps: int, H: int, wrs, out_dtype, act: str,
-                       want_stats: bool):
-    ins = refs[:nin]
+                       want_stats: bool, d_halo: bool = False):
+    nv = 3 if d_halo else 1
+    ins = refs[:nin * nv]
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
-        refs[nin:nin + 6]
-    outs = refs[nin + 6:nin + 6 + nout]
-    idx = nin + 6 + nout
+        refs[nin * nv:nin * nv + 6]
+    outs = refs[nin * nv + 6:nin * nv + 6 + nout]
+    idx = nin * nv + 6 + nout
     if want_stats:
         s_ref, q_ref = refs[idx:idx + 2]
         scratches = refs[idx + 2:]
@@ -191,9 +235,16 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
     for i in range(nin):
         scratch[i, 0:Ps] = jnp.zeros((Ps, 128), scratch.dtype)
         scratch[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), scratch.dtype)
-        _build_scratch(ins[i], i, scratch, wr=wrs[i], G=G, R=R, P=P,
+        _build_scratch(ins[i * nv + nv // 2], i, scratch, wr=wrs[i],
+                       G=G, R=R, P=P,
                        Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
                        mask_ref=mask_ref, act=act)
+        if d_halo:
+            for side, v in ((0, ins[i * 3]), (2, ins[i * 3 + 2])):
+                _build_halo(v, i, side, scratch, wr=wrs[i], G=G, R=R,
+                            P=P, Ps=Ps, H=H, inv_ref=inv_ref,
+                            shift_ref=shift_ref, mask_ref=mask_ref,
+                            act=act)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     dims = (((1,), (0,)), ((), ()))
@@ -227,7 +278,7 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
 
 
 def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
-                   want_stats, act, nout):
+                   want_stats, act, nout, d_halo=False):
     w0, wplus, wminus = wpk
     wcomb = combine_corner_weights(wplus, wminus)
     nin = len(xs)
@@ -239,15 +290,17 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
 
     kernel = functools.partial(
         _fused_conv_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps, H=H,
-        wrs=tuple(wrs), out_dtype=dtype, act=act, want_stats=want_stats)
+        wrs=tuple(wrs), out_dtype=dtype, act=act, want_stats=want_stats,
+        d_halo=d_halo)
 
     in_specs = []
     operands = []
     for i, x in enumerate(xs):
-        in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128),
-                                     lambda b, d: (b, d, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(x)
+        for z in range(3) if d_halo else (1,):
+            in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128),
+                                         _halo_index_map(z, D),
+                                         memory_space=pltpu.VMEM))
+            operands.append(x)
     for warr in (w0, wcomb):
         in_specs.append(pl.BlockSpec(warr.shape,
                                      lambda b, d, nd=warr.ndim: (0,) * nd,
@@ -295,16 +348,19 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
 
 def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                            P: int, Ps: int, H: int, wrs, act: str,
-                           want_stats: bool, x_dtype):
+                           want_stats: bool, x_dtype,
+                           d_halo: bool = False):
     # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wc),
-    #         mask, inv, shift, ds, dq
+    #         mask, inv, shift, ds, dq  (xs/dys/ys get 3 clamped slab
+    #         views each in d_halo mode)
     # outputs: dxs[nin], dinv, dshift, m0, mc, db
     # scratch: a' (nin, Rps, 128), dyt (nout, Rps, 128)
+    nv = 3 if d_halo else 1
     pos = 0
-    ins = refs[pos:pos + nin]; pos += nin
-    dys = refs[pos:pos + nout]; pos += nout
-    ys = refs[pos:pos + nout] if want_stats else ()
-    pos += nout if want_stats else 0
+    ins = refs[pos:pos + nin * nv]; pos += nin * nv
+    dys = refs[pos:pos + nout * nv]; pos += nout * nv
+    ys = refs[pos:pos + nout * nv] if want_stats else ()
+    pos += nout * nv if want_stats else 0
     w0T, wcT = refs[pos:pos + 2]; pos += 2
     mask_ref = refs[pos]; pos += 1
     inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
@@ -328,22 +384,43 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     for i in range(nin):
         a_s[i, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
         a_s[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
-        _build_scratch(ins[i], i, a_s, wr=wrs[i], G=G, R=R, P=P,
+        _build_scratch(ins[i * nv + nv // 2], i, a_s, wr=wrs[i],
+                       G=G, R=R, P=P,
                        Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
                        mask_ref=mask_ref, act=act)
+        if d_halo:
+            for side, v in ((0, ins[i * 3]), (2, ins[i * 3 + 2])):
+                _build_halo(v, i, side, a_s, wr=wrs[i], G=G, R=R,
+                            P=P, Ps=Ps, H=H, inv_ref=inv_ref,
+                            shift_ref=shift_ref, mask_ref=mask_ref,
+                            act=act)
 
     # Stage B: fold the stats cotangent into dy and mask:
     # dy_tot = mask * (dy + ds + 2 * y * dq)
+    def _dy_tot(o, dyv, yv, rows, hg):
+        dy = dyv[0, 0, rows, :].astype(jnp.float32)
+        if want_stats:
+            y = yv[0, 0, rows, :].astype(jnp.float32)
+            dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+        return (dy.reshape(hg, G, 128)
+                * mask_ref[...][None]).reshape(hg * G, 128)
+
     for o in range(nout):
         dyt_s[o, 0:Ps] = jnp.zeros((Ps, 128), dyt_s.dtype)
         dyt_s[o, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), dyt_s.dtype)
-        dy = dys[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
-        if want_stats:
-            y = ys[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
-            dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
-        dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        dy = _dy_tot(o, dys[o * nv + nv // 2],
+                     ys[o * nv + nv // 2] if want_stats else None,
+                     pl.ds(P, R), H)
         dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
         db[o, :] += jnp.sum(dy, axis=0)
+        if d_halo:
+            for side, iv in ((0, 0), (2, 2)):
+                row0 = R - G if side == 0 else 0
+                dyh = _dy_tot(o, dys[o * 3 + iv],
+                              ys[o * 3 + iv] if want_stats else None,
+                              pl.ds(P + row0, G), 1) * _halo_valid(side)
+                dst = Ps - G if side == 0 else Ps + R
+                dyt_s[o, pl.ds(dst, G)] = dyh.astype(dyt_s.dtype)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     dims = (((1,), (0,)), ((), ()))
@@ -367,13 +444,14 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                     preferred_element_type=jnp.float32)
         # prologue epilogue: da' -> (dx, dinv, dshift)
         wr = wrs[i]
+        ic = ins[i * nv + nv // 2]
         if wr:
-            x = ins[i][0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
+            x = ic[0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
             z1 = jnp.zeros((H, 1, 128), jnp.float32)
             z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
             x = jnp.concatenate([z1, x, z2], axis=1).reshape(R, 128)
         else:
-            x = ins[i][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            x = ic[0, 0, pl.ds(P, R), :].astype(jnp.float32)
         pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
         gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
             * _act_deriv(pre, act)
@@ -431,9 +509,20 @@ def _unpack_wgrad(m0, mc, nin, nout):
     return dw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def conv_bnact_flat(xs, inv, shift, w, b, H: int, W: int,
-                    wrs: Tuple[int, ...], want_stats: bool, act: str):
+                    wrs: Tuple[int, ...], want_stats: bool, act: str,
+                    d_halo: bool = False):
+    """Public wrapper: always passes d_halo explicitly (custom_vjp
+    nondiff args don't apply defaults). See _conv_bnact_vjp."""
+    return _conv_bnact_vjp(xs, inv, shift, w, b, H, W, tuple(wrs),
+                           want_stats, act, d_halo)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _conv_bnact_vjp(xs, inv, shift, w, b, H: int, W: int,
+                    wrs: Tuple[int, ...], want_stats: bool, act: str,
+                    d_halo: bool = False):
     """Fused prologue + planar 3x3 'same' conv + stats side outputs.
 
     Args:
@@ -455,17 +544,19 @@ def conv_bnact_flat(xs, inv, shift, w, b, H: int, W: int,
     ys, stats = _conv_fwd_call(
         xs, inv, shift, pack_flat_weights(w), bias_l, width_mask(W),
         H=H, W=W, wrs=wrs, want_stats=want_stats, act=act,
-        nout=w.shape[-1] // CC)
+        nout=w.shape[-1] // CC, d_halo=d_halo)
     return ys, stats
 
 
-def _conv_bnact_fwd(xs, inv, shift, w, b, H, W, wrs, want_stats, act):
-    out = conv_bnact_flat(xs, inv, shift, w, b, H, W, wrs, want_stats, act)
+def _conv_bnact_fwd(xs, inv, shift, w, b, H, W, wrs, want_stats, act,
+                    d_halo=False):
+    out = _conv_bnact_vjp(xs, inv, shift, w, b, H, W, wrs, want_stats,
+                          act, d_halo)
     ys, _ = out
     return out, (xs, inv, shift, w, ys)
 
 
-def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
+def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
     xs, inv, shift, w, ys = res
     dys_in, dstats = cts
     nin, nout = len(xs), len(ys)
@@ -487,7 +578,8 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
 
     kernel = functools.partial(
         _fused_conv_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
-        H=H, wrs=tuple(wrs), act=act, want_stats=want_stats, x_dtype=dtype)
+        H=H, wrs=tuple(wrs), act=act, want_stats=want_stats,
+        x_dtype=dtype, d_halo=d_halo)
 
     in_specs, operands = [], []
 
@@ -496,14 +588,19 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
                                      memory_space=pltpu.VMEM))
         operands.append(arr)
 
+    def addv(arr, rows):
+        """Per-chunk views: center, or 3 clamped slab views (d_halo)."""
+        for z in range(3) if d_halo else (1,):
+            add(arr, (1, 1, rows, 128), _halo_index_map(z, D))
+
     bd = lambda b_, d_: (b_, d_, 0, 0)
     for x in xs:
-        add(x, (1, 1, x.shape[2], 128), bd)
+        addv(x, x.shape[2])
     for dy in dys:
-        add(dy, (1, 1, R + 2 * P, 128), bd)
+        addv(dy, R + 2 * P)
     if want_stats:
         for y in ys:
-            add(y, (1, 1, R + 2 * P, 128), bd)
+            addv(y, R + 2 * P)
     for warr in wT:
         add(warr.astype(dtype), warr.shape,
             lambda b_, d_, nd=warr.ndim: (0,) * nd)
@@ -550,7 +647,7 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, res, cts):
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
 
 
-conv_bnact_flat.defvjp(_conv_bnact_fwd, _conv_bnact_bwd)
+_conv_bnact_vjp.defvjp(_conv_bnact_fwd, _conv_bnact_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1124,7 +1221,7 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str,
         # Memory-bound head GEMM: default precision on purpose (the
         # logits feed a softmax loss; f32-HIGHEST would slow the bf16
         # model's head ~2x for no training benefit).
-        ys.append(jax.lax.dot_general(
+        ys.append(_dot(
             a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))     # (B, D, R, JG*cout)
     y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG)
@@ -1179,7 +1276,10 @@ def _conv1_build_s(w: jnp.ndarray, W: int) -> jnp.ndarray:
     G = pad_width(W) // JG
     oh = jnp.asarray(_conv1_selection(W))
     k = w.reshape(3, 3, CC)                         # (dh, dw, co)
-    s = jnp.einsum("wgjd,hdc->hwgjc", oh, k)
+    # HIGHEST: under TPU DEFAULT this einsum runs as bf16 passes,
+    # corrupting S (and thus every conv1 output/grad) at ~1e-3.
+    s = jnp.einsum("wgjd,hdc->hwgjc", oh, k,
+                   precision=jax.lax.Precision.HIGHEST)
     return s.reshape(3, 128, G * 128)
 
 
@@ -1189,7 +1289,8 @@ def _conv1_unpack_ds(ds: jnp.ndarray, W: int) -> jnp.ndarray:
     G = pad_width(W) // JG
     oh = jnp.asarray(_conv1_selection(W))
     ds4 = ds.reshape(3, 128, G, JG, CC)
-    dk = jnp.einsum("wgjd,hwgjc->hdc", oh, ds4)
+    dk = jnp.einsum("wgjd,hwgjc->hdc", oh, ds4,
+                    precision=jax.lax.Precision.HIGHEST)
     return dk.reshape(1, 3, 3, 1, CC)
 
 

@@ -606,11 +606,20 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
                        want_stats: bool, act: str, forms=None,
                        d_halo: bool = False):
+    """Public wrapper: always passes d_halo explicitly (custom_vjp
+    nondiff args don't apply defaults). See _conv3_vjp64."""
+    return _conv3_vjp64(xs, inv, shift, w, b, H, W, want_stats, act,
+                        forms, d_halo)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _conv3_vjp64(xs, inv, shift, w, b, H: int, W: int,
+                 want_stats: bool, act: str, forms=None,
+                 d_halo: bool = False):
     """Fused prologue + 3x3x3 'same' conv + stats side outputs on
     flat64 chunks.
 
@@ -634,8 +643,8 @@ def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
 
 def _conv64_fwd(xs, inv, shift, w, b, H, W, want_stats, act,
                 forms=None, d_halo=False):
-    out = conv3_bnact_flat64(xs, inv, shift, w, b, H, W, want_stats,
-                             act, forms, d_halo)
+    out = _conv3_vjp64(xs, inv, shift, w, b, H, W, want_stats,
+                       act, forms, d_halo)
     ys, _ = out
     return out, (xs, inv, shift, w, ys)
 
@@ -739,7 +748,7 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
 
 
-conv3_bnact_flat64.defvjp(_conv64_fwd, _conv64_bwd)
+_conv3_vjp64.defvjp(_conv64_fwd, _conv64_bwd)
 
 
 # ---------------------------------------------------------------------------
