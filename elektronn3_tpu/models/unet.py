@@ -1169,12 +1169,14 @@ class UNet(nn.Module):
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")
         kd1 = planar or self.dim == 2
+        nch = channels // _ff64.CC64             # chunks per tensor
         return (self.conv_mode == "same" and not self.attention
                 and self.normalization in ("batch", "none")
-                and act_ok and channels == _ff64.CC64
+                and act_ok and channels in (_ff64.CC64, 2 * _ff64.CC64)
                 and H % 2 == 0 and W % 2 == 0
                 and (not pooling or kd1 or D % 2 == 0)
-                and H * (W // 2 + 10) <= 8192)   # VMEM scratch bound
+                # VMEM scratch bound (scales with chunk count)
+                and nch * H * (W // 2 + 10) <= 8192)
 
     def _plan_tile2d(self, H0: int, W0: int) -> int:
         """L0 slab height for 2D H-tiling: largest divisor of H0 that
@@ -1213,9 +1215,10 @@ class UNet(nn.Module):
         if not (isinstance(self.activation, str)
                 and self.activation in ("relu", "leaky", "lrelu")):
             return f"activation {self.activation!r} has no fused deriv"
-        if channels not in (_fc.CC, _ff64.CC64):
+        if channels not in (_fc.CC, _ff64.CC64, 2 * _ff64.CC64):
             return (f"C={channels} has no fused executor "
-                    f"(covered: C={_fc.CC} planar/2D, C={_ff64.CC64})")
+                    f"(covered: C={_fc.CC} planar/2D, C={_ff64.CC64}, "
+                    f"C={2 * _ff64.CC64})")
         if H % 2 != 0 or W % 2 != 0:
             return f"odd level shape H={H}, W={W}"
         if channels == _fc.CC and not (planar or self.dim == 2):

@@ -9,6 +9,9 @@ import pytest
 from elektronn3_tpu.ops import flat_fused64 as f64
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)
@@ -485,6 +488,49 @@ def test_fused_2d_tiled_halo_unet_matches_standard(rng):
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
     m_ref = UNet(pallas_flat=False, **kw)
     m_fused = UNet(pallas_flat=True, tile2d=8, **kw)
+    v = init_unet(m_ref, shape)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(init_unet(m_fused, shape))
+
+    def items(tree):
+        return sorted(((jax.tree_util.keystr(k), a) for k, a in
+                       jax.tree_util.tree_leaves_with_path(tree)),
+                      key=lambda t: t[0])
+
+    o_ref, mut_ref = m_ref.apply(v, x, train=True, mutable=["batch_stats"])
+    o_f, mut_f = m_fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert o_ref.shape == o_f.shape
+    assert np.allclose(np.asarray(o_ref), np.asarray(o_f), atol=2e-4)
+    for (k1, a), (k2, r) in zip(items(mut_f["batch_stats"]),
+                                items(mut_ref["batch_stats"])):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-5), k1
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_ref)
+    g_f = jax.grad(loss)(v["params"], m_fused)
+    for (k1, a), (k2, r) in zip(items(g_f), items(g_r)):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=2e-4 * scale), k1
+
+
+def test_fused128_unet_matches_standard(rng):
+    """C=128 fused64 level (2 chunks, start_filts=64): encoder L1 at
+    C=128 (kd=3) plus the planar C=64 L0 and its decoder — outputs,
+    batch stats, and every parameter gradient match the XLA path."""
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    shape = (1, 4, 4, 8, 1)
+    kw = dict(in_channels=1, out_channels=2, n_blocks=2, start_filts=64,
+              planar_blocks=(0,), dim=3, normalization="batch")
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    m_ref = UNet(pallas_flat=False, **kw)
+    m_fused = UNet(pallas_flat=True, **kw)
     v = init_unet(m_ref, shape)
     assert jax.tree_util.tree_structure(v) == \
         jax.tree_util.tree_structure(init_unet(m_fused, shape))

@@ -22,6 +22,9 @@ CASES = [
 ]
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 @pytest.mark.parametrize("B,D,H,W,cin,cout,kd", CASES)
 def test_flat_conv3_forward_matches_xla(rng, B, D, H, W, cin, cout, kd):
     x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)

@@ -20,6 +20,9 @@ import sys
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
