@@ -22,6 +22,9 @@ p.add_argument("--batch", type=int, default=8)
 p.add_argument("--patch", type=int, nargs=3, default=(44, 88, 88))
 p.add_argument("--logit-bf16", action="store_true",
                help="emit bf16 logits (UNet logit_dtype=bf16)")
+p.add_argument("--f32", action="store_true",
+               help="f32 model (fused arm FORCES pallas_flat=True "
+                    "since 'auto' is bf16-only)")
 p.add_argument("--only", choices=["xla", "fused"], default=None)
 args = p.parse_args()
 
@@ -30,9 +33,12 @@ PATCH = tuple(args.patch)
 
 
 def measure(pallas_flat):
+    if args.f32 and pallas_flat:
+        pallas_flat = True   # force: 'auto' resolves to off for f32
     model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
                  planar_blocks=(0,), dim=3, normalization="batch",
-                 dtype=jnp.bfloat16, pallas_flat=pallas_flat,
+                 dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+                 pallas_flat=pallas_flat,
                  logit_dtype=jnp.bfloat16 if args.logit_bf16 else None)
     crit = CEDiceLoss(1.0, 1.0)
     shape = (BATCH,) + PATCH + (1,)

@@ -1323,8 +1323,13 @@ class UNet(nn.Module):
                 key = (i, ch, pD, pH, pW, reason)
                 if key not in _DECLINES_LOGGED:
                     _DECLINES_LOGGED.add(key)
-                    logger.info(
-                        "UNet level %d (C=%d, %dx%dx%d): fused flat "
+                    # info on TPU (a user is actually losing ~2x on
+                    # this level); debug elsewhere (CPU runs/tests
+                    # would drown in 'backend is not TPU').
+                    log = (logger.info
+                           if jax.default_backend() == "tpu"
+                           else logger.debug)
+                    log("UNet level %d (C=%d, %dx%dx%d): fused flat "
                         "executor declined — %s; falling back to the "
                         "XLA executor for this level.",
                         i, ch, pD, pH, pW, reason)
