@@ -26,6 +26,8 @@ p.add_argument("--f32", action="store_true",
                help="f32 model (fused arm FORCES pallas_flat=True "
                     "since 'auto' is bf16-only)")
 p.add_argument("--only", choices=["xla", "fused"], default=None)
+p.add_argument("--sf", type=int, default=32, help="start_filts")
+p.add_argument("--blocks", type=int, default=4, help="n_blocks")
 args = p.parse_args()
 
 BATCH = args.batch
@@ -35,7 +37,8 @@ PATCH = tuple(args.patch)
 def measure(pallas_flat):
     if args.f32 and pallas_flat:
         pallas_flat = True   # force: 'auto' resolves to off for f32
-    model = UNet(in_channels=1, out_channels=2, n_blocks=4, start_filts=32,
+    model = UNet(in_channels=1, out_channels=2, n_blocks=args.blocks,
+                 start_filts=args.sf,
                  planar_blocks=(0,), dim=3, normalization="batch",
                  dtype=jnp.float32 if args.f32 else jnp.bfloat16,
                  pallas_flat=pallas_flat,

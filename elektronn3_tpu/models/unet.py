@@ -56,6 +56,7 @@ from elektronn3_tpu.ops import flat_fused as _ffu
 from elektronn3_tpu.ops import flat_fused64 as _ff64
 
 import logging
+import os
 
 logger = logging.getLogger(__name__)
 # One decline log line per distinct (level, config) across traces —
@@ -68,6 +69,13 @@ Dtype = Any
 # zero-padding contract, ops/flat_conv.py module docstring).
 _FLAT_SAFE_ACTS = ("relu", "leaky", "lrelu", "prelu", "silu", "swish",
                    "tanh", "gelu")
+
+# Minimum level voxels (D*H*W) for 'auto' to engage the C=128 fused
+# executor — below this the per-block kernel overheads lose to XLA
+# (measured on v5e: 22^3 L2 fused costs ~+9 ms/step vs XLA; see
+# BASELINE.md "C=128 crossover"). Env-overridable for calibration.
+_FUSED128_MIN_VOX = int(os.environ.get("E3TPU_FUSED128_MIN_VOX",
+                                       60_000))
 
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
             "resizeconv_nearest1", "resizeconv_linear1")
@@ -1153,10 +1161,18 @@ class UNet(nn.Module):
                 and H * ((W + _fc.W_OFF) // _fc.JG) <= 8192)  # VMEM
 
     def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
-                         W: int, D: int, pooling: bool) -> bool:
+                         W: int, D: int, pooling: bool,
+                         merge: bool = False) -> bool:
         """Is the fused C=64 executor applicable here?
         (ops/flat_fused64.py — kd=3 for 3D levels like the headline
-        model's L1; kd=1 for planar C=64 levels and 2D models.)"""
+        model's L1; kd=1 for planar C=64 levels and 2D models.)
+
+        merge=True for decoder levels: their conv1 consumes the concat
+        of upconv output and skip (2x the chunks), and its backward
+        kernel's VMEM working set scales with the INPUT chunk count —
+        measured on v5e: a C=64 planar decoder conv1 at (88, 88)
+        (2 x 4752 rows) exceeds the 16 MB scoped-VMEM limit by 645 KB,
+        while 2 x 1408 rows (headline L1 decoder) fits."""
         if self.pallas_flat is False:
             return False
         if self.pallas_flat == "auto" and (
@@ -1170,13 +1186,24 @@ class UNet(nn.Module):
             self.activation in ("relu", "leaky", "lrelu")
         kd1 = planar or self.dim == 2
         nch = channels // _ff64.CC64             # chunks per tensor
+        if (self.pallas_flat == "auto" and channels == 2 * _ff64.CC64
+                and D * H * W < _FUSED128_MIN_VOX):
+            # C=128 kernels lose to XLA at small levels (measured: the
+            # headline model's 22^3 L2 ran 6 -> ~15 ms fused, costing
+            # the whole step 51 -> 60 ms). 'auto' engages them only
+            # when the level carries enough voxels to amortize the
+            # per-block kernel overheads; pallas_flat=True forces.
+            return False
+        widest = 2 * nch if (merge and self.merge_mode == "concat") \
+            else nch
         return (self.conv_mode == "same" and not self.attention
                 and self.normalization in ("batch", "none")
                 and act_ok and channels in (_ff64.CC64, 2 * _ff64.CC64)
                 and H % 2 == 0 and W % 2 == 0
                 and (not pooling or kd1 or D % 2 == 0)
-                # VMEM scratch bound (scales with chunk count)
-                and nch * H * (W // 2 + 10) <= 8192)
+                # VMEM scratch bound (scales with the widest conv's
+                # input chunk count; see `merge` in the docstring)
+                and widest * H * (W // 2 + 10) <= 8192)
 
     def _plan_tile2d(self, H0: int, W0: int) -> int:
         """L0 slab height for 2D H-tiling: largest divisor of H0 that
@@ -1225,6 +1252,11 @@ class UNet(nn.Module):
             return f"C={_fc.CC} executor is planar-only"
         if channels == _fc.CC and W % 8 != 0:
             return f"W={W} not 8-aligned (pooled dense rows)"
+        if (self.pallas_flat == "auto" and channels == 2 * _ff64.CC64
+                and D * H * W < _FUSED128_MIN_VOX):
+            return (f"C=128 level too small for the fused executor "
+                    f"({D * H * W} vox < {_FUSED128_MIN_VOX}; XLA "
+                    f"measured faster — pallas_flat=True forces)")
         if channels == _ff64.CC64 and not planar and self.dim == 3 \
                 and pooling and D % 2 != 0:
             return f"odd depth D={D} with (2,2,2) pooling"
@@ -1387,7 +1419,7 @@ class UNet(nn.Module):
                         and not isinstance(x, tuple))
             up_fused64 = (skip_fused64
                           and self._flat_fused64_ok(
-                              planar, outs, H, W, 0, False)
+                              planar, outs, H, W, 0, False, merge=True)
                           and self.up_mode == "transpose"
                           and self.merge_mode == "concat"
                           and ins == 2 * _ff64.CC64
@@ -1404,6 +1436,15 @@ class UNet(nn.Module):
                 if self.dim == 2:
                     before_pool = _drop2d(before_pool)
             elif skip_fused64 and not up_fused64:
+                key = ("up", level, outs, H, W)
+                if key not in _DECLINES_LOGGED:
+                    _DECLINES_LOGGED.add(key)
+                    log = (logger.info if jax.default_backend() == "tpu"
+                           else logger.debug)
+                    log("UNet up level %d (C=%d, %dx%d): fused decoder "
+                        "declined (merge conv VMEM bound or geometry); "
+                        "materializing the skip and falling back to the "
+                        "XLA decoder for this level.", level, outs, H, W)
                 before_pool = _ff64.materialize_flat_acts64(
                     before_pool.chunks, before_pool.inv, before_pool.shift,
                     H, W, len(before_pool.chunks) * _ff64.CC64,

@@ -1,0 +1,114 @@
+"""Gating tests for the fused-executor coverage matrix
+(docs/design.md "Fused-executor coverage matrix"; round-2 review
+item 3). These are pure trace-time predicates — no kernels run — so
+they exercise exactly the decisions 'auto' makes on a TPU backend.
+
+Reference point for uniform coverage: reference models/unet.py:550-935
+(its cuDNN path covers every config; ours must at least *decide*
+correctly and loudly)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from elektronn3_tpu.models import unet as unet_mod
+from elektronn3_tpu.models.unet import UNet
+
+
+def _m(**kw):
+    base = dict(in_channels=1, out_channels=2, n_blocks=2,
+                start_filts=32, planar_blocks=(0,), dim=3,
+                normalization="batch", dtype=jnp.bfloat16,
+                pallas_flat="auto")
+    base.update(kw)
+    return UNet(**base)
+
+
+@pytest.fixture
+def tpu_backend(monkeypatch):
+    """'auto' gates on jax.default_backend() == 'tpu'; fake it so the
+    decision logic (not the environment) is under test."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def test_auto_declines_off_tpu():
+    # Real backend in tests is CPU: 'auto' must resolve to the XLA
+    # executor everywhere (interpret mode is for parity tests only).
+    m = _m()
+    assert not m._flat_fused_ok(True, 32, 88, 88)
+    assert not m._flat_fused64_ok(False, 64, 44, 44, 44, True)
+
+
+def test_auto_declines_f32(tpu_backend):
+    m = _m(dtype=jnp.float32)
+    assert not m._flat_fused_ok(True, 32, 88, 88)
+    assert not m._flat_fused64_ok(False, 64, 44, 44, 44, True)
+
+
+def test_headline_levels_engage(tpu_backend):
+    m = _m()
+    # L0: C=32 planar at (88, 88); L1: C=64 3D at (44, 44).
+    assert m._flat_fused_ok(True, 32, 88, 88)
+    assert m._flat_fused64_ok(False, 64, 44, 44, 44, True)
+    # L1 decoder (128 -> 64 merge conv): 2 x 1408 rows fits.
+    assert m._flat_fused64_ok(False, 64, 44, 44, 0, False, merge=True)
+
+
+def test_c128_small_level_declines_under_auto(tpu_backend):
+    m = _m()
+    # Headline L2: C=128 at 22^3 = 10648 vox < _FUSED128_MIN_VOX —
+    # measured ~+9 ms/step vs XLA (BASELINE.md "C=128 crossover").
+    assert not m._flat_fused64_ok(False, 128, 22, 22, 22, True)
+    reason = m._fused_decline_reason(False, 128, 22, 22, 22, True)
+    assert "too small" in reason
+    # Forced mode still engages (capability is tested in test_flat64).
+    mf = _m(pallas_flat=True)
+    assert mf._flat_fused64_ok(False, 128, 22, 22, 22, True)
+
+
+def test_merge_vmem_bound_declines_planar64_decoder(tpu_backend):
+    m = _m(start_filts=64)
+    # C=64 planar encoder at (88, 88): 4752 rows, fits.
+    assert m._flat_fused64_ok(True, 64, 88, 88, 44, True)
+    # Its decoder conv1 consumes the 2-chunk concat: 2 x 4752 rows
+    # exceeds the measured 16 MB scoped-VMEM limit (v5e: +645 KB OOM)
+    # — must decline so the model still compiles (XLA decoder).
+    assert not m._flat_fused64_ok(True, 64, 88, 88, 0, False,
+                                  merge=True)
+    # merge_mode='add' does not widen the conv: stays fused.
+    ma = _m(start_filts=64, merge_mode="add")
+    assert ma._flat_fused64_ok(True, 64, 88, 88, 0, False, merge=True)
+
+
+def test_decline_reasons_name_the_cause(tpu_backend):
+    m = _m()
+    assert "C=256 has no fused executor" in \
+        m._fused_decline_reason(False, 256, 11, 11, 11, False)
+    assert "odd level shape" in \
+        m._fused_decline_reason(False, 64, 11, 11, 11, False)
+    mf = _m(dtype=jnp.float32)
+    assert "bfloat16" in \
+        mf._fused_decline_reason(True, 32, 88, 88, 44, True)
+
+
+def test_min_vox_env_knob(tpu_backend, monkeypatch):
+    # The crossover is env-tunable for recalibration on new hardware.
+    monkeypatch.setattr(unet_mod, "_FUSED128_MIN_VOX", 1)
+    m = _m()
+    assert m._flat_fused64_ok(False, 128, 22, 22, 22, True)
+    monkeypatch.setattr(unet_mod, "_FUSED128_MIN_VOX", 10**9)
+    assert not m._flat_fused64_ok(False, 128, 44, 44, 44, True)
+
+
+def test_sf64_model_plans_without_vmem_oom(tpu_backend):
+    """The sf=64 3-block model (planar C=64 L0 at (88,88), C=128 L1 at
+    44^3) must produce a plan whose every fused level fits the scoped
+    VMEM limit — the merge bound is what keeps up_1 off the fused
+    path. (Tracing only; uses abstract eval, no TPU needed.)"""
+    m = _m(start_filts=64, n_blocks=3)
+    shape = (1, 44, 88, 88, 1)
+    out = jax.eval_shape(
+        lambda x: m.init({"params": jax.random.PRNGKey(0)},
+                         x, train=False),
+        jax.ShapeDtypeStruct(shape, jnp.float32))
+    assert out  # tracing succeeded; decoder declined via merge bound
