@@ -40,6 +40,7 @@ kernel accumulating A^T @ dY per tap block (see conv_flat_vjp).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -62,7 +63,12 @@ W_OFF = 4
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # E3TPU_PALLAS_INTERPRET=1 forces interpret mode even on TPU —
+    # benchmark/tpu_exactness_check.py uses it to compare the
+    # Mosaic-compiled kernels against their interpret-mode semantics
+    # on the same chip (read at trace time, per pallas_call).
+    return (os.environ.get("E3TPU_PALLAS_INTERPRET", "") == "1"
+            or jax.default_backend() != "tpu")
 
 
 def _dot(a, b, **kw):
@@ -426,6 +432,10 @@ def _wgrad(xs, dys, mask, *, kd: int, H: int):
         interpret=_interpret(),
     )(*operands)
 
+    # barrier: keep the at[].set unpack chain from fusing with its
+    # producers (XLA:TPU scatter-fusion miscompile — see
+    # flat_fused64.conv3_bnact_flat64).
+    m0, mp, mm = jax.lax.optimization_barrier((m0, mp, mm))
     # Unpack tap blocks -> dw. Each weight w[z,t,kw,ci,co] was used at
     # every (j1 = j2 + kw - 1, j2) block of w0 plus its corner block.
     cin, cout = nin * CC, nout * CC
@@ -478,7 +488,10 @@ def flat_conv3(xs, w, b, kd: int, H: int, W: int):
         tuple of nout padded flat chunks (B, D, Rp, 128).
     """
     mask = width_mask(W)
-    return conv_flat(xs, pack_flat_weights(w), mask,
+    # barrier: XLA:TPU miscompiles producer-into-pack fusion for
+    # traced weights (see flat_fused64.conv3_bnact_flat64)
+    return conv_flat(xs, pack_flat_weights(
+        jax.lax.optimization_barrier(w)), mask,
                      None if b is None else _lane_bias(b), kd=kd, H=H)
 
 
@@ -511,7 +524,8 @@ def _flat_conv3_bwd(kd, H, W, res, dys):
         zpad = (kd - 1) // 2
         dym_dg = tuple(jnp.pad(dy, ((0, 0), (zpad, zpad), (0, 0), (0, 0)))
                        for dy in dym)
-    dxs = conv_flat(dym_dg, pack_flat_weights(_flip_transpose(w)), mask,
+    dxs = conv_flat(dym_dg, pack_flat_weights(
+        jax.lax.optimization_barrier(_flip_transpose(w))), mask,
                     None, kd=kd, H=H)
     if kd > 1:
         # Primal inputs are D-padded; their pad slabs are structural

@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from elektronn3_tpu.ops.flat_conv import (
     CC, JG, W_OFF, flat_geometry, pad_width, width_mask,
     pack_flat_weights, combine_corner_weights, _flip_transpose,
+    _interpret as _fc_interpret,
 )
 
 LEAKY_SLOPE = 0.1  # matches modules/layers.py leaky_relu01
@@ -84,7 +85,7 @@ def _dot(a, b, **kw):
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return _fc_interpret()   # shared knob (E3TPU_PALLAS_INTERPRET)
 
 
 def _act_fwd(pre, act: str):
@@ -513,7 +514,13 @@ def conv_bnact_flat(xs, inv, shift, w, b, H: int, W: int,
                     wrs: Tuple[int, ...], want_stats: bool, act: str,
                     d_halo: bool = False):
     """Public wrapper: always passes d_halo explicitly (custom_vjp
-    nondiff args don't apply defaults). See _conv_bnact_vjp."""
+    nondiff args don't apply defaults). See _conv_bnact_vjp.
+
+    The optimization_barrier on w isolates the weight packing's
+    at[].set block construction from its producers — XLA:TPU
+    miscompiles producer-into-pack fusion (e.g. a cin jnp.pad) for
+    traced weights; see flat_fused64.conv3_bnact_flat64."""
+    w = jax.lax.optimization_barrier(w)
     return _conv_bnact_vjp(xs, inv, shift, w, b, H, W, tuple(wrs),
                            want_stats, act, d_halo)
 
@@ -565,7 +572,8 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
     mask = width_mask(W)
-    w0T, wpT, wmT = pack_flat_weights(_flip_transpose(w))
+    w0T, wpT, wmT = pack_flat_weights(
+        jax.lax.optimization_barrier(_flip_transpose(w)))
     wT = (w0T, combine_corner_weights(wpT, wmT))
 
     # Incoming cotangents may be symbolic zeros; concretize.
@@ -642,6 +650,10 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
     )(*operands)
     dxs = tuple(res_[:nin])
     dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    # barrier: keep the at[].set/add unpack chain from fusing with its
+    # producers (same XLA:TPU scatter-fusion miscompile as the weight
+    # packing — see conv_bnact_flat).
+    m0, mc = jax.lax.optimization_barrier((m0, mc))
     dw = _unpack_wgrad(m0, mc, nin, nout).astype(w.dtype)
     dbc = jnp.sum(db.reshape(nout, JG, CC), axis=1).reshape(-1)
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
@@ -1074,7 +1086,8 @@ def upconv_bn_flat(dec, w, b, H: int, W: int, want_stats: bool):
     WRd = W1 * cin // 128
     G, R, P = flat_geometry(H, W)
     dtype = dec.dtype
-    M0, M1 = pack_upconv_weights(w)
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
     bias_l = jnp.tile(b.reshape(-1, CC), (1, JG))
 
     kernel = functools.partial(_upconv_fwd_kernel, G=G, R=R, P=P, H=H,
@@ -1127,7 +1140,8 @@ def _upconv_bwd(H, W, want_stats, res, cts):
     WRd = W1 * cin // 128
     G, R, P = flat_geometry(H, W)
     dtype = dec.dtype
-    M0, M1 = pack_upconv_weights(w)
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     if want_stats:
@@ -1178,6 +1192,8 @@ def _upconv_bwd(H, W, want_stats, res, cts):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
+    # barrier: scatter-fusion miscompile guard (see conv_bnact_flat)
+    dM0, dM1 = jax.lax.optimization_barrier((dM0, dM1))
     dw = _unpack_upconv_wgrad(dM0, dM1).astype(w.dtype)
     dbc = jnp.sum(db.reshape(1, JG, CC), axis=1).reshape(-1)
     return dd.reshape(dec.shape), dw, dbc.astype(w.dtype)
@@ -1384,7 +1400,9 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16):
     G, R, P = flat_geometry(H, W)
     xr = jnp.pad(x[..., 0].astype(dtype), ((0, 0), (0, 0), (0, 0),
                                            (0, 128 - W)))
-    s_mat = _conv1_build_s(w.astype(jnp.float32), W).astype(dtype)
+    s_mat = _conv1_build_s(
+        jax.lax.optimization_barrier(w).astype(jnp.float32),
+        W).astype(dtype)
     bias_l = jnp.tile(b.astype(jnp.float32).reshape(1, CC), (1, JG))
 
     kernel = functools.partial(_conv1_fwd_kernel, G=G, R=R, P=P, H=H,
@@ -1446,7 +1464,9 @@ def _conv1_bwd(H, W, dtype, res, cts):
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     # Rebuild S for dgrad from the saved weights (tiny einsum).
-    s_mat = _conv1_build_s(w.astype(jnp.float32), W).astype(dtype)
+    s_mat = _conv1_build_s(
+        jax.lax.optimization_barrier(w).astype(jnp.float32),
+        W).astype(dtype)
     dsel, db, dxr = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -1475,6 +1495,8 @@ def _conv1_bwd(H, W, dtype, res, cts):
         ),
         interpret=_interpret(),
     )(xr, y, dy, ds, dq, width_mask(W).astype(jnp.float32), s_mat)
+    # barrier: scatter-fusion miscompile guard (see conv_bnact_flat)
+    dsel = jax.lax.optimization_barrier(dsel)
     dw = _conv1_unpack_ds(dsel, W)
     dbc = jnp.sum(db.reshape(JG, CC), axis=0)
     dx = dxr[..., :W, None].astype(x.dtype)

@@ -55,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from elektronn3_tpu.ops.flat_fused import _act_fwd, _act_deriv
+from elektronn3_tpu.ops.flat_conv import _interpret as _fc_interpret
 
 CC64 = 64
 JG64 = 2
@@ -81,7 +82,7 @@ def _dot(a, b, **kw):
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return _fc_interpret()   # shared knob (E3TPU_PALLAS_INTERPRET)
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +611,16 @@ def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
                        want_stats: bool, act: str, forms=None,
                        d_halo: bool = False):
     """Public wrapper: always passes d_halo explicitly (custom_vjp
-    nondiff args don't apply defaults). See _conv3_vjp64."""
+    nondiff args don't apply defaults). See _conv3_vjp64.
+
+    The optimization_barrier on w isolates pack_weights64's
+    at[].set block construction from its producers: XLA:TPU
+    MISCOMPILES the fusion of a producer jnp.pad into the packing
+    scatter chain (measured on v5e: packed weights come out wrong for
+    traced w, correct for constants — benchmark/tpu_exactness_check.py
+    caught it; barrier-before-pack fixes it, barrier-after-pack does
+    not, proving the packed VALUE was wrong, not a kernel read)."""
+    w = jax.lax.optimization_barrier(w)
     return _conv3_vjp64(xs, inv, shift, w, b, H, W, want_stats, act,
                         forms, d_halo)
 
@@ -660,7 +670,9 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     dtype = xs[0].dtype
     mask = width_mask64(W)
     kd = w.shape[0]
-    w0T, wcT = pack_weights64(_flip_transpose64(w))
+    # barrier: see conv3_bnact_flat64 (XLA producer-fusion miscompile)
+    w0T, wcT = pack_weights64(
+        jax.lax.optimization_barrier(_flip_transpose64(w)))
 
     dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
                 else dy.astype(dtype) for dy in dys_in)
@@ -743,6 +755,9 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     )(*operands)
     dxs = tuple(res_[:nin])
     dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    # barrier: see conv3_bnact_flat64 (scatter-fusion miscompile); the
+    # wgrad unpack is the same at[].set/add chain in reverse.
+    m0, mc = jax.lax.optimization_barrier((m0, mc))
     dw = _unpack_wgrad64(m0, mc, nin, nout).astype(w.dtype)
     dbc = fold_lane_stats64(db)
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
@@ -1238,7 +1253,7 @@ def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
     assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
-    Ms = pack_upconv_weights64(w)
+    Ms = pack_upconv_weights64(jax.lax.optimization_barrier(w))
     bias_l = _lane_bias64(b)
 
     kernel = functools.partial(_upconv64_fwd_kernel, G=G, R=R, P=P, H=H,
@@ -1291,7 +1306,7 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
     B, D1, H1, W1, cin = dec.shape
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
-    Ms = pack_upconv_weights64(w)
+    Ms = pack_upconv_weights64(jax.lax.optimization_barrier(w))
     dy = (jnp.zeros((B, 2 * D1, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     ds, dq = (dstats if (want_stats and dstats is not None)
@@ -1346,7 +1361,8 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
         interpret=_interpret(),
     )(*operands)
     dd = res_[0].reshape(dec.shape)
-    dM = res_[1:5]
+    # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
+    dM = jax.lax.optimization_barrier(tuple(res_[1:5]))
     dbl = res_[5]
     # Adjoint of pack_upconv_weights64.
     dw = jnp.zeros((2, 2, 2, 128, CC64), jnp.float32)
@@ -1459,7 +1475,7 @@ def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
     assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
-    Ms = pack_upconv122_weights64(w)
+    Ms = pack_upconv122_weights64(jax.lax.optimization_barrier(w))
     bias_l = _lane_bias64(b)
 
     kernel = functools.partial(_upconv122_64_fwd_kernel, G=G, R=R, P=P,
@@ -1510,7 +1526,7 @@ def _upconv122_64_bwd(H, W, want_stats, res, cts):
     B, D, H1, W1, cin = dec.shape
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
-    Ms = pack_upconv122_weights64(w)
+    Ms = pack_upconv122_weights64(jax.lax.optimization_barrier(w))
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     ds, dq = (dstats if (want_stats and dstats is not None)
@@ -1562,6 +1578,8 @@ def _upconv122_64_bwd(H, W, want_stats, res, cts):
     )(*operands)
     dd = res_[0].reshape(dec.shape)
     dM0, dM1, dbl = res_[1], res_[2], res_[3]
+    # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
+    dM0, dM1 = jax.lax.optimization_barrier((dM0, dM1))
     dw = jnp.zeros((1, 2, 2, 128, CC64), jnp.float32)
     for ah, m in ((0, dM0), (1, dM1)):
         dw = dw.at[0, 1 - ah, 1].add(m[:, 0:CC64])
@@ -1765,7 +1783,8 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
     WRd = W1 * CC64 // 128
     B, D = chunk.shape[0], chunk.shape[1]
     dtype = chunk.dtype
-    M0, M1 = pack_upconv_weights(w)
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
     bias_l = jnp.tile(b.reshape(-1, 32), (1, 4))
 
     kernel = functools.partial(
@@ -1825,7 +1844,8 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
     WRd = W1 * CC64 // 128
     B, D = chunk.shape[0], chunk.shape[1]
     dtype = chunk.dtype
-    M0, M1 = pack_upconv_weights(w)
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     ds, dq = (dstats if (want_stats and dstats is not None)
@@ -1883,6 +1903,8 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
+    # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
+    dM0, dM1 = jax.lax.optimization_barrier((dM0, dM1))
     # Adjoint of pack_upconv_weights (flat_fused convention).
     dw = jnp.zeros((1, 2, 2, 64, 32), jnp.float32)
     for a_, dM in ((0, dM0), (1, dM1)):

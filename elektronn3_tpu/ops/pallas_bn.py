@@ -30,7 +30,8 @@ _TILE_R = 1024
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from elektronn3_tpu.ops.flat_conv import _interpret as _fc_interpret
+    return _fc_interpret()   # shared knob (E3TPU_PALLAS_INTERPRET)
 
 
 def _grid_rows(R: int) -> Tuple[int, int]:
