@@ -77,6 +77,17 @@ _FLAT_SAFE_ACTS = ("relu", "leaky", "lrelu", "prelu", "silu", "swish",
 _FUSED128_MIN_VOX = int(os.environ.get("E3TPU_FUSED128_MIN_VOX",
                                        60_000))
 
+# Per-chunk flat-row bounds for the CC=32 executor, calibrated against
+# the v5e's 16 MB scoped-VMEM limit (2026-08-17 measurements):
+# the TRAIN (backward) kernels stage ~2x the live slabs of the eval
+# forward plus f32 staging temporaries — a d_halo conv2 backward OOM'd
+# at 3220 unpadded rows (16.2 MB) while the same slab's forward fits
+# (the 164 MVox/s 2D pred run); the headline 3D levels (2024 rows)
+# train with >5 MB headroom. Unpadded H*G rows; env-overridable for
+# other TPU generations.
+_FUSED_ROWS_TRAIN = int(os.environ.get("E3TPU_FUSED_ROWS_TRAIN", 2400))
+_FUSED_ROWS_EVAL = int(os.environ.get("E3TPU_FUSED_ROWS_EVAL", 3400))
+
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
             "resizeconv_nearest1", "resizeconv_linear1")
 MERGE_MODES = ("concat", "add")
@@ -1134,7 +1145,8 @@ class UNet(nn.Module):
                 and H % 2 == 0 and W % 2 == 0)
 
     def _flat_fused_ok(self, planar: bool, channels: int, H: int,
-                       W: int) -> bool:
+                       W: int, merge: bool = False,
+                       train: bool = True) -> bool:
         """Is the FULLY FUSED flat executor applicable here?
 
         Requirements beyond _flat_level_ok: C == 32 (dense-row adapter,
@@ -1142,6 +1154,14 @@ class UNet(nn.Module):
         activation with an in-kernel derivative. 'auto' engages this
         path on TPU backends (measured faster than the XLA executor);
         off-TPU it stays off (interpret mode is for tests only).
+
+        The per-chunk row bound is train/eval dependent
+        (_FUSED_ROWS_TRAIN/_EVAL): backward kernels carry roughly
+        twice the forward's live slabs, so a level can run fused
+        inference while training falls back to XLA at the same shape.
+        merge (decoder concat) is accepted for call-site symmetry with
+        _flat_fused64_ok; the calibrated per-chunk bound already
+        covers the measured 2-chunk merge cases.
         """
         if self.pallas_flat is False:
             return False
@@ -1152,13 +1172,15 @@ class UNet(nn.Module):
             return False
         act_ok = isinstance(self.activation, str) and \
             self.activation in ("relu", "leaky", "lrelu")
+        bound = _FUSED_ROWS_TRAIN if train else _FUSED_ROWS_EVAL
         return ((planar or self.dim == 2)
                 and self.conv_mode == "same"
                 and not self.attention
                 and self.normalization in ("batch", "none")
                 and act_ok and channels == _fc.CC
                 and H % 2 == 0 and W % 8 == 0
-                and H * ((W + _fc.W_OFF) // _fc.JG) <= 8192)  # VMEM
+                # scoped-VMEM bound on per-chunk flat rows
+                and H * ((W + _fc.W_OFF) // _fc.JG) <= bound)
 
     def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
                          W: int, D: int, pooling: bool,
@@ -1205,26 +1227,47 @@ class UNet(nn.Module):
                 # input chunk count; see `merge` in the docstring)
                 and widest * H * (W // 2 + 10) <= 8192)
 
-    def _plan_tile2d(self, H0: int, W0: int) -> int:
+    def _plan_tile2d(self, H0: int, W0: int, train: bool) -> int:
         """L0 slab height for 2D H-tiling: largest divisor of H0 that
-        keeps every level's per-slab VMEM rows within the 8192-row
-        bound (halves per level alongside G, so L0 dominates). Returns
-        H0 when the whole image fits (untiled, no halo cost); 0 when
-        no valid tiling exists."""
-        gmax = max(_fc.flat_geometry(2, W0)[0],
-                   _ff64.flat_geometry64(2, W0)[0])
-        if H0 * gmax <= 8192:
+        keeps every fused level's per-slab rows within the calibrated
+        scoped-VMEM bound (_FUSED_ROWS_TRAIN/_EVAL; the backward
+        kernels are the tight case, so training plans smaller slabs
+        than inference). Each level's geometry is paired with the
+        executor its channel count actually uses. Returns H0 when the
+        whole image fits (untiled, no halo cost); 0 when no valid
+        tiling exists."""
+        bound = _FUSED_ROWS_TRAIN if train else _FUSED_ROWS_EVAL
+
+        def fits(t: int) -> bool:
+            w, tt = W0, t
+            for i in range(self.n_blocks):
+                ch = self.start_filts * (2 ** i)
+                if tt < 2 or w < 4 or w % 2:
+                    return True          # level declines anyway
+                if ch == _fc.CC:
+                    g = _fc.flat_geometry(2, w)[0]
+                elif ch in (_ff64.CC64, 2 * _ff64.CC64):
+                    g = _ff64.flat_geometry64(2, w)[0]
+                else:
+                    return True          # no fused executor deeper
+                if tt * g > bound:
+                    return False
+                w, tt = w // 2, tt // 2
+            return True
+
+        if fits(H0):
             return H0
-        t = (8192 // gmax) & ~3          # slab % 4: L1 slab stays even
+        t = (H0 - 1) & ~3                # slab % 4: L1 slab stays even
         while t >= 4:
-            if H0 % t == 0:
+            if H0 % t == 0 and fits(t):
                 return t
             t -= 4
         return 0
 
     def _fused_decline_reason(self, planar: bool, channels: int,
                               H: int, W: int, D: int,
-                              pooling: bool) -> str:
+                              pooling: bool,
+                              train: bool = True) -> str:
         """First reason the fused executors don't cover this level —
         logged so users learn they're on the (~2x slower) XLA path
         instead of silently falling back (round-2 review item)."""
@@ -1260,6 +1303,12 @@ class UNet(nn.Module):
         if channels == _ff64.CC64 and not planar and self.dim == 3 \
                 and pooling and D % 2 != 0:
             return f"odd depth D={D} with (2,2,2) pooling"
+        if channels == _fc.CC:
+            bound = _FUSED_ROWS_TRAIN if train else _FUSED_ROWS_EVAL
+            return (f"level VMEM working set too large "
+                    f"({H * ((W + _fc.W_OFF) // _fc.JG)} per-chunk "
+                    f"rows > {bound} "
+                    f"{'train' if train else 'eval'} bound)")
         return (f"level VMEM working set too large "
                 f"(H*W/2 = {H * (W // 2)} rows > 8192)")
 
@@ -1333,7 +1382,7 @@ class UNet(nn.Module):
         # height; each level's slab halves with its H.
         tile0 = 0
         if self.dim == 2 and self.pallas_flat is not False:
-            t = self.tile2d or self._plan_tile2d(pH, pW)
+            t = self.tile2d or self._plan_tile2d(pH, pW, train)
             if t and t < pH:
                 tile0 = t
         lvl_shape, lvl_fused, lvl_fused64, lvl_tile = [], [], [], []
@@ -1344,14 +1393,15 @@ class UNet(nn.Module):
             gH = (tile0 >> i) if tile0 else pH   # fused-geometry H
             lvl_shape.append((pD, gH, pW))
             lvl_tile.append(gH if tile0 else 0)
-            lvl_fused.append(self._flat_fused_ok(planar_i, ch, gH, pW))
+            lvl_fused.append(self._flat_fused_ok(planar_i, ch, gH, pW,
+                                                 train=train))
             lvl_fused64.append(
                 (not lvl_fused[-1]) and self._flat_fused64_ok(
                     planar_i, ch, gH, pW, pD, pooling_i))
             if (self.pallas_flat is not False and not lvl_fused[-1]
                     and not lvl_fused64[-1]):
                 reason = self._fused_decline_reason(
-                    planar_i, ch, gH, pW, pD, pooling_i)
+                    planar_i, ch, gH, pW, pD, pooling_i, train=train)
                 key = (i, ch, pD, pH, pW, reason)
                 if key not in _DECLINES_LOGGED:
                     _DECLINES_LOGGED.add(key)
@@ -1413,7 +1463,8 @@ class UNet(nn.Module):
             # The upsampled decoder tensor must match the skip exactly
             # for the crop-free flat path (even dims guarantee it).
             up_fused = (skip_fused
-                        and self._flat_fused_ok(planar, outs, H, W)
+                        and self._flat_fused_ok(planar, outs, H, W,
+                                                merge=True, train=train)
                         and self.up_mode == "transpose"
                         and self.merge_mode in ("concat", "add")
                         and not isinstance(x, tuple))

@@ -180,33 +180,48 @@ def _build_halo(ref, i, side, scratch, *, wr: int, G: int, R: int,
                 act: str):
     """H-tiled (d_halo) mode: one prologued image-row halo strip from
     the adjacent H-slab into the scratch pad region (see flat_fused64
-    _build_halo64). side=0: prev slab's LAST row -> [Ps-G:Ps]; side=2:
-    next slab's FIRST row -> [Ps+R:Ps+R+G]."""
+    _build_halo64). ref is a pre-shifted NARROW strip block
+    (_halo_strips) — (1, 1, wr|G, 128), already holding the adjacent
+    slab's boundary image row — not a full-slab view: full-slab halo
+    views tripled the per-step VMEM footprint and OOM'd the 16 MB
+    scoped limit for 2D decoder merge convs at production widths.
+    side=0: prev slab's LAST row -> [Ps-G:Ps]; side=2: next slab's
+    FIRST row -> [Ps+R:Ps+R+G]."""
+    a = ref[0, 0, :, :].astype(jnp.float32)
     if wr:  # dense-row adapter: one image row = wr dense rows
-        row0 = (H - 1) * wr if side == 0 else 0
-        a = ref[0, 0, pl.ds(row0, wr), :].astype(jnp.float32)
         z1 = jnp.zeros((1, 128), jnp.float32)
         z2 = jnp.zeros((G - wr - 1, 128), jnp.float32)
         a = jnp.concatenate([z1, a, z2], axis=0)
-    else:
-        row0 = R - G if side == 0 else 0
-        a = ref[0, 0, pl.ds(P + row0, G), :].astype(jnp.float32)
     pre = a * inv_ref[i][None, :] + shift_ref[i][None, :]
     val = _act_fwd(pre, act) * mask_ref[...] * _halo_valid(side)
     scratch[i, pl.ds(Ps - G if side == 0 else Ps + R, G)] = \
         val.astype(scratch.dtype)
 
 
-def _halo_index_map(z: int, D: int):
-    """Clamped prev/center/next slab index maps (values at the clamped
-    edges are zeroed by _halo_valid)."""
-    def imap(b_, d_):
-        s = d_ + z - 1
-        s = jnp.maximum(s, 0) if z == 0 else jnp.minimum(s, D - 1)
-        return (b_, s, 0, 0)
-    if z == 1:
-        return lambda b_, d_: (b_, d_, 0, 0)
-    return imap
+def _halo_strips(x, wr: int, G: int, R: int, P: int, H: int):
+    """Pre-shifted narrow halo strips for d_halo mode, built by XLA
+    glue (one tiny slice+pad per side — cheap vs tripling the kernel's
+    slab traffic): strip0[:, d] holds slab d-1's LAST image row,
+    strip2[:, d] slab d+1's FIRST image row; (B, D, wr|G, 128) each.
+    Volume-edge strips are zero-padded; their (prologued, hence
+    nonzero) contributions are killed in-kernel by _halo_valid."""
+    if wr:   # dense-adapter chunk (B, D, H*wr, 128), unpadded
+        last = x[:, :, (H - 1) * wr:H * wr, :]
+        first = x[:, :, 0:wr, :]
+    else:    # padded flat chunk (B, D, R + 2P, 128)
+        last = x[:, :, P + R - G:P + R, :]
+        first = x[:, :, P:P + G, :]
+    z = jnp.zeros_like(last[:, :1])
+    strip0 = jnp.concatenate([z, last[:, :-1]], axis=1)
+    strip2 = jnp.concatenate([first[:, 1:], z], axis=1)
+    return strip0, strip2
+
+
+def _strip_views(x, wr: int, G: int, R: int, P: int, H: int):
+    """(strip0, center, strip2) operand triple for d_halo mode, in the
+    kernel's expected [side0, center, side2] order."""
+    s0, s2 = _halo_strips(x, wr, G, R, P, H)
+    return s0, x, s2
 
 
 def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
@@ -296,12 +311,14 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
 
     in_specs = []
     operands = []
+    bd4 = lambda b, d: (b, d, 0, 0)
     for i, x in enumerate(xs):
-        for z in range(3) if d_halo else (1,):
-            in_specs.append(pl.BlockSpec((1, 1, x.shape[2], 128),
-                                         _halo_index_map(z, D),
+        views = ((x,) if not d_halo else
+                 _strip_views(x, wrs[i], G, R, P, H))
+        for v in views:
+            in_specs.append(pl.BlockSpec((1, 1, v.shape[2], 128), bd4,
                                          memory_space=pltpu.VMEM))
-            operands.append(x)
+            operands.append(v)
     for warr in (w0, wcomb):
         in_specs.append(pl.BlockSpec(warr.shape,
                                      lambda b, d, nd=warr.ndim: (0,) * nd,
@@ -415,11 +432,12 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
         db[o, :] += jnp.sum(dy, axis=0)
         if d_halo:
+            # dy/y halo operands are pre-shifted narrow strips
+            # (_halo_strips): the block IS the boundary image row.
             for side, iv in ((0, 0), (2, 2)):
-                row0 = R - G if side == 0 else 0
                 dyh = _dy_tot(o, dys[o * 3 + iv],
                               ys[o * 3 + iv] if want_stats else None,
-                              pl.ds(P + row0, G), 1) * _halo_valid(side)
+                              pl.ds(0, G), 1) * _halo_valid(side)
                 dst = Ps - G if side == 0 else Ps + R
                 dyt_s[o, pl.ds(dst, G)] = dyh.astype(dyt_s.dtype)
 
@@ -596,14 +614,19 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
                                      memory_space=pltpu.VMEM))
         operands.append(arr)
 
-    def addv(arr, rows):
-        """Per-chunk views: center, or 3 clamped slab views (d_halo)."""
-        for z in range(3) if d_halo else (1,):
-            add(arr, (1, 1, rows, 128), _halo_index_map(z, D))
-
     bd = lambda b_, d_: (b_, d_, 0, 0)
-    for x in xs:
-        addv(x, x.shape[2])
+
+    def addv(arr, rows, wr=0):
+        """Per-chunk operands: center only, or [strip0, center, strip2]
+        with pre-shifted narrow halo strips (d_halo; see _halo_strips)."""
+        if d_halo:
+            for v in _strip_views(arr, wr, G, R, P, H):
+                add(v, (1, 1, v.shape[2], 128), bd)
+        else:
+            add(arr, (1, 1, rows, 128), bd)
+
+    for i, x in enumerate(xs):
+        addv(x, x.shape[2], wrs[i])
     for dy in dys:
         addv(dy, R + 2 * P)
     if want_stats:

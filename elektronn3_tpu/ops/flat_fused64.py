@@ -255,16 +255,19 @@ def _build_scratch64(ref, z, dst, slot, *, G, R, P, Ps, H, inv_l,
     dst[slot, pl.ds(Ps, R)] = val.astype(dst.dtype)
 
 
-def _load_raw_strip64(ref, form, row0, *, G, P):
-    """One image-row strip (G rows) of a raw chunk slab, chunk64 lane
-    layout (strip variant of _load_raw64; row0 in slab-body rows)."""
+def _load_raw_strip64(ref, form, *, G):
+    """One image-row halo strip block (1, 1, G, 128) in chunk64 lane
+    layout (strip variant of _load_raw64). Strips are PRE-SHIFTED
+    narrow arrays built by XLA glue (_halo_strips64) — full-slab halo
+    views tripled per-step VMEM and HBM traffic and OOM'd the 16 MB
+    scoped limit for decoder merge convs at production 2D widths."""
+    c = ref[0, 0, :, :].astype(jnp.float32)
     if form == "pool32":
-        c = ref[0, 0, pl.ds(row0, G), :].astype(jnp.float32)
         rolled = jnp.concatenate([c[:, 96:], c[:, :96]], axis=-1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
         a = jnp.where(lane < 64, c, rolled)
         return a * ((lane % 64) < CC64 // 2).astype(jnp.float32)
-    return ref[0, 0, pl.ds(P + row0, G), :].astype(jnp.float32)
+    return c
 
 
 def _build_halo64(ref, side, dst, slot, *, G, R, P, Ps, inv_l,
@@ -273,14 +276,34 @@ def _build_halo64(ref, side, dst, slot, *, G, R, P, Ps, inv_l,
     adjacent H-slab into the scratch pad region, prologued like the
     body rows. side=0: previous slab's LAST row -> rows [Ps-G:Ps];
     side=2: next slab's FIRST row -> [Ps+R:Ps+R+G]. At the volume
-    edges the clamped slab view repeats the own slab, so the strip is
-    zeroed (_slab_valid) — conv zero padding, exactly as untiled."""
-    row0 = R - G if side == 0 else 0
-    a = _load_raw_strip64(ref, form, row0, G=G, P=P)
+    edges the pre-shifted strip is zero-padded AND zeroed in-kernel
+    (_slab_valid; the prologue makes raw zeros nonzero) — conv zero
+    padding, exactly as untiled."""
+    a = _load_raw_strip64(ref, form, G=G)
     pre = a * inv_l[None, :] + shift_l[None, :]
     val = _act_fwd(pre, act) * mask_ref[...] * _slab_valid(side)
     dst[slot, pl.ds(Ps - G if side == 0 else Ps + R, G)] = \
         val.astype(dst.dtype)
+
+
+def _halo_strips64(x, form, G: int, R: int, P: int):
+    """Pre-shifted narrow halo strips for d_halo mode (see
+    flat_fused._halo_strips): strip0[:, d] holds slab d-1's LAST image
+    row, strip2[:, d] slab d+1's FIRST image row; (B, D, G, 128)."""
+    off = 0 if form == "pool32" else P
+    last = x[:, :, off + R - G:off + R, :]
+    first = x[:, :, off:off + G, :]
+    z = jnp.zeros_like(last[:, :1])
+    strip0 = jnp.concatenate([z, last[:, :-1]], axis=1)
+    strip2 = jnp.concatenate([first[:, 1:], z], axis=1)
+    return strip0, strip2
+
+
+def _strip_views64(x, form, G: int, R: int, P: int):
+    """(strip0, center, strip2) operand triple for d_halo mode, in the
+    kernel's expected [side0, center, side2] order."""
+    s0, s2 = _halo_strips64(x, form, G, R, P)
+    return s0, x, s2
 
 
 def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
@@ -397,13 +420,20 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
         forms=forms, kd=kd, d_halo=d_halo)
 
     in_specs, operands = [], []
+    bd4 = lambda b_, d_: (b_, d_, 0, 0)
     for x, form in zip(xs, forms):
         rows = R if form == "pool32" else R + 2 * P
-        for z in range(3 if d_halo else kd):
+        if d_halo:
+            for v in _strip_views64(x, form, G, R, P):
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, v.shape[2], 128), bd4,
+                    memory_space=pltpu.VMEM))
+                operands.append(v)
+            continue
+        for z in range(kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                _slab_index_map(z, D) if (kd == 3 or d_halo)
-                else (lambda b_, d_: (b_, d_, 0, 0)),
+                _slab_index_map(z, D) if kd == 3 else bd4,
                 memory_space=pltpu.VMEM))
             operands.append(x)
     for warr in (w0, wc):
@@ -523,12 +553,12 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
             dyt_s[o, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
             db[o, :] += jnp.sum(dy, axis=0)
             # Halo strips of dy_tot: dgrad of edge rows needs dy from
-            # the adjacent H-slab (same layout as the a' halo).
+            # the adjacent H-slab (same layout as the a' halo). The
+            # operands are pre-shifted narrow strips (_halo_strips64).
             for side, iv in ((0, 0), (2, 2)):
-                row0 = R - G if side == 0 else 0
                 dyh = _dy_tot(o, dys[o * 3 + iv],
                               ys[o * 3 + iv] if want_stats else None,
-                              pl.ds(P + row0, G))
+                              pl.ds(0, G))
                 dyh = dyh * mask_ref[...] * _slab_valid(side)
                 dst = Ps - G if side == 0 else Ps + R
                 dyt_s[o, pl.ds(dst, G)] = dyh.astype(dyt_s.dtype)
@@ -688,15 +718,24 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
 
     in_specs, operands = [], []
 
-    def addv(arr, rows=R + 2 * P):
-        """Add per-chunk clamped slab views (no D-padded copy; see
-        _slab_index_map): kd z-taps, or center + 2 halo neighbors in
-        d_halo mode."""
-        for z in range(3 if d_halo else kd):
+    bd4 = lambda b_, d_: (b_, d_, 0, 0)
+
+    def addv(arr, rows=R + 2 * P, form="flat64"):
+        """Add per-chunk operands: kd clamped slab views (no D-padded
+        copy; see _slab_index_map), or [strip0, center, strip2] with
+        pre-shifted narrow halo strips in d_halo mode
+        (_halo_strips64)."""
+        if d_halo:
+            for v in _strip_views64(arr, form, G, R, P):
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, v.shape[2], 128), bd4,
+                    memory_space=pltpu.VMEM))
+                operands.append(v)
+            return
+        for z in range(kd):
             in_specs.append(pl.BlockSpec(
                 (1, 1, rows, 128),
-                _slab_index_map(z, D) if (kd == 3 or d_halo)
-                else (lambda b_, d_: (b_, d_, 0, 0)),
+                _slab_index_map(z, D) if kd == 3 else bd4,
                 memory_space=pltpu.VMEM))
             operands.append(arr)
 
@@ -707,7 +746,7 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         operands.append(arr)
 
     for x, form in zip(xs, forms):
-        addv(x, rows=R if form == "pool32" else R + 2 * P)
+        addv(x, rows=R if form == "pool32" else R + 2 * P, form=form)
     for dy in dys:
         addv(dy)
     if want_stats:
