@@ -635,14 +635,15 @@ class DownConv(nn.Module):
                     s2, q2, count, n, not train)
             else:
                 inv2, shift2 = identity_prologue(n)
-            acts = _ff64.FlatActs64(y2, inv2, shift2)
-            if self.pooling and kd == 1:
-                y = _ff64.pool122_bnact_flat64(y2, inv2, shift2, H, W,
-                                               C, aname)
-            elif self.pooling:
-                y = _ff64.pool222_bnact_flat64(y2, inv2, shift2, H, W,
-                                               C, aname)
+            if self.pooling:
+                # Skip routed through the pool primitive: its cotangent
+                # is summed into dx in-kernel (no XLA add_any seam).
+                poolfn = (_ff64.pool122_bnact_flat64_skip if kd == 1
+                          else _ff64.pool222_bnact_flat64_skip)
+                y, skip = poolfn(y2, inv2, shift2, H, W, C, aname)
+                acts = _ff64.FlatActs64(tuple(skip), inv2, shift2)
             else:
+                acts = _ff64.FlatActs64(y2, inv2, shift2)
                 y = _ff64.materialize_flat_acts64(y2, inv2, shift2,
                                                   H, W, C, aname)
             if self.dim == 2:
@@ -721,15 +722,20 @@ class DownConv(nn.Module):
                     s2, q2, count, n, not train)
             else:
                 inv2, shift2 = identity_prologue(n)
-            acts = _ffu.FlatActs(ys2, inv2, shift2)
-            if self.pooling and self.pool_form == "compact32":
-                comp = _ffu.pool_bnact_flat(ys2, inv2, shift2, H, W,
-                                            (0,) * n, aname, "compact32")
-                y = _ff64.PoolCompact32(comp, H // 2, W // 2)
-            elif self.pooling:
-                y = _ffu.pool_bnact_flat(ys2, inv2, shift2, H, W,
-                                         (0,) * n, aname)
+            if self.pooling:
+                # Route the skip through the pool primitive
+                # (pool_bnact_flat_skip): single consumer for ys2, so
+                # the decoder's skip cotangent is summed into dx
+                # in-kernel instead of a chunk-sized XLA add_any.
+                form = ("compact32" if self.pool_form == "compact32"
+                        else "dense5")
+                y, skip = _ffu.pool_bnact_flat_skip(
+                    ys2, inv2, shift2, H, W, (0,) * n, aname, form)
+                if form == "compact32":
+                    y = _ff64.PoolCompact32(y, H // 2, W // 2)
+                acts = _ffu.FlatActs(tuple(skip), inv2, shift2)
             else:
+                acts = _ffu.FlatActs(ys2, inv2, shift2)
                 y = _ffu.materialize_flat_acts(ys2, inv2, shift2, H, W,
                                                aname)
             if self.dim == 2 and isinstance(y, jnp.ndarray):

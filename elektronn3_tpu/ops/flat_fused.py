@@ -669,6 +669,13 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((nin, R + 2 * Ps, 128), dtype),
                         pltpu.VMEM((nout, R + 2 * Ps, 128), dtype)],
+        cost_estimate=pl.CostEstimate(
+            # dgrad + wgrad, each the forward's FLOPs
+            flops=2 * 2 * B * D * R * 128 * (128 + 2 * CC)
+            * nin * nout * 3,
+            bytes_accessed=(2 * nin + (3 if want_stats else 2) * nout)
+            * B * D * (R + 2 * P) * 256,
+            transcendentals=0),
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
@@ -803,13 +810,21 @@ def _pool_compose_xla(compacts, H: int, G: int, W2: int, C: int):
 
 
 def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
-                     WRp: int, wrs, act: str, x_dtype):
+                     WRp: int, wrs, act: str, x_dtype,
+                     with_skip: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]      # compact pooled per chunk
     dy_refs = refs[2 * nin:3 * nin]  # compact cotangent per chunk
-    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
-    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
-    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
+    pos = 3 * nin
+    # with_skip: the level's raw chunks also feed the decoder skip
+    # (pool_bnact_flat_skip routes them through this primitive), so
+    # the skip cotangent is summed in-kernel — replacing a separate
+    # chunk-sized XLA add_any (measured 0.9 ms at the headline L0).
+    dsk = refs[pos:pos + nin] if with_skip else ()
+    pos += nin if with_skip else 0
+    mask_ref, inv_ref, shift_ref = refs[pos:pos + 3]
+    dxs = refs[pos + 3:pos + 3 + nin]
+    dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -833,9 +848,15 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
         dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
         wr = wrs[i]
         if wr:
-            dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :]
-            dxs[i][0, 0, :, :] = dxv.reshape(H * wr, 128).astype(x_dtype)
+            dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :] \
+                .reshape(H * wr, 128)
+            if with_skip:
+                dxv = dxv + dsk[i][0, 0, :, :].astype(jnp.float32)
+            dxs[i][0, 0, :, :] = dxv.astype(x_dtype)
         else:
+            if with_skip:
+                dx = dx + dsk[i][0, 0, pl.ds(P, R), :] \
+                    .astype(jnp.float32)
             dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
             dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
             dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
@@ -909,7 +930,7 @@ def _pool_fwd(xs, inv, shift, H, W, wrs, act, out_form="dense5"):
     return out, (xs, inv, shift, out)
 
 
-def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
+def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
     xs, inv, shift, pooled = res
     nin = len(xs)
     C = nin * CC
@@ -918,10 +939,11 @@ def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
     WRp = W2 * C // 128
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
+    with_skip = dskips is not None
 
     kernel = functools.partial(_pool_bwd_kernel, nin=nin, G=G, R=R, P=P,
                                H=H, WRp=WRp, wrs=tuple(wrs), act=act,
-                               x_dtype=dtype)
+                               x_dtype=dtype, with_skip=with_skip)
     in_specs, operands = [], []
     bd = lambda b_, d_: (b_, d_, 0, 0)
     for x in xs:
@@ -943,6 +965,13 @@ def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(arr.astype(dtype))
+    if with_skip:
+        for i, ds in enumerate(dskips):
+            ds = (jnp.zeros_like(xs[i]) if ds is None
+                  else ds.astype(dtype))
+            in_specs.append(pl.BlockSpec((1, 1, ds.shape[2], 128), bd,
+                                         memory_space=pltpu.VMEM))
+            operands.append(ds)
     in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask(W).astype(jnp.float32))
@@ -973,7 +1002,39 @@ def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
     return dxs, res_[nin], res_[nin + 1]
 
 
+def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
+    return _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool)
+
+
 pool_bnact_flat.defvjp(_pool_fwd, _pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pool_bnact_flat_skip(xs, inv, shift, H: int, W: int, wrs, act: str,
+                         out_form: str = "dense5"):
+    """pool_bnact_flat that ALSO returns the raw input chunks as a
+    second output (the decoder skip). Routing the skip through this
+    primitive gives the level's chunks a single consumer, so the skip
+    cotangent arrives here and is summed into dx IN-KERNEL — replacing
+    the chunk-sized XLA `add_any` that autodiff otherwise emits for
+    the two-consumer split (measured 0.9 ms at the headline L0).
+    The passthrough is an identity return of the inputs: zero-copy."""
+    return (pool_bnact_flat(xs, inv, shift, H, W, wrs, act, out_form),
+            xs)
+
+
+def _pool_skip_fwd(xs, inv, shift, H, W, wrs, act, out_form="dense5"):
+    out = pool_bnact_flat(xs, inv, shift, H, W, wrs, act, out_form)
+    return (out, xs), (xs, inv, shift, out)
+
+
+def _pool_skip_bwd(H, W, wrs, act, out_form, res, cts):
+    dpool, dskips = cts
+    return _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool,
+                          dskips=dskips)
+
+
+pool_bnact_flat_skip.defvjp(_pool_skip_fwd, _pool_skip_bwd)
 
 
 # ---------------------------------------------------------------------------

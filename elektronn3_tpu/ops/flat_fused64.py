@@ -790,6 +790,13 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype),
                         pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)],
+        cost_estimate=pl.CostEstimate(
+            # dgrad + wgrad, each the forward's FLOPs
+            flops=2 * 2 * B * D * R * 128 * 256 * nin * nout * 3 * kd,
+            bytes_accessed=((1 + kd) * nin
+                            + kd * (3 if want_stats else 2) * nout)
+            * B * D * (R + 2 * P) * 256,
+            transcendentals=0),
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
@@ -880,13 +887,18 @@ def _pool64_expand(Sc, H, G):
 
 
 def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
-                       act: str, x_dtype):
+                       act: str, x_dtype, with_skip: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]
     dy_refs = refs[2 * nin:3 * nin]
-    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
-    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
-    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
+    pos = 3 * nin
+    # with_skip: the decoder-skip cotangent is summed into dx
+    # in-kernel (see flat_fused._pool_bwd_kernel).
+    dsk = refs[pos:pos + nin] if with_skip else ()
+    pos += nin if with_skip else 0
+    mask_ref, inv_ref, shift_ref = refs[pos:pos + 3]
+    dxs = refs[pos + 3:pos + 3 + nin]
+    dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -909,6 +921,9 @@ def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
             dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
             dshift_ref[i, :] += jnp.sum(dpre.reshape(R, 128), axis=0)
             dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
+            if with_skip:
+                dx = dx + dsk[i][0, sl, pl.ds(P, R), :] \
+                    .astype(jnp.float32)
             dxs[i][0, sl, 0:P] = jnp.zeros((P, 128), x_dtype)
             dxs[i][0, sl, pl.ds(P, R)] = dx.astype(x_dtype)
             dxs[i][0, sl, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
@@ -964,16 +979,18 @@ def _pool64_fwd(xs, inv, shift, H, W, C, act):
     return out, (xs, inv, shift, out)
 
 
-def _pool64_bwd(H, W, C, act, res, dpool):
+def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
     xs, inv, shift, pooled = res
     nin = len(xs)
     G, R, P = flat_geometry64(H, W)
     H2 = H // 2
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
+    with_skip = dskips is not None
 
     kernel = functools.partial(_pool64_bwd_kernel, nin=nin, G=G, R=R,
-                               P=P, H=H, act=act, x_dtype=dtype)
+                               P=P, H=H, act=act, x_dtype=dtype,
+                               with_skip=with_skip)
     in_specs, operands = [], []
     for x in xs:
         in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
@@ -986,6 +1003,14 @@ def _pool64_bwd(H, W, C, act, res, dpool):
                                      lambda b_, d_: (b_, d_, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(arr.astype(dtype))
+    if with_skip:
+        for i, ds in enumerate(dskips):
+            ds = (jnp.zeros_like(xs[i]) if ds is None
+                  else ds.astype(dtype))
+            in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
+                                         lambda b_, d_: (b_, d_, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(ds)
     in_specs.append(pl.BlockSpec((G, 128), lambda b_, d_: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
@@ -1017,7 +1042,34 @@ def _pool64_bwd(H, W, C, act, res, dpool):
     return dxs, res_[nin], res_[nin + 1]
 
 
+def _pool64_bwd(H, W, C, act, res, dpool):
+    return _pool64_bwd_impl(H, W, C, act, res, dpool)
+
+
 pool222_bnact_flat64.defvjp(_pool64_fwd, _pool64_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pool222_bnact_flat64_skip(xs, inv, shift, H: int, W: int, C: int,
+                              act: str):
+    """pool222_bnact_flat64 that also returns the raw input chunks
+    (the decoder skip), so the skip cotangent is summed into dx
+    in-kernel instead of a chunk-sized XLA add_any (see
+    flat_fused.pool_bnact_flat_skip)."""
+    return pool222_bnact_flat64(xs, inv, shift, H, W, C, act), xs
+
+
+def _pool64_skip_fwd(xs, inv, shift, H, W, C, act):
+    out = pool222_bnact_flat64(xs, inv, shift, H, W, C, act)
+    return (out, xs), (xs, inv, shift, out)
+
+
+def _pool64_skip_bwd(H, W, C, act, res, cts):
+    dpool, dskips = cts
+    return _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=dskips)
+
+
+pool222_bnact_flat64_skip.defvjp(_pool64_skip_fwd, _pool64_skip_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1040,13 +1092,17 @@ def _pool122_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
 
 
 def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
-                        act: str, x_dtype):
+                        act: str, x_dtype, with_skip: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]
     dy_refs = refs[2 * nin:3 * nin]
-    mask_ref, inv_ref, shift_ref = refs[3 * nin:3 * nin + 3]
-    dxs = refs[3 * nin + 3:3 * nin + 3 + nin]
-    dinv_ref, dshift_ref = refs[3 * nin + 3 + nin:]
+    pos = 3 * nin
+    # with_skip: see flat_fused._pool_bwd_kernel.
+    dsk = refs[pos:pos + nin] if with_skip else ()
+    pos += nin if with_skip else 0
+    mask_ref, inv_ref, shift_ref = refs[pos:pos + 3]
+    dxs = refs[pos + 3:pos + 3 + nin]
+    dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -1068,6 +1124,8 @@ def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
         dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
         dshift_ref[i, :] += jnp.sum(dpre.reshape(R, 128), axis=0)
         dx = (dpre * inv_ref[i][None, None, :]).reshape(R, 128)
+        if with_skip:
+            dx = dx + dsk[i][0, 0, pl.ds(P, R), :].astype(jnp.float32)
         dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
         dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
         dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
@@ -1123,16 +1181,18 @@ def _pool122_fwd(xs, inv, shift, H, W, C, act):
     return out, (xs, inv, shift, out)
 
 
-def _pool122_bwd(H, W, C, act, res, dpool):
+def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
     xs, inv, shift, pooled = res
     nin = len(xs)
     G, R, P = flat_geometry64(H, W)
     H2 = H // 2
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
+    with_skip = dskips is not None
 
     kernel = functools.partial(_pool122_bwd_kernel, nin=nin, G=G, R=R,
-                               P=P, H=H, act=act, x_dtype=dtype)
+                               P=P, H=H, act=act, x_dtype=dtype,
+                               with_skip=with_skip)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     in_specs, operands = [], []
@@ -1145,6 +1205,13 @@ def _pool122_bwd(H, W, C, act, res, dpool):
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(arr.astype(dtype))
+    if with_skip:
+        for i, ds in enumerate(dskips):
+            ds = (jnp.zeros_like(xs[i]) if ds is None
+                  else ds.astype(dtype))
+            in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                         memory_space=pltpu.VMEM))
+            operands.append(ds)
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (inv, shift):
@@ -1174,7 +1241,33 @@ def _pool122_bwd(H, W, C, act, res, dpool):
     return dxs, res_[nin], res_[nin + 1]
 
 
+def _pool122_bwd(H, W, C, act, res, dpool):
+    return _pool122_bwd_impl(H, W, C, act, res, dpool)
+
+
 pool122_bnact_flat64.defvjp(_pool122_fwd, _pool122_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pool122_bnact_flat64_skip(xs, inv, shift, H: int, W: int, C: int,
+                              act: str):
+    """pool122_bnact_flat64 that also returns the raw input chunks
+    (the decoder skip) — skip cotangent summed into dx in-kernel; see
+    flat_fused.pool_bnact_flat_skip."""
+    return pool122_bnact_flat64(xs, inv, shift, H, W, C, act), xs
+
+
+def _pool122_skip_fwd(xs, inv, shift, H, W, C, act):
+    out = pool122_bnact_flat64(xs, inv, shift, H, W, C, act)
+    return (out, xs), (xs, inv, shift, out)
+
+
+def _pool122_skip_bwd(H, W, C, act, res, cts):
+    dpool, dskips = cts
+    return _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=dskips)
+
+
+pool122_bnact_flat64_skip.defvjp(_pool122_skip_fwd, _pool122_skip_bwd)
 
 
 # ---------------------------------------------------------------------------
