@@ -404,6 +404,50 @@ class _FusedUpconv64(nn.Module):
             self.want_stats)
 
 
+class _FusedUpconv64F(nn.Module):
+    """Stride-2 transposed conv consuming a FlatActs64 carry (the
+    deeper level is ALSO fused64) and emitting features//64 flat64
+    chunks + stats (ops/flat_fused64.upconv222_f64in / upconv122_f64in)
+    — no materialize seam between chained fused64 decoder levels.
+    Param tree matches nn.ConvTranspose for checkpoint interop."""
+    features: int
+    H: int
+    W: int
+    want_stats: bool
+    act: str
+    planar: bool = False
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, acts):
+        cin = len(acts.chunks) * _ff64.CC64
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        chunks = tuple(c.astype(self.dtype) for c in acts.chunks)
+        if self.dim == 2:
+            kernel = self.param("kernel", _kernel_init,
+                                (2, 2, cin, self.features),
+                                self.param_dtype)
+            w = kernel[None]
+        elif self.planar:
+            kernel = self.param("kernel", _kernel_init,
+                                (1, 2, 2, cin, self.features),
+                                self.param_dtype)
+            w = kernel
+        else:
+            kernel = self.param("kernel", _kernel_init,
+                                (2, 2, 2, cin, self.features),
+                                self.param_dtype)
+            return _ff64.upconv222_f64in(
+                chunks, acts.inv, acts.shift, kernel, bias, self.H,
+                self.W, self.want_stats, self.act)
+        return _ff64.upconv122_f64in(
+            chunks, acts.inv, acts.shift, w, bias, self.H, self.W,
+            self.want_stats, self.act)
+
+
 class _Conv1FusedFlat(nn.Module):
     """First-layer planar 3x3 conv (C_in == 1) straight into a flat
     chunk with BN-stat side outputs (ops/flat_fused.conv1_bnstats_flat).
@@ -867,23 +911,40 @@ class UpConv(nn.Module):
             # kd=1 (planar (1,2,2) upconv) for planar levels / dim=2.
             kd = 1 if (self.planar or self.dim == 2) else 3
             tiled = self.dim == 2 and self.tile > 0
-            if self.dim == 2:
+            from64 = isinstance(dec, _ff64.FlatActs64)
+            if self.dim == 2 and not from64:
                 dec = _lift2d(dec, self.tile // 2)
             H, W = self.flat_hw
             C = self.out_channels
             n = C // _ff64.CC64
-            B = dec.shape[0]
-            Dd = dec.shape[1] * (1 if kd == 1 else 2)
+            if from64:
+                B, D1 = dec.chunks[0].shape[0], dec.chunks[0].shape[1]
+            else:
+                B, D1 = dec.shape[0], dec.shape[1]
+            Dd = D1 * (1 if kd == 1 else 2)
             count = B * Dd * H * W
             batch = self.normalization == "batch"
             aname = _act_name(self.activation)
             nidx = 0
             wantu = batch and self.full_norm and train
-            yu, stu = _FusedUpconv64(C, H, W, want_stats=wantu,
-                                     planar=self.planar, dim=self.dim,
-                                     dtype=self.dtype,
-                                     param_dtype=self.param_dtype,
-                                     name="upconv")(dec)
+            if from64:
+                # Deeper carry is a fused64 level: upconv straight
+                # from its chunks (prologue in kernel, no materialize
+                # seam — ops/flat_fused64.upconv222_f64in).
+                yu, stu = _FusedUpconv64F(C, H, W, want_stats=wantu,
+                                          act=aname,
+                                          planar=self.planar,
+                                          dim=self.dim,
+                                          dtype=self.dtype,
+                                          param_dtype=self.param_dtype,
+                                          name="upconv")(dec)
+            else:
+                yu, stu = _FusedUpconv64(C, H, W, want_stats=wantu,
+                                         planar=self.planar,
+                                         dim=self.dim,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="upconv")(dec)
             if self.full_norm and batch:
                 su = _ff64.fold_lane_stats64(stu[0]) if stu else None
                 qu = _ff64.fold_lane_stats64(stu[1]) if stu else None
@@ -1474,14 +1535,24 @@ class UNet(nn.Module):
                         and self.up_mode == "transpose"
                         and self.merge_mode in ("concat", "add")
                         and not isinstance(x, tuple))
+            # Deeper carry: dense 5D (XLA level below) or a FlatActs64
+            # from a chained fused64 decoder level (kept in flat form,
+            # upconv via upconv222_f64in/upconv122_f64in).
+            carry_dense = not isinstance(x, (tuple, _ffu.FlatActs,
+                                             _ff64.FlatActs64))
+            carry64_ok = (isinstance(x, _ff64.FlatActs64)
+                          and ins == 2 * _ff64.CC64
+                          and len(x.chunks) * _ff64.CC64 == ins
+                          and up_hw == (H // 2, W // 2)
+                          and (W // 2) % 2 == 0)
             up_fused64 = (skip_fused64
                           and self._flat_fused64_ok(
-                              planar, outs, H, W, 0, False, merge=True)
+                              planar, outs, H, W,
+                              lvl_shape[level][0], False, merge=True)
                           and self.up_mode == "transpose"
                           and self.merge_mode == "concat"
-                          and ins == 2 * _ff64.CC64
-                          and not isinstance(x, (tuple, _ffu.FlatActs,
-                                                 _ff64.FlatActs64)))
+                          and ins in (2 * _ff64.CC64, 4 * _ff64.CC64)
+                          and (carry_dense or carry64_ok))
             up_flat = (skip_flat
                        and self._flat_level_ok(planar, outs, H, W)
                        and self.up_mode == "transpose"
@@ -1518,10 +1589,12 @@ class UNet(nn.Module):
                     x = _drop2d(x)
             elif isinstance(x, _ff64.FlatActs64):
                 # A fused planar up level can consume the FlatActs64
-                # decoder carry directly (upconv122_from_flat64).
+                # decoder carry directly (upconv122_from_flat64), and
+                # a fused64 up level via upconv222_f64in (carry64_ok).
                 keep64 = (up_fused and len(x.chunks) == 1
                           and up_hw == (H // 2, W // 2)
-                          and (W // 2) % 2 == 0)
+                          and (W // 2) % 2 == 0) \
+                    or (up_fused64 and carry64_ok)
                 if not keep64:
                     x = _ff64.materialize_flat_acts64(
                         x.chunks, x.inv, x.shift, *up_hw,

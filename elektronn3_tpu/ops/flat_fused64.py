@@ -33,10 +33,14 @@ Ops (mirroring flat_fused.py, reference models/unet.py:202-409):
 - pool222_bnact_flat64: prologue + (2,2,2) max pool; kernel emits the
   compact pooled form per slab pair, XLA composes dense channels-last
   rows on the 1/8-size result.
-- upconv222_bn_flat64: (2,2,2)-stride-2 transposed conv (128 -> 64)
-  from the deeper level's dense tensor straight into one flat64 chunk:
-  one full 128x128 matmul per (z-phase, h-phase), h-interleave in
-  kernel.
+- upconv222_bn_flat64: (2,2,2)-stride-2 transposed conv (cin 128/256
+  -> cout 64/128) from the deeper level's dense tensor straight into
+  flat64 chunks: one full 128x128 matmul per (z-phase, h-phase, k, o),
+  h-interleave in kernel.
+- upconv222_f64in / upconv122_f64in: the same upconv consuming
+  FlatActs64 chunks (prologue in kernel) for chained fused64 decoder
+  levels — input j-parity lanes route to odd/even output groups via
+  two half-packed matmuls per phase.
 - Chunk64 / FlatActs64: pytree carriers for raw chunks (+ prologue).
 
 Gradient semantics match flat_fused.py (exact, including through batch
@@ -1277,27 +1281,44 @@ pool122_bnact_flat64_skip.defvjp(_pool122_skip_fwd, _pool122_skip_bwd)
 
 def pack_upconv_weights64(w: jnp.ndarray):
     """(2, 2, 2, 128, 64) flax ConvTranspose kernel -> M[az][ah], each
-    (128, 128): M[az][ah][ci, p*64 + co] = w[1-az, 1-ah, 1-p, ci, co]
+    (128, 128): M[az][ah][k][o][ci, p*64 + co] =
+    w[1-az, 1-ah, 1-p, k*128 + ci, o*64 + co]
     (flax places in[d1,h1,w1] * K[1-az, 1-ah, 1-p] at
-    out[2*d1+az, 2*h1+ah, 2*w1+p])."""
-    assert w.shape[:3] == (2, 2, 2) and w.shape[3] == 128 \
-        and w.shape[4] == CC64, w.shape
+    out[2*d1+az, 2*h1+ah, 2*w1+p]). cin may be 128 or 256 (nk = cin//128
+    input lane-chunks), cout 64 or 128 (no = cout//64 output flat64
+    chunks) — the C=128 decoder's 256 -> 128 upconv uses nk = no = 2."""
+    assert w.shape[:3] == (2, 2, 2) and w.shape[3] % 128 == 0 \
+        and w.shape[4] % CC64 == 0, w.shape
+    nk, no = w.shape[3] // 128, w.shape[4] // CC64
     Ms = []
     for az in range(2):
         row = []
         for ah in range(2):
-            m = jnp.concatenate([w[1 - az, 1 - ah, 1],
-                                 w[1 - az, 1 - ah, 0]], axis=-1)
-            row.append(m)
+            kos = []
+            for k in range(nk):
+                os_ = []
+                for o in range(no):
+                    blk = w[1 - az, 1 - ah, :, k * 128:(k + 1) * 128,
+                            o * CC64:(o + 1) * CC64]
+                    os_.append(jnp.concatenate([blk[1], blk[0]],
+                                               axis=-1))
+                kos.append(os_)
+            row.append(kos)
         Ms.append(row)
     return Ms
 
 
-def _upconv64_fwd_kernel(dec_ref, m00, m01, m10, m11, mask_ref,
-                         bias_ref, out_ref, s_ref, q_ref, *, G: int,
+def _upconv64_fwd_kernel(*refs, nk: int, no: int, G: int,
                          R: int, P: int, H: int, W1: int, out_dtype,
                          want_stats: bool):
+    # refs: nk dec chunks, 4*nk*no mats (az, ah, k, o order), mask,
+    # bias, then no out chunks (+ s, q).
+    dec_refs = refs[:nk]
+    mats = refs[nk:nk + 4 * nk * no]
+    mask_ref, bias_ref = refs[nk + 4 * nk * no:nk + 4 * nk * no + 2]
+    outs = refs[nk + 4 * nk * no + 2:nk + 4 * nk * no + 2 + no]
     if want_stats:
+        s_ref, q_ref = refs[nk + 4 * nk * no + 2 + no:]
         first = jnp.logical_and(pl.program_id(0) == 0,
                                 pl.program_id(1) == 0)
 
@@ -1307,114 +1328,147 @@ def _upconv64_fwd_kernel(dec_ref, m00, m01, m10, m11, mask_ref,
             q_ref[...] = jnp.zeros_like(q_ref)
 
     H1 = H // 2
-    S = dec_ref[0, 0, :, :]                     # (H1*W1, 128)
+    Ss = [dec_refs[k][0, 0, :, :] for k in range(nk)]  # (H1*W1, 128)
     dims = (((1,), (0,)), ((), ()))
-    mats = ((m00, m01), (m10, m11))
+
+    def mat(az, ah, k, o):
+        return mats[((az * 2 + ah) * nk + k) * no + o]
+
     for az in range(2):
-        Ys = []
-        for ah in range(2):
-            Y = _dot(S, mats[az][ah][...],
-                                    dimension_numbers=dims,
-                                    preferred_element_type=jnp.float32)
-            Ys.append(Y.reshape(H1, W1, 128))
-        I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
-                            axis=1).reshape(H, W1, 128)
-        zl = jnp.zeros((H, 1, 128), jnp.float32)
-        zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
-        rows = jnp.concatenate([zl, I, zr], axis=1)
-        y = rows + bias_ref[0][None, None, :]
-        y = (y * mask_ref[...][None]).reshape(R, 128)
-        yc = y.astype(out_dtype)
-        out_ref[0, az, 0:P] = jnp.zeros((P, 128), out_dtype)
-        out_ref[0, az, pl.ds(P, R)] = yc
-        out_ref[0, az, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
-        if want_stats:
-            yf = yc.astype(jnp.float32)
-            s_ref[0, :] += jnp.sum(yf, axis=0)
-            q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+        for o in range(no):
+            Ys = []
+            for ah in range(2):
+                Y = jnp.zeros((H1 * W1, 128), jnp.float32)
+                for k in range(nk):
+                    Y = Y + _dot(Ss[k], mat(az, ah, k, o)[...],
+                                 dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+                Ys.append(Y.reshape(H1, W1, 128))
+            I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
+                                axis=1).reshape(H, W1, 128)
+            zl = jnp.zeros((H, 1, 128), jnp.float32)
+            zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
+            rows = jnp.concatenate([zl, I, zr], axis=1)
+            y = rows + bias_ref[o][None, None, :]
+            y = (y * mask_ref[...][None]).reshape(R, 128)
+            yc = y.astype(out_dtype)
+            outs[o][0, az, 0:P] = jnp.zeros((P, 128), out_dtype)
+            outs[o][0, az, pl.ds(P, R)] = yc
+            outs[o][0, az, P + R:2 * P + R] = jnp.zeros((P, 128),
+                                                        out_dtype)
+            if want_stats:
+                yf = yc.astype(jnp.float32)
+                s_ref[o, :] += jnp.sum(yf, axis=0)
+                q_ref[o, :] += jnp.sum(yf * yf, axis=0)
 
 
-def _upconv64_bwd_kernel(dec_ref, dy_ref, y_ref, m00, m01, m10, m11,
-                         mask_ref, ds_ref, dq_ref, ddec, dM00, dM01,
-                         dM10, dM11, db, *, G: int, R: int, P: int,
-                         H: int, W1: int, want_stats: bool, x_dtype):
+def _upconv64_bwd_kernel(*refs, nk: int, no: int, G: int, R: int,
+                         P: int, H: int, W1: int, want_stats: bool,
+                         x_dtype):
+    # refs: nk dec chunks, no dy chunks, no y chunks, 4*nk*no mats,
+    # mask, ds, dq; outs: nk ddec, 4*nk*no dM, db.
+    dec_refs = refs[:nk]
+    dy_refs = refs[nk:nk + no]
+    y_refs = refs[nk + no:nk + 2 * no]
+    pos = nk + 2 * no
+    mats = refs[pos:pos + 4 * nk * no]
+    pos += 4 * nk * no
+    mask_ref, ds_ref, dq_ref = refs[pos:pos + 3]
+    pos += 3
+    ddecs = refs[pos:pos + nk]
+    dmats = refs[pos + nk:pos + nk + 4 * nk * no]
+    db = refs[pos + nk + 4 * nk * no]
+
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        dM00[...] = jnp.zeros_like(dM00)
-        dM01[...] = jnp.zeros_like(dM01)
-        dM10[...] = jnp.zeros_like(dM10)
-        dM11[...] = jnp.zeros_like(dM11)
+        for dm in dmats:
+            dm[...] = jnp.zeros_like(dm)
         db[...] = jnp.zeros_like(db)
 
     H1 = H // 2
-    S = dec_ref[0, 0, :, :]
+    Ss = [dec_refs[k][0, 0, :, :] for k in range(nk)]
     dimsT = (((1,), (1,)), ((), ()))
     cdims = (((0,), (0,)), ((), ()))
-    mats = ((m00, m01), (m10, m11))
-    dmats = ((dM00, dM01), (dM10, dM11))
-    dd = jnp.zeros((H1 * W1, 128), jnp.float32)
+
+    def mslot(az, ah, k, o):
+        return ((az * 2 + ah) * nk + k) * no + o
+
+    dds = [jnp.zeros((H1 * W1, 128), jnp.float32) for _ in range(nk)]
     for az in range(2):
-        dy = dy_ref[0, az, pl.ds(P, R), :].astype(jnp.float32)
-        if want_stats:
-            y = y_ref[0, az, pl.ds(P, R), :].astype(jnp.float32)
-            dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
-        dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
-        db[0, :] += jnp.sum(dyt, axis=0)
-        d3 = dyt.reshape(H1, 2 * G, 128)     # h-deinterleave: blocks
-        for ah in range(2):
-            blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
-            Yg = blk.reshape(H1 * W1, 128).astype(S.dtype)
-            dd = dd + _dot(
-                Yg, mats[az][ah][...], dimension_numbers=dimsT,
-                preferred_element_type=jnp.float32)
-            dmats[az][ah][...] += _dot(
-                S, Yg, dimension_numbers=cdims,
-                preferred_element_type=jnp.float32)
-    ddec[0, 0, :, :] = dd.astype(x_dtype)
+        for o in range(no):
+            dy = dy_refs[o][0, az, pl.ds(P, R), :].astype(jnp.float32)
+            if want_stats:
+                y = y_refs[o][0, az, pl.ds(P, R), :].astype(jnp.float32)
+                dy = dy + ds_ref[o][None, :] \
+                    + 2.0 * y * dq_ref[o][None, :]
+            dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            db[o, :] += jnp.sum(dyt, axis=0)
+            d3 = dyt.reshape(H1, 2 * G, 128)  # h-deinterleave: blocks
+            for ah in range(2):
+                blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
+                Yg = blk.reshape(H1 * W1, 128).astype(Ss[0].dtype)
+                for k in range(nk):
+                    dds[k] = dds[k] + _dot(
+                        Yg, mats[mslot(az, ah, k, o)][...],
+                        dimension_numbers=dimsT,
+                        preferred_element_type=jnp.float32)
+                    dmats[mslot(az, ah, k, o)][...] += _dot(
+                        Ss[k], Yg, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+    for k in range(nk):
+        ddecs[k][0, 0, :, :] = dds[k].astype(x_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
     """(2,2,2)-stride-2 transposed conv (flax ConvTranspose semantics,
-    reference models/unet.py:328-409) from dec (B, D/2, H/2, W/2, 128)
-    into one flat64 chunk at (H, W) with 64 channels (+ optional
-    per-lane stats)."""
+    reference models/unet.py:328-409) from dec (B, D/2, H/2, W/2, cin)
+    into cout//64 flat64 chunks at (H, W) (+ optional per-lane stats).
+    cin in {128, 256}, cout in {64, 128} (the C=128 decoder's
+    256 -> 128 upconv runs nk = no = 2)."""
     B, D1, H1, W1, cin = dec.shape
-    assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    assert cin % 128 == 0 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    nk, no = cin // 128, w.shape[4] // CC64
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
     Ms = pack_upconv_weights64(jax.lax.optimization_barrier(w))
     bias_l = _lane_bias64(b)
 
-    kernel = functools.partial(_upconv64_fwd_kernel, G=G, R=R, P=P, H=H,
-                               W1=W1, out_dtype=dtype,
+    kernel = functools.partial(_upconv64_fwd_kernel, nk=nk, no=no, G=G,
+                               R=R, P=P, H=H, W1=W1, out_dtype=dtype,
                                want_stats=want_stats)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
-    in_specs = [pl.BlockSpec((1, 1, H1 * W1, 128),
-                             lambda b_, d_: (b_, d_, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    operands = [dec.reshape(B, D1, H1 * W1, 128)]
+    in_specs, operands = [], []
+    for k in range(nk):
+        in_specs.append(pl.BlockSpec((1, 1, H1 * W1, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(dec[..., k * 128:(k + 1) * 128]
+                        .reshape(B, D1, H1 * W1, 128))
     for az in range(2):
         for ah in range(2):
-            in_specs.append(pl.BlockSpec((128, 128), c2,
-                                         memory_space=pltpu.VMEM))
-            operands.append(Ms[az][ah].astype(dtype))
+            for k in range(nk):
+                for o in range(no):
+                    in_specs.append(pl.BlockSpec(
+                        (128, 128), c2, memory_space=pltpu.VMEM))
+                    operands.append(Ms[az][ah][k][o].astype(dtype))
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
-    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((no, 128), c2,
+                                 memory_space=pltpu.VMEM))
     operands.append(bias_l.astype(jnp.float32))
 
-    out_specs = [pl.BlockSpec((1, 2, R + 2 * P, 128),
-                              lambda b_, d_: (b_, d_, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, 2 * D1, R + 2 * P, 128), dtype),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
-    y, s, q = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 2, R + 2 * P, 128), bd,
+                              memory_space=pltpu.VMEM)] * no
+    out_shape = [jax.ShapeDtypeStruct((B, 2 * D1, R + 2 * P, 128),
+                                      dtype) for _ in range(no)]
+    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    res = pl.pallas_call(
         kernel,
         grid=(B, D1),
         in_specs=tuple(in_specs),
@@ -1422,67 +1476,74 @@ def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
+    ys, (s, q) = res[:no], res[no:]
     stats = (s, q) if want_stats else None
-    return (y,), stats
+    return tuple(ys), stats
 
 
 def _upconv64_fwd(dec, w, b, H, W, want_stats):
     out = upconv222_bn_flat64(dec, w, b, H, W, want_stats)
-    (y,), _ = out
-    return out, (dec, w, y)
+    ys, _ = out
+    return out, (dec, w, ys)
 
 
 def _upconv64_bwd(H, W, want_stats, res, cts):
-    dec, w, y = res
-    (dy_in,), dstats = cts
+    dec, w, ys = res
+    dys_in, dstats = cts
     B, D1, H1, W1, cin = dec.shape
+    nk, no = cin // 128, w.shape[4] // CC64
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
     Ms = pack_upconv_weights64(jax.lax.optimization_barrier(w))
-    dy = (jnp.zeros((B, 2 * D1, R + 2 * P, 128), dtype) if dy_in is None
-          else dy_in.astype(dtype))
+    dys = [(jnp.zeros((B, 2 * D1, R + 2 * P, 128), dtype)
+            if dy_in is None else dy_in.astype(dtype))
+           for dy_in in dys_in]
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
 
-    kernel = functools.partial(_upconv64_bwd_kernel, G=G, R=R, P=P, H=H,
-                               W1=W1, want_stats=want_stats,
-                               x_dtype=dtype)
+    kernel = functools.partial(_upconv64_bwd_kernel, nk=nk, no=no, G=G,
+                               R=R, P=P, H=H, W1=W1,
+                               want_stats=want_stats, x_dtype=dtype)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
-    in_specs = [
-        pl.BlockSpec((1, 1, H1 * W1, 128), lambda b_, d_: (b_, d_, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, R + 2 * P, 128),
-                     lambda b_, d_: (b_, d_, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, R + 2 * P, 128),
-                     lambda b_, d_: (b_, d_, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [dec.reshape(B, D1, H1 * W1, 128), dy, y]
+    in_specs, operands = [], []
+    for k in range(nk):
+        in_specs.append(pl.BlockSpec((1, 1, H1 * W1, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(dec[..., k * 128:(k + 1) * 128]
+                        .reshape(B, D1, H1 * W1, 128))
+    for arrs in (dys, ys):
+        for a in arrs:
+            in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128), bd,
+                                         memory_space=pltpu.VMEM))
+            operands.append(a)
     for az in range(2):
         for ah in range(2):
-            in_specs.append(pl.BlockSpec((128, 128), c2,
-                                         memory_space=pltpu.VMEM))
-            operands.append(Ms[az][ah].astype(dtype))
+            for k in range(nk):
+                for o in range(no):
+                    in_specs.append(pl.BlockSpec(
+                        (128, 128), c2, memory_space=pltpu.VMEM))
+                    operands.append(Ms[az][ah][k][o].astype(dtype))
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
-    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
-    operands.append(ds)
-    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
-    operands.append(dq)
+    for v in (ds, dq):
+        in_specs.append(pl.BlockSpec((no, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v)
 
-    out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128),
-                              lambda b_, d_: (b_, d_, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, D1, H1 * W1, 128), dtype)]
-    for _ in range(4):
+    out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
+                              memory_space=pltpu.VMEM)] * nk
+    out_shape = [jax.ShapeDtypeStruct((B, D1, H1 * W1, 128), dtype)
+                 for _ in range(nk)]
+    for _ in range(4 * nk * no):
         out_specs.append(pl.BlockSpec((128, 128), c2,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+    out_specs.append(pl.BlockSpec((no, 128), c2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((no, 128), jnp.float32))
 
     res_ = pl.pallas_call(
         kernel,
@@ -1492,18 +1553,27 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
-    dd = res_[0].reshape(dec.shape)
+    dd = jnp.concatenate(
+        [r.reshape(B, D1, H1, W1, 128) for r in res_[:nk]], axis=-1)
     # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
-    dM = jax.lax.optimization_barrier(tuple(res_[1:5]))
-    dbl = res_[5]
+    dM = jax.lax.optimization_barrier(tuple(res_[nk:nk + 4 * nk * no]))
+    dbl = res_[nk + 4 * nk * no]
     # Adjoint of pack_upconv_weights64.
-    dw = jnp.zeros((2, 2, 2, 128, CC64), jnp.float32)
-    k = 0
+    dw = jnp.zeros((2, 2, 2, 128 * nk, CC64 * no), jnp.float32)
+    i = 0
     for az in range(2):
         for ah in range(2):
-            m = dM[k]; k += 1
-            dw = dw.at[1 - az, 1 - ah, 1].add(m[:, 0:CC64])
-            dw = dw.at[1 - az, 1 - ah, 0].add(m[:, CC64:128])
+            for k in range(nk):
+                for o in range(no):
+                    m = dM[i]; i += 1
+                    dw = dw.at[1 - az, 1 - ah, 1,
+                               k * 128:(k + 1) * 128,
+                               o * CC64:(o + 1) * CC64].add(
+                        m[:, 0:CC64])
+                    dw = dw.at[1 - az, 1 - ah, 0,
+                               k * 128:(k + 1) * 128,
+                               o * CC64:(o + 1) * CC64].add(
+                        m[:, CC64:128])
     dbc = fold_lane_stats64(dbl)
     return dd, dw.astype(w.dtype), dbc.astype(w.dtype)
 
@@ -1518,18 +1588,38 @@ upconv222_bn_flat64.defvjp(_upconv64_fwd, _upconv64_bwd)
 # ---------------------------------------------------------------------------
 
 def pack_upconv122_weights64(w: jnp.ndarray):
-    """(1, 2, 2, 128, 64) flax ConvTranspose kernel -> M[ah], each
-    (128, 128): M[ah][ci, p*64 + co] = w[0, 1-ah, 1-p, ci, co]."""
-    assert w.shape == (1, 2, 2, 128, CC64), w.shape
-    return [jnp.concatenate([w[0, 1 - ah, 1], w[0, 1 - ah, 0]], axis=-1)
-            for ah in range(2)]
+    """(1, 2, 2, cin, cout) flax ConvTranspose kernel -> M[ah][k][o],
+    each (128, 128): M[ah][k][o][ci, p*64 + co] =
+    w[0, 1-ah, 1-p, k*128 + ci, o*64 + co]. cin in {128, 256}, cout in
+    {64, 128} (see pack_upconv_weights64)."""
+    assert w.shape[:3] == (1, 2, 2) and w.shape[3] % 128 == 0 \
+        and w.shape[4] % CC64 == 0, w.shape
+    nk, no = w.shape[3] // 128, w.shape[4] // CC64
+    Ms = []
+    for ah in range(2):
+        kos = []
+        for k in range(nk):
+            os_ = []
+            for o in range(no):
+                blk = w[0, 1 - ah, :, k * 128:(k + 1) * 128,
+                        o * CC64:(o + 1) * CC64]
+                os_.append(jnp.concatenate([blk[1], blk[0]], axis=-1))
+            kos.append(os_)
+        Ms.append(kos)
+    return Ms
 
 
-def _upconv122_64_fwd_kernel(dec_ref, m0, m1, mask_ref, bias_ref,
-                             out_ref, s_ref, q_ref, *, G: int, R: int,
+def _upconv122_64_fwd_kernel(*refs, nk: int, no: int, G: int, R: int,
                              P: int, H: int, W1: int, out_dtype,
                              want_stats: bool):
+    # refs: nk dec chunks, 2*nk*no mats (ah, k, o order), mask, bias,
+    # no out chunks (+ s, q).
+    dec_refs = refs[:nk]
+    mats = refs[nk:nk + 2 * nk * no]
+    mask_ref, bias_ref = refs[nk + 2 * nk * no:nk + 2 * nk * no + 2]
+    outs = refs[nk + 2 * nk * no + 2:nk + 2 * nk * no + 2 + no]
     if want_stats:
+        s_ref, q_ref = refs[nk + 2 * nk * no + 2 + no:]
         first = jnp.logical_and(pl.program_id(0) == 0,
                                 pl.program_id(1) == 0)
 
@@ -1539,102 +1629,142 @@ def _upconv122_64_fwd_kernel(dec_ref, m0, m1, mask_ref, bias_ref,
             q_ref[...] = jnp.zeros_like(q_ref)
 
     H1 = H // 2
-    S = dec_ref[0, 0, :, :]                     # (H1*W1, 128)
+    Ss = [dec_refs[k][0, 0, :, :] for k in range(nk)]  # (H1*W1, 128)
     dims = (((1,), (0,)), ((), ()))
-    Ys = []
-    for m in (m0, m1):
-        Y = _dot(S, m[...], dimension_numbers=dims,
-                 preferred_element_type=jnp.float32)
-        Ys.append(Y.reshape(H1, W1, 128))
-    I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
-                        axis=1).reshape(H, W1, 128)
-    zl = jnp.zeros((H, 1, 128), jnp.float32)
-    zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
-    rows = jnp.concatenate([zl, I, zr], axis=1)
-    y = rows + bias_ref[0][None, None, :]
-    y = (y * mask_ref[...][None]).reshape(R, 128)
-    yc = y.astype(out_dtype)
-    out_ref[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
-    out_ref[0, 0, pl.ds(P, R)] = yc
-    out_ref[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
-    if want_stats:
-        yf = yc.astype(jnp.float32)
-        s_ref[0, :] += jnp.sum(yf, axis=0)
-        q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+
+    def mat(ah, k, o):
+        return mats[(ah * nk + k) * no + o]
+
+    for o in range(no):
+        Ys = []
+        for ah in range(2):
+            Y = jnp.zeros((H1 * W1, 128), jnp.float32)
+            for k in range(nk):
+                Y = Y + _dot(Ss[k], mat(ah, k, o)[...],
+                             dimension_numbers=dims,
+                             preferred_element_type=jnp.float32)
+            Ys.append(Y.reshape(H1, W1, 128))
+        I = jnp.concatenate([Ys[0][:, None], Ys[1][:, None]],
+                            axis=1).reshape(H, W1, 128)
+        zl = jnp.zeros((H, 1, 128), jnp.float32)
+        zr = jnp.zeros((H, G - W1 - 1, 128), jnp.float32)
+        rows = jnp.concatenate([zl, I, zr], axis=1)
+        y = rows + bias_ref[o][None, None, :]
+        y = (y * mask_ref[...][None]).reshape(R, 128)
+        yc = y.astype(out_dtype)
+        outs[o][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+        outs[o][0, 0, pl.ds(P, R)] = yc
+        outs[o][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+        if want_stats:
+            yf = yc.astype(jnp.float32)
+            s_ref[o, :] += jnp.sum(yf, axis=0)
+            q_ref[o, :] += jnp.sum(yf * yf, axis=0)
 
 
-def _upconv122_64_bwd_kernel(dec_ref, dy_ref, y_ref, m0, m1, mask_ref,
-                             ds_ref, dq_ref, ddec, dM0, dM1, db, *,
-                             G: int, R: int, P: int, H: int, W1: int,
+def _upconv122_64_bwd_kernel(*refs, nk: int, no: int, G: int, R: int,
+                             P: int, H: int, W1: int,
                              want_stats: bool, x_dtype):
+    # refs: nk dec chunks, no dy, no y, 2*nk*no mats, mask, ds, dq;
+    # outs: nk ddec, 2*nk*no dM, db.
+    dec_refs = refs[:nk]
+    dy_refs = refs[nk:nk + no]
+    y_refs = refs[nk + no:nk + 2 * no]
+    pos = nk + 2 * no
+    mats = refs[pos:pos + 2 * nk * no]
+    pos += 2 * nk * no
+    mask_ref, ds_ref, dq_ref = refs[pos:pos + 3]
+    pos += 3
+    ddecs = refs[pos:pos + nk]
+    dmats = refs[pos + nk:pos + nk + 2 * nk * no]
+    db = refs[pos + nk + 2 * nk * no]
+
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        dM0[...] = jnp.zeros_like(dM0)
-        dM1[...] = jnp.zeros_like(dM1)
+        for dm in dmats:
+            dm[...] = jnp.zeros_like(dm)
         db[...] = jnp.zeros_like(db)
 
     H1 = H // 2
-    S = dec_ref[0, 0, :, :]
+    Ss = [dec_refs[k][0, 0, :, :] for k in range(nk)]
     dimsT = (((1,), (1,)), ((), ()))
     cdims = (((0,), (0,)), ((), ()))
-    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
-    if want_stats:
-        y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
-        dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
-    dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
-    db[0, :] += jnp.sum(dyt, axis=0)
-    d3 = dyt.reshape(H1, 2 * G, 128)
-    dd = jnp.zeros((H1 * W1, 128), jnp.float32)
-    for ah, (m, dM) in enumerate(((m0, dM0), (m1, dM1))):
-        blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
-        Yg = blk.reshape(H1 * W1, 128).astype(S.dtype)
-        dd = dd + _dot(Yg, m[...], dimension_numbers=dimsT,
-                       preferred_element_type=jnp.float32)
-        dM[...] += _dot(S, Yg, dimension_numbers=cdims,
-                        preferred_element_type=jnp.float32)
-    ddec[0, 0, :, :] = dd.astype(x_dtype)
+
+    def mslot(ah, k, o):
+        return (ah * nk + k) * no + o
+
+    dds = [jnp.zeros((H1 * W1, 128), jnp.float32) for _ in range(nk)]
+    for o in range(no):
+        dy = dy_refs[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+        if want_stats:
+            y = y_refs[o][0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            dy = dy + ds_ref[o][None, :] + 2.0 * y * dq_ref[o][None, :]
+        dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+        db[o, :] += jnp.sum(dyt, axis=0)
+        d3 = dyt.reshape(H1, 2 * G, 128)
+        for ah in range(2):
+            blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
+            Yg = blk.reshape(H1 * W1, 128).astype(Ss[0].dtype)
+            for k in range(nk):
+                dds[k] = dds[k] + _dot(
+                    Yg, mats[mslot(ah, k, o)][...],
+                    dimension_numbers=dimsT,
+                    preferred_element_type=jnp.float32)
+                dmats[mslot(ah, k, o)][...] += _dot(
+                    Ss[k], Yg, dimension_numbers=cdims,
+                    preferred_element_type=jnp.float32)
+    for k in range(nk):
+        ddecs[k][0, 0, :, :] = dds[k].astype(x_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
     """(1,2,2)-stride-2 transposed conv (flax ConvTranspose semantics)
-    from dec (B, D, H/2, W/2, 128) into one flat64 chunk at (H, W)
-    with 64 channels (+ optional per-lane stats). Planar-level variant
-    of upconv222_bn_flat64; reference models/unet.py:328-409."""
+    from dec (B, D, H/2, W/2, cin) into cout//64 flat64 chunks at
+    (H, W) (+ optional per-lane stats). Planar-level variant of
+    upconv222_bn_flat64 (cin in {128, 256}, cout in {64, 128});
+    reference models/unet.py:328-409."""
     B, D, H1, W1, cin = dec.shape
-    assert cin == 128 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    assert cin % 128 == 0 and H1 * 2 == H and W1 * 2 == W, dec.shape
+    nk, no = cin // 128, w.shape[4] // CC64
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
     Ms = pack_upconv122_weights64(jax.lax.optimization_barrier(w))
     bias_l = _lane_bias64(b)
 
-    kernel = functools.partial(_upconv122_64_fwd_kernel, G=G, R=R, P=P,
-                               H=H, W1=W1, out_dtype=dtype,
-                               want_stats=want_stats)
+    kernel = functools.partial(_upconv122_64_fwd_kernel, nk=nk, no=no,
+                               G=G, R=R, P=P, H=H, W1=W1,
+                               out_dtype=dtype, want_stats=want_stats)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
-    in_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
-                             memory_space=pltpu.VMEM)]
-    operands = [dec.reshape(B, D, H1 * W1, 128)]
-    for m in Ms:
-        in_specs.append(pl.BlockSpec((128, 128), c2,
+    in_specs, operands = [], []
+    for k in range(nk):
+        in_specs.append(pl.BlockSpec((1, 1, H1 * W1, 128), bd,
                                      memory_space=pltpu.VMEM))
-        operands.append(m.astype(dtype))
+        operands.append(dec[..., k * 128:(k + 1) * 128]
+                        .reshape(B, D, H1 * W1, 128))
+    for ah in range(2):
+        for k in range(nk):
+            for o in range(no):
+                in_specs.append(pl.BlockSpec((128, 128), c2,
+                                             memory_space=pltpu.VMEM))
+                operands.append(Ms[ah][k][o].astype(dtype))
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
-    in_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((no, 128), c2,
+                                 memory_space=pltpu.VMEM))
     operands.append(bias_l.astype(jnp.float32))
 
     out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
-    y, s, q = pl.pallas_call(
+                              memory_space=pltpu.VMEM)] * no
+    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
+                 for _ in range(no)]
+    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    res = pl.pallas_call(
         kernel,
         grid=(B, D),
         in_specs=tuple(in_specs),
@@ -1642,63 +1772,72 @@ def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
+    ys, (s, q) = res[:no], res[no:]
     stats = (s, q) if want_stats else None
-    return (y,), stats
+    return tuple(ys), stats
 
 
 def _upconv122_64_fwd(dec, w, b, H, W, want_stats):
     out = upconv122_bn_flat64(dec, w, b, H, W, want_stats)
-    (y,), _ = out
-    return out, (dec, w, y)
+    ys, _ = out
+    return out, (dec, w, ys)
 
 
 def _upconv122_64_bwd(H, W, want_stats, res, cts):
-    dec, w, y = res
-    (dy_in,), dstats = cts
+    dec, w, ys = res
+    dys_in, dstats = cts
     B, D, H1, W1, cin = dec.shape
+    nk, no = cin // 128, w.shape[4] // CC64
     G, R, P = flat_geometry64(H, W)
     dtype = dec.dtype
     Ms = pack_upconv122_weights64(jax.lax.optimization_barrier(w))
-    dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
-          else dy_in.astype(dtype))
+    dys = [(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
+            else dy_in.astype(dtype)) for dy_in in dys_in]
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
 
-    kernel = functools.partial(_upconv122_64_bwd_kernel, G=G, R=R, P=P,
-                               H=H, W1=W1, want_stats=want_stats,
-                               x_dtype=dtype)
+    kernel = functools.partial(_upconv122_64_bwd_kernel, nk=nk, no=no,
+                               G=G, R=R, P=P, H=H, W1=W1,
+                               want_stats=want_stats, x_dtype=dtype)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
-    in_specs = [
-        pl.BlockSpec((1, 1, H1 * W1, 128), bd, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [dec.reshape(B, D, H1 * W1, 128), dy, y]
-    for m in Ms:
-        in_specs.append(pl.BlockSpec((128, 128), c2,
+    in_specs, operands = [], []
+    for k in range(nk):
+        in_specs.append(pl.BlockSpec((1, 1, H1 * W1, 128), bd,
                                      memory_space=pltpu.VMEM))
-        operands.append(m.astype(dtype))
+        operands.append(dec[..., k * 128:(k + 1) * 128]
+                        .reshape(B, D, H1 * W1, 128))
+    for arrs in (dys, ys):
+        for a in arrs:
+            in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+                                         memory_space=pltpu.VMEM))
+            operands.append(a)
+    for ah in range(2):
+        for k in range(nk):
+            for o in range(no):
+                in_specs.append(pl.BlockSpec((128, 128), c2,
+                                             memory_space=pltpu.VMEM))
+                operands.append(Ms[ah][k][o].astype(dtype))
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (ds, dq):
-        in_specs.append(pl.BlockSpec((1, 128), c2,
+        in_specs.append(pl.BlockSpec((no, 128), c2,
                                      memory_space=pltpu.VMEM))
         operands.append(v)
 
     out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, D, H1 * W1, 128), dtype)]
-    for _ in range(2):
+                              memory_space=pltpu.VMEM)] * nk
+    out_shape = [jax.ShapeDtypeStruct((B, D, H1 * W1, 128), dtype)
+                 for _ in range(nk)]
+    for _ in range(2 * nk * no):
         out_specs.append(pl.BlockSpec((128, 128), c2,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+    out_specs.append(pl.BlockSpec((no, 128), c2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((no, 128), jnp.float32))
 
     res_ = pl.pallas_call(
         kernel,
@@ -1708,14 +1847,21 @@ def _upconv122_64_bwd(H, W, want_stats, res, cts):
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
-    dd = res_[0].reshape(dec.shape)
-    dM0, dM1, dbl = res_[1], res_[2], res_[3]
+    dd = jnp.concatenate(
+        [r.reshape(B, D, H1, W1, 128) for r in res_[:nk]], axis=-1)
     # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
-    dM0, dM1 = jax.lax.optimization_barrier((dM0, dM1))
-    dw = jnp.zeros((1, 2, 2, 128, CC64), jnp.float32)
-    for ah, m in ((0, dM0), (1, dM1)):
-        dw = dw.at[0, 1 - ah, 1].add(m[:, 0:CC64])
-        dw = dw.at[0, 1 - ah, 0].add(m[:, CC64:128])
+    dM = jax.lax.optimization_barrier(tuple(res_[nk:nk + 2 * nk * no]))
+    dbl = res_[nk + 2 * nk * no]
+    dw = jnp.zeros((1, 2, 2, 128 * nk, CC64 * no), jnp.float32)
+    i = 0
+    for ah in range(2):
+        for k in range(nk):
+            for o in range(no):
+                m = dM[i]; i += 1
+                dw = dw.at[0, 1 - ah, 1, k * 128:(k + 1) * 128,
+                           o * CC64:(o + 1) * CC64].add(m[:, 0:CC64])
+                dw = dw.at[0, 1 - ah, 0, k * 128:(k + 1) * 128,
+                           o * CC64:(o + 1) * CC64].add(m[:, CC64:128])
     dbc = fold_lane_stats64(dbl)
     return dd, dw.astype(w.dtype), dbc.astype(w.dtype)
 
@@ -2050,3 +2196,427 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
 
 
 upconv122_from_flat64.defvjp(_upconv122_f64_fwd, _upconv122_f64_bwd)
+
+# ---------------------------------------------------------------------------
+# Stride-2 transposed conv consuming FlatActs64 chunks and emitting
+# flat64 chunks: the decoder upconv of a fused64 level whose deeper
+# carry is ALSO a fused64 level (e.g. the C=128 -> C=64 chain of a
+# start_filts=64 model). (2,2,2) for 3D levels (azs=2), (1,2,2) for
+# planar levels / 2D models (azs=1). Removes the
+# materialize_flat_acts64 XLA seam in fused64 -> fused64 decoder
+# chains. Reference models/unet.py:328-409.
+#
+# Routing: an input row group g1 holds w1 = 2*g1 + j1 (lane j1), so
+# out group g_out = 2*g1 + j1 - 1 and j_out = p — j1=0 lanes land in
+# odd output groups, j1=1 lanes in even ones. Each (az, ah, k, o)
+# therefore uses TWO half-packed 128x128 matmuls (A: j1=0 rows,
+# B: j1=1 rows) whose results interleave along the group axis.
+# ---------------------------------------------------------------------------
+
+def pack_upconv_f64in_weights(w: jnp.ndarray, azs: int):
+    """(kz, 2, 2, nk*64, no*64) flax ConvTranspose kernel ->
+    Ms[az][ah][k][o] = (M_A, M_B), each (128, 128):
+    M_A[ci, p*64 + co] = w[z, 1-ah, 1-p, k*64 + ci, o*64 + co] on rows
+    0:64 (j1 = 0), zero elsewhere; M_B carries the same values on rows
+    64:128 (j1 = 1). z = 1-az for azs == 2, else 0."""
+    kz = w.shape[0]
+    assert kz == (2 if azs == 2 else 1) and w.shape[1:3] == (2, 2) \
+        and w.shape[3] % CC64 == 0 and w.shape[4] % CC64 == 0, w.shape
+    nk, no = w.shape[3] // CC64, w.shape[4] // CC64
+    zpad = jnp.zeros((CC64, 128), w.dtype)
+    Ms = []
+    for az in range(azs):
+        z = (1 - az) if azs == 2 else 0
+        row = []
+        for ah in range(2):
+            kos = []
+            for k in range(nk):
+                os_ = []
+                for o in range(no):
+                    blk = w[z, 1 - ah, :, k * CC64:(k + 1) * CC64,
+                            o * CC64:(o + 1) * CC64]
+                    m64 = jnp.concatenate([blk[1], blk[0]], axis=-1)
+                    os_.append((jnp.concatenate([m64, zpad], axis=0),
+                                jnp.concatenate([zpad, m64], axis=0)))
+                kos.append(os_)
+            row.append(kos)
+        Ms.append(row)
+    return Ms
+
+
+def _upconv_f64in_fwd_kernel(*refs, nk: int, no: int, azs: int,
+                             G: int, R: int, P: int, H: int, G1: int,
+                             R1: int, P1: int, H1: int, W1: int,
+                             out_dtype, act: str, want_stats: bool):
+    # refs: nk chunks, inv, shift, azs*2*nk*no*2 mats, mask, bias,
+    # then no out chunks (+ s, q).
+    chunk_refs = refs[:nk]
+    inv_ref, shift_ref = refs[nk:nk + 2]
+    nmat = azs * 2 * nk * no * 2
+    mats = refs[nk + 2:nk + 2 + nmat]
+    mask_ref, bias_ref = refs[nk + 2 + nmat:nk + 2 + nmat + 2]
+    outs = refs[nk + 2 + nmat + 2:nk + 2 + nmat + 2 + no]
+    if want_stats:
+        s_ref, q_ref = refs[nk + 2 + nmat + 2 + no:]
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+
+    Wh = W1 // 2
+    Ss = []
+    for k in range(nk):
+        x = chunk_refs[k][0, 0, pl.ds(P1, R1), :].astype(jnp.float32)
+        pre = x * inv_ref[k][None, :] + shift_ref[k][None, :]
+        a = _act_fwd(pre, act).reshape(H1, G1, 128)[:, 1:1 + Wh, :]
+        Ss.append(a.reshape(H1 * Wh, 128).astype(out_dtype))
+
+    def mat(az, ah, k, o, abi):
+        return mats[(((az * 2 + ah) * nk + k) * no + o) * 2 + abi]
+
+    dims = (((1,), (0,)), ((), ()))
+    for az in range(azs):
+        for o in range(no):
+            rows_ah = []
+            for ah in range(2):
+                YA = jnp.zeros((H1 * Wh, 128), jnp.float32)
+                YB = jnp.zeros((H1 * Wh, 128), jnp.float32)
+                for k in range(nk):
+                    YA = YA + _dot(Ss[k], mat(az, ah, k, o, 0)[...],
+                                   dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+                    YB = YB + _dot(Ss[k], mat(az, ah, k, o, 1)[...],
+                                   dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+                I = jnp.concatenate(
+                    [YA.reshape(H1, Wh, 1, 128),
+                     YB.reshape(H1, Wh, 1, 128)],
+                    axis=2).reshape(H1, W1, 128)
+                zl = jnp.zeros((H1, 1, 128), jnp.float32)
+                zr = jnp.zeros((H1, G - W1 - 1, 128), jnp.float32)
+                rows_ah.append(jnp.concatenate([zl, I, zr], axis=1))
+            rowsH = jnp.concatenate(
+                [rows_ah[0][:, None], rows_ah[1][:, None]],
+                axis=1).reshape(H, G, 128)
+            y = rowsH + bias_ref[o][None, None, :]
+            y = (y * mask_ref[...][None]).reshape(R, 128)
+            yc = y.astype(out_dtype)
+            sl = az if azs == 2 else 0
+            outs[o][0, sl, 0:P] = jnp.zeros((P, 128), out_dtype)
+            outs[o][0, sl, pl.ds(P, R)] = yc
+            outs[o][0, sl, P + R:2 * P + R] = jnp.zeros((P, 128),
+                                                        out_dtype)
+            if want_stats:
+                yf = yc.astype(jnp.float32)
+                s_ref[o, :] += jnp.sum(yf, axis=0)
+                q_ref[o, :] += jnp.sum(yf * yf, axis=0)
+
+
+def _upconv_f64in_bwd_kernel(*refs, nk: int, no: int, azs: int,
+                             G: int, R: int, P: int, H: int, G1: int,
+                             R1: int, P1: int, H1: int, W1: int,
+                             want_stats: bool, x_dtype, act: str):
+    # refs: nk chunks, no dy, no y, inv, shift, nmat mats, mask, ds,
+    # dq; outs: nk dchunk, nmat dM, db, dinv, dshift.
+    chunk_refs = refs[:nk]
+    dy_refs = refs[nk:nk + no]
+    y_refs = refs[nk + no:nk + 2 * no]
+    inv_ref, shift_ref = refs[nk + 2 * no:nk + 2 * no + 2]
+    nmat = azs * 2 * nk * no * 2
+    pos = nk + 2 * no + 2
+    mats = refs[pos:pos + nmat]
+    pos += nmat
+    mask_ref, ds_ref, dq_ref = refs[pos:pos + 3]
+    pos += 3
+    dchunks = refs[pos:pos + nk]
+    dmats = refs[pos + nk:pos + nk + nmat]
+    db, dinv_ref, dshift_ref = refs[pos + nk + nmat:]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for dm in dmats:
+            dm[...] = jnp.zeros_like(dm)
+        db[...] = jnp.zeros_like(db)
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    Wh = W1 // 2
+    Ss, pres, xs_ = [], [], []
+    for k in range(nk):
+        x = chunk_refs[k][0, 0, pl.ds(P1, R1), :].astype(jnp.float32)
+        pre = x * inv_ref[k][None, :] + shift_ref[k][None, :]
+        a = _act_fwd(pre, act).reshape(H1, G1, 128)[:, 1:1 + Wh, :]
+        Ss.append(a.reshape(H1 * Wh, 128).astype(x_dtype))
+        pres.append(pre)
+        xs_.append(x)
+
+    def mslot(az, ah, k, o, abi):
+        return (((az * 2 + ah) * nk + k) * no + o) * 2 + abi
+
+    dimsT = (((1,), (1,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    dSs = [jnp.zeros((H1 * Wh, 128), jnp.float32) for _ in range(nk)]
+    for az in range(azs):
+        sl = az if azs == 2 else 0
+        for o in range(no):
+            dy = dy_refs[o][0, sl, pl.ds(P, R), :].astype(jnp.float32)
+            if want_stats:
+                y = y_refs[o][0, sl, pl.ds(P, R), :].astype(jnp.float32)
+                dy = dy + ds_ref[o][None, :] \
+                    + 2.0 * y * dq_ref[o][None, :]
+            dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            db[o, :] += jnp.sum(dyt, axis=0)
+            d3 = dyt.reshape(H1, 2 * G, 128)
+            for ah in range(2):
+                blk = d3[:, ah * G:(ah + 1) * G, :][:, 1:1 + W1, :]
+                b4 = blk.reshape(H1, Wh, 2, 128)
+                YgA = b4[:, :, 0, :].reshape(H1 * Wh, 128).astype(x_dtype)
+                YgB = b4[:, :, 1, :].reshape(H1 * Wh, 128).astype(x_dtype)
+                for k in range(nk):
+                    dSs[k] = dSs[k] + _dot(
+                        YgA, mats[mslot(az, ah, k, o, 0)][...],
+                        dimension_numbers=dimsT,
+                        preferred_element_type=jnp.float32)
+                    dSs[k] = dSs[k] + _dot(
+                        YgB, mats[mslot(az, ah, k, o, 1)][...],
+                        dimension_numbers=dimsT,
+                        preferred_element_type=jnp.float32)
+                    dmats[mslot(az, ah, k, o, 0)][...] += _dot(
+                        Ss[k], YgA, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+                    dmats[mslot(az, ah, k, o, 1)][...] += _dot(
+                        Ss[k], YgB, dimension_numbers=cdims,
+                        preferred_element_type=jnp.float32)
+    for k in range(nk):
+        z1 = jnp.zeros((H1, 1, 128), jnp.float32)
+        z2 = jnp.zeros((H1, G1 - Wh - 1, 128), jnp.float32)
+        demb = jnp.concatenate(
+            [z1, dSs[k].reshape(H1, Wh, 128), z2],
+            axis=1).reshape(R1, 128)
+        dpre = demb * _act_deriv(pres[k], act)
+        dinv_ref[k, :] += jnp.sum(dpre * xs_[k], axis=0)
+        dshift_ref[k, :] += jnp.sum(dpre, axis=0)
+        dx = dpre * inv_ref[k][None, :]
+        dchunks[k][0, 0, 0:P1] = jnp.zeros((P1, 128), x_dtype)
+        dchunks[k][0, 0, pl.ds(P1, R1)] = dx.astype(x_dtype)
+        dchunks[k][0, 0, P1 + R1:2 * P1 + R1] = jnp.zeros((P1, 128),
+                                                          x_dtype)
+
+
+def _upconv_f64in_call(chunks, inv, shift, w, b, H, W, want_stats,
+                       act, azs):
+    nk = len(chunks)
+    no = w.shape[4] // CC64
+    H1, W1 = H // 2, W // 2
+    assert W1 % 2 == 0, W1
+    G, R, P = flat_geometry64(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    B, D1 = chunks[0].shape[0], chunks[0].shape[1]
+    dtype = chunks[0].dtype
+    Ms = pack_upconv_f64in_weights(jax.lax.optimization_barrier(w), azs)
+    bias_l = _lane_bias64(b)
+    Dout = 2 * D1 if azs == 2 else D1
+
+    kernel = functools.partial(
+        _upconv_f64in_fwd_kernel, nk=nk, no=no, azs=azs, G=G, R=R, P=P,
+        H=H, G1=G1, R1=R1, P1=P1, H1=H1, W1=W1, out_dtype=dtype,
+        act=act, want_stats=want_stats)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    in_specs, operands = [], []
+    for c in chunks:
+        in_specs.append(pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(c)
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec((nk, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+    for az in range(azs):
+        for ah in range(2):
+            for k in range(nk):
+                for o in range(no):
+                    for m in Ms[az][ah][k][o]:
+                        in_specs.append(pl.BlockSpec(
+                            (128, 128), c2, memory_space=pltpu.VMEM))
+                        operands.append(m.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((no, 128), c2,
+                                 memory_space=pltpu.VMEM))
+    operands.append(bias_l.astype(jnp.float32))
+
+    oblk = (1, 2, R + 2 * P, 128) if azs == 2 else (1, 1, R + 2 * P, 128)
+    out_specs = [pl.BlockSpec(oblk, bd, memory_space=pltpu.VMEM)] * no
+    out_shape = [jax.ShapeDtypeStruct((B, Dout, R + 2 * P, 128), dtype)
+                 for _ in range(no)]
+    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
+    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D1),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    ys, (s, q) = res[:no], res[no:]
+    stats = (s, q) if want_stats else None
+    return tuple(ys), stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def upconv222_f64in(chunks, inv, shift, w, b, H: int, W: int,
+                    want_stats: bool, act: str):
+    """(2,2,2)-stride-2 transposed conv consuming nk FlatActs64 chunks
+    (+ prologue) at (H/2, W/2) and emitting cout//64 flat64 chunks at
+    (H, W) (+ optional stats). w: (2, 2, 2, nk*64, cout) flax
+    ConvTranspose kernel."""
+    return _upconv_f64in_call(tuple(chunks), inv, shift, w, b, H, W,
+                              want_stats, act, azs=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def upconv122_f64in(chunks, inv, shift, w, b, H: int, W: int,
+                    want_stats: bool, act: str):
+    """(1,2,2) planar variant of upconv222_f64in (w: (1, 2, 2, nk*64,
+    cout))."""
+    return _upconv_f64in_call(tuple(chunks), inv, shift, w, b, H, W,
+                              want_stats, act, azs=1)
+
+
+def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
+    chunks, inv, shift, w, ys = res
+    dys_in, dstats = cts
+    nk = len(chunks)
+    no = w.shape[4] // CC64
+    H1, W1 = H // 2, W // 2
+    G, R, P = flat_geometry64(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    B, D1 = chunks[0].shape[0], chunks[0].shape[1]
+    dtype = chunks[0].dtype
+    Ms = pack_upconv_f64in_weights(jax.lax.optimization_barrier(w), azs)
+    Dout = 2 * D1 if azs == 2 else D1
+    nmat = azs * 2 * nk * no * 2
+    dys = [(jnp.zeros((B, Dout, R + 2 * P, 128), dtype) if d is None
+            else d.astype(dtype)) for d in dys_in]
+    ds, dq = (dstats if (want_stats and dstats is not None)
+              else (None, None))
+    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
+    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(
+        _upconv_f64in_bwd_kernel, nk=nk, no=no, azs=azs, G=G, R=R, P=P,
+        H=H, G1=G1, R1=R1, P1=P1, H1=H1, W1=W1, want_stats=want_stats,
+        x_dtype=dtype, act=act)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    yblk = (1, 2, R + 2 * P, 128) if azs == 2 else (1, 1, R + 2 * P, 128)
+    in_specs, operands = [], []
+    for c in chunks:
+        in_specs.append(pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                                     memory_space=pltpu.VMEM))
+        operands.append(c)
+    for arrs in (dys, ys):
+        for a in arrs:
+            in_specs.append(pl.BlockSpec(yblk, bd,
+                                         memory_space=pltpu.VMEM))
+            operands.append(a)
+    for v in (inv, shift):
+        in_specs.append(pl.BlockSpec((nk, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v.astype(jnp.float32))
+    for az in range(azs):
+        for ah in range(2):
+            for k in range(nk):
+                for o in range(no):
+                    for m in Ms[az][ah][k][o]:
+                        in_specs.append(pl.BlockSpec(
+                            (128, 128), c2, memory_space=pltpu.VMEM))
+                        operands.append(m.astype(dtype))
+    in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
+    operands.append(width_mask64(W).astype(jnp.float32))
+    for v in (ds, dq):
+        in_specs.append(pl.BlockSpec((no, 128), c2,
+                                     memory_space=pltpu.VMEM))
+        operands.append(v)
+
+    out_specs = [pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                              memory_space=pltpu.VMEM)] * nk
+    out_shape = [jax.ShapeDtypeStruct((B, D1, R1 + 2 * P1, 128), dtype)
+                 for _ in range(nk)]
+    for _ in range(nmat):
+        out_specs.append(pl.BlockSpec((128, 128), c2,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
+    for shp in ((no, 128), (nk, 128), (nk, 128)):
+        out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D1),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dchunks = tuple(res_[:nk])
+    # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
+    dM = jax.lax.optimization_barrier(tuple(res_[nk:nk + nmat]))
+    dbl, dinv, dshift = res_[nk + nmat:]
+    kz = 2 if azs == 2 else 1
+    dw = jnp.zeros((kz, 2, 2, CC64 * nk, CC64 * no), jnp.float32)
+    i = 0
+    for az in range(azs):
+        z = (1 - az) if azs == 2 else 0
+        for ah in range(2):
+            for k in range(nk):
+                for o in range(no):
+                    mA, mB = dM[i], dM[i + 1]; i += 2
+                    m64 = mA[0:CC64, :] + mB[CC64:128, :]
+                    dw = dw.at[z, 1 - ah, 1, k * CC64:(k + 1) * CC64,
+                               o * CC64:(o + 1) * CC64].add(
+                        m64[:, 0:CC64])
+                    dw = dw.at[z, 1 - ah, 0, k * CC64:(k + 1) * CC64,
+                               o * CC64:(o + 1) * CC64].add(
+                        m64[:, CC64:128])
+    dbc = fold_lane_stats64(dbl)
+    return (dchunks, dinv, dshift, dw.astype(w.dtype),
+            dbc.astype(w.dtype))
+
+
+def _upconv222_f64in_fwd(chunks, inv, shift, w, b, H, W, want_stats,
+                         act):
+    out = upconv222_f64in(chunks, inv, shift, w, b, H, W, want_stats,
+                          act)
+    ys, _ = out
+    return out, (tuple(chunks), inv, shift, w, ys)
+
+
+def _upconv222_f64in_bwd(H, W, want_stats, act, res, cts):
+    return _upconv_f64in_bwd_call(H, W, want_stats, act, 2, res, cts)
+
+
+upconv222_f64in.defvjp(_upconv222_f64in_fwd, _upconv222_f64in_bwd)
+
+
+def _upconv122_f64in_fwd(chunks, inv, shift, w, b, H, W, want_stats,
+                         act):
+    out = upconv122_f64in(chunks, inv, shift, w, b, H, W, want_stats,
+                          act)
+    ys, _ = out
+    return out, (tuple(chunks), inv, shift, w, ys)
+
+
+def _upconv122_f64in_bwd(H, W, want_stats, act, res, cts):
+    return _upconv_f64in_bwd_call(H, W, want_stats, act, 1, res, cts)
+
+
+upconv122_f64in.defvjp(_upconv122_f64in_fwd, _upconv122_f64in_bwd)

@@ -560,3 +560,59 @@ def test_fused128_unet_matches_standard(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=2e-4 * scale), k1
+
+
+@pytest.mark.parametrize("planar,shape", [
+    ((0,), (1, 4, 8, 8, 1)),    # planar L0: up_1 = upconv122_f64in
+    ((), (1, 8, 8, 8, 1)),      # 3D L0: up_1 = upconv222_f64in
+])
+def test_c128_decoder_chain_matches_standard(rng, planar, shape):
+    """Fully fused C=128 decoder chain (start_filts=64, n_blocks=3):
+    up_0 runs the generalized 256 -> 128 dense upconv (nk = no = 2,
+    upconv222_bn_flat64) + the 4-chunk merge conv, and up_1 consumes
+    up_0's FlatActs64 carry directly (upconv222_f64in /
+    upconv122_f64in) — no materialize seam. Outputs and every
+    parameter gradient match the XLA path."""
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    kw = dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=64,
+              planar_blocks=planar, dim=3, normalization="batch")
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    m_ref = UNet(pallas_flat=False, **kw)
+    m_fused = UNet(pallas_flat=True, **kw)
+    v = init_unet(m_ref, shape)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(init_unet(m_fused, shape))
+    # the fused chain must actually engage: up_1's upconv consumes the
+    # FlatActs64 carry (its jaxpr contains the f64in custom_vjp)
+    jpr = str(jax.make_jaxpr(
+        lambda p: m_fused.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"]))(v["params"]))
+    assert "_f64in" in jpr
+
+    def items(tree):
+        return sorted(((jax.tree_util.keystr(k), a) for k, a in
+                       jax.tree_util.tree_leaves_with_path(tree)),
+                      key=lambda t: t[0])
+
+    o_ref, mut_ref = m_ref.apply(v, x, train=True, mutable=["batch_stats"])
+    o_f, mut_f = m_fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert o_ref.shape == o_f.shape
+    assert np.allclose(np.asarray(o_ref), np.asarray(o_f), atol=2e-4)
+    for (k1, a), (k2, r) in zip(items(mut_f["batch_stats"]),
+                                items(mut_ref["batch_stats"])):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-5), k1
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_ref)
+    g_f = jax.grad(loss)(v["params"], m_fused)
+    for (k1, a), (k2, r) in zip(items(g_f), items(g_r)):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=2e-4 * scale), k1
