@@ -136,6 +136,11 @@ CONFIGS = [
     # production 2D path that interpret-only tests can't vouch for
     # on-chip.
     ("2d-tiled", (1, 16, 16, 1), dict(dim=2, tile2d=4)),
+    # C=128 decoder chain (start_filts=64): generalized 256->128 dense
+    # upconv (nk=no=2) + 4-chunk merge conv + FlatActs64-carry upconv
+    # (upconv122_f64in) at up_1.
+    ("3d-c128", (1, 4, 8, 8, 1), dict(dim=3, planar_blocks=(0,),
+                                      n_blocks=3, start_filts=64)),
 ]
 
 
@@ -143,7 +148,8 @@ def check(cfg_name, shape, mkw, dtype_name, dtype):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
     kw = dict(in_channels=1, out_channels=2, n_blocks=2, start_filts=32,
-              normalization="batch", dtype=dtype, **mkw)
+              normalization="batch", dtype=dtype)
+    kw.update(mkw)
     m_xla = UNet(pallas_flat=False, **kw)
     m_fused = UNet(pallas_flat=True, **kw)
     v = init_unet(m_xla, shape)
