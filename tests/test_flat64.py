@@ -119,20 +119,22 @@ def test_pool222_bnact_flat64_matches_xla(rng):
                            atol=1e-3 * scale), a.shape
 
 
-def test_upconv222_bn_flat64_matches_xla(rng):
+@pytest.mark.parametrize("cin,cout", [(128, 64), (256, 128)])
+def test_upconv222_bn_flat64_matches_xla(rng, cin, cout):
     import flax.linen as nn
 
     B, D1, H1, W1 = 1, 2, 2, 3
     H, W = 2 * H1, 2 * W1
-    dec = jnp.asarray(rng.normal(size=(B, D1, H1, W1, 128)), jnp.float32)
-    w = jnp.asarray(rng.normal(size=(2, 2, 2, 128, 64)) * 0.1,
+    dec = jnp.asarray(rng.normal(size=(B, D1, H1, W1, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, cin, cout)) * 0.1,
                     jnp.float32)
-    b = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
-    tgt = jnp.asarray(rng.normal(size=(B, 2 * D1, H, W, 64)), jnp.float32)
-    cs = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
-    cq = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, 2 * D1, H, W, cout)),
+                      jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
 
-    mod = nn.ConvTranspose(64, (2, 2, 2), strides=(2, 2, 2))
+    mod = nn.ConvTranspose(cout, (2, 2, 2), strides=(2, 2, 2))
 
     def loss_ref(dec, w, b):
         y = mod.apply({"params": {"kernel": w, "bias": b}}, dec)
@@ -141,8 +143,8 @@ def test_upconv222_bn_flat64_matches_xla(rng):
         return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
 
     def loss_f64(dec, w, b):
-        (chunk,), (s, q) = f64.upconv222_bn_flat64(dec, w, b, H, W, True)
-        y = f64.from_flat64((chunk,), H, W, 64)
+        chunks, (s, q) = f64.upconv222_bn_flat64(dec, w, b, H, W, True)
+        y = f64.from_flat64(chunks, H, W, cout)
         s_c = f64.fold_lane_stats64(s)
         q_c = f64.fold_lane_stats64(q)
         return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
