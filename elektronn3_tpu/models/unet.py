@@ -589,6 +589,36 @@ class _FusedHead(nn.Module):
             out_dtype=self.out_dtype)
 
 
+class _FusedHead64(nn.Module):
+    """Prologue + 1x1 conv head from flat64 chunks (XLA GEMM; the
+    prologue fuses into the einsum) — used when the decoder ends at a
+    C=64/128 level (start_filts=64 models), replacing the
+    materialize-then-conv seam. Param tree matches nn.Conv((1,1,1))."""
+    features: int
+    H: int
+    W: int
+    act: str
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    out_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, chunks, inv, shift):
+        cin = _ff64.CC64 * len(chunks)
+        kernel = self.param("kernel", _kernel_init,
+                            _p2d((1, 1, 1, cin, self.features),
+                                 self.dim),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return _ff64.head_bnact_from_flat64(
+            chunks, inv, shift,
+            _k2d(kernel, self.dim).astype(self.dtype),
+            bias.astype(self.dtype), self.H, self.W, self.act,
+            out_dtype=self.out_dtype)
+
+
 class DownConv(nn.Module):
     """Two convolutions + optional max-pool. Reference unet.py:202-253."""
     out_channels: int
@@ -1625,16 +1655,17 @@ class UNet(nn.Module):
             if self.dim == 2:
                 x = _drop2d(x)
         elif isinstance(x, _ff64.FlatActs64):
-            # C=64 level feeding the head directly (no planar L0):
-            # materialize, then the plain 1x1 head.
-            x = _ff64.materialize_flat_acts64(
-                x.chunks, x.inv, x.shift, *up_hw,
-                len(x.chunks) * _ff64.CC64, _act_name(self.activation))
+            # C=64/128 level feeding the head directly (no planar L0,
+            # e.g. start_filts=64): fused head — prologue + 1x1 GEMM
+            # straight from the flat64 chunks, no materialize seam.
+            x = _FusedHead64(self.out_channels, *up_hw,
+                             act=_act_name(self.activation),
+                             dim=self.dim, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             out_dtype=self.logit_dtype or jnp.float32,
+                             name="conv_final")(x.chunks, x.inv, x.shift)
             if self.dim == 2:
                 x = _drop2d(x)
-            x = nn.Conv(self.out_channels, (1,) * self.dim,
-                        kernel_init=_kernel_init, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="conv_final")(x)
         elif isinstance(x, tuple):
             # Flat head: 1x1 conv straight from flat chunks.
             x = _Conv1x1FromFlat(self.out_channels, *up_hw,

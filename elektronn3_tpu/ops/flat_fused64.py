@@ -2620,3 +2620,37 @@ def _upconv122_f64in_bwd(H, W, want_stats, act, res, cts):
 
 
 upconv122_f64in.defvjp(_upconv122_f64in_fwd, _upconv122_f64in_bwd)
+
+def head_bnact_from_flat64(xs, inv, shift, w, b, H: int, W: int,
+                           act: str, out_dtype=jnp.float32):
+    """1x1 conv head consuming flat64 chunks with a BN-apply +
+    activation prologue, emitting (B, D, H, W, cout) logits — the
+    flat64 analog of flat_fused.head_bnact_from_flat, used when the
+    decoder ends at a C=64/128 level (start_filts=64 models). Removes
+    the full-resolution materialize seam before the head.
+
+    ONE lane-contraction GEMM per chunk with block-diagonal weights
+    Wbig[(j, ci), (j', co)] = w[ci, co] iff j == j'."""
+    G, R, P = flat_geometry64(H, W)
+    Wp = pad_width64(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout).astype(jnp.float32)
+    ys = []
+    for i, xc in enumerate(xs):
+        B, D, _, _ = xc.shape
+        v = xc[:, :, P:P + R].astype(jnp.float32)
+        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
+        a = _act_fwd(pre, act)
+        wblk = w2[i * CC64:(i + 1) * CC64]           # (64, cout)
+        wbig = jnp.zeros((128, JG64 * cout), jnp.float32)
+        for j in range(JG64):
+            wbig = wbig.at[j * CC64:(j + 1) * CC64,
+                           j * cout:(j + 1) * cout].set(wblk)
+        # Memory-bound head GEMM: _dot pins HIGHEST for f32 operands
+        # and DEFAULT for bf16 (see flat_fused.head_bnact_from_flat).
+        ys.append(_dot(
+            a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))     # (B, D, R, 2*cout)
+    y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG64)
+    y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF64:W_OFF64 + W, :]
+    return y.astype(out_dtype)
