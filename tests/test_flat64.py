@@ -567,6 +567,7 @@ def test_fused128_unet_matches_standard(rng):
 @pytest.mark.parametrize("planar,shape", [
     ((0,), (1, 4, 8, 8, 1)),    # planar L0: up_1 = upconv122_f64in
     ((), (1, 8, 8, 8, 1)),      # 3D L0: up_1 = upconv222_f64in
+    ((), (1, 16, 16, 1)),       # 2D model: (2,2,...) param shapes
 ])
 def test_c128_decoder_chain_matches_standard(rng, planar, shape):
     """Fully fused C=128 decoder chain (start_filts=64, n_blocks=3):
@@ -578,7 +579,8 @@ def test_c128_decoder_chain_matches_standard(rng, planar, shape):
     from elektronn3_tpu.models.unet import UNet, init_unet
 
     kw = dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=64,
-              planar_blocks=planar, dim=3, normalization="batch")
+              planar_blocks=planar, dim=len(shape) - 2,
+              normalization="batch")
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
     m_ref = UNet(pallas_flat=False, **kw)
     m_fused = UNet(pallas_flat=True, **kw)
