@@ -112,3 +112,18 @@ def test_sf64_model_plans_without_vmem_oom(tpu_backend):
                          x, train=False),
         jax.ShapeDtypeStruct(shape, jnp.float32))
     assert out  # tracing succeeded; decoder declined via merge bound
+
+
+def test_c128_decoder_gate(tpu_backend):
+    """The C=128 decoder (merge=True) engages at big-enough levels
+    (real depth passed to the min-vox gate) and declines small ones."""
+    m = _m(start_filts=64, n_blocks=3)
+    # sf=64 model's L1 at 44^3 (85k vox >= min-vox), merge widest=4:
+    # 4 * 44 * (44//2 + 10) = 5632 <= 8192 — engages.
+    assert m._flat_fused64_ok(False, 128, 44, 44, 44, False, merge=True)
+    # headline-22^3-sized C=128 level: min-vox declines under 'auto'.
+    assert not m._flat_fused64_ok(False, 128, 22, 22, 22, False,
+                                  merge=True)
+    # VMEM bound: 4-chunk merge at (88, 88) exceeds the scratch bound.
+    assert not m._flat_fused64_ok(False, 128, 88, 88, 88, False,
+                                  merge=True)
