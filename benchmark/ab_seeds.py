@@ -13,6 +13,8 @@ executors, zero host I/O, so the ONLY difference between arms is the
 executor. Run on the TPU host: python benchmark/ab_seeds.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import functools
 import time

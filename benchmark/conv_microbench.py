@@ -5,6 +5,8 @@ Shapes are the headline train_benchmark U-Net's hot convs
 planar_blocks=(0,), start_filts=32, patch (44,88,88), batch 8).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

@@ -7,6 +7,8 @@ Times fwd and fwd+bwd per op with scan-chained dependent iterations
 the axon relay RTT amortizes — see CLAUDE.md measurement notes).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

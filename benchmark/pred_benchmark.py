@@ -16,6 +16,8 @@ apples-to-apples figure (through the axon relay it includes relay
 round trips a real host would not pay).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import functools
 import time

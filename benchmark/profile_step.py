@@ -4,6 +4,8 @@ executor) and print a per-op time breakdown from the trace protos.
 Usage: PYTHONPATH=... python benchmark/profile_step.py [--out DIR]
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import glob
 import gzip

@@ -4,6 +4,8 @@ Headline config (reference benchmark/train_benchmark.py:96-107,184,293).
 Usage: PYTHONPATH=... python benchmark/step_compare.py [--steps 20]
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 from functools import partial

@@ -42,6 +42,8 @@ Run on the TPU host (driver-runnable):
 Exits non-zero on any mismatch; prints one summary line per criterion.
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 

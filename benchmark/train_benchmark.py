@@ -9,6 +9,8 @@ CE+Dice, prints wall-clock minutes). ``--bf16`` replaces the reference's
 batch over a Mesh instead (pass --n-devices with a multi-chip runtime).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 import time
