@@ -1281,17 +1281,22 @@ class UNet(nn.Module):
 
     def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
                          W: int, D: int, pooling: bool,
-                         merge: bool = False) -> bool:
+                         merge: bool = False, train: bool = True,
+                         tiled: bool = False) -> bool:
         """Is the fused C=64 executor applicable here?
         (ops/flat_fused64.py — kd=3 for 3D levels like the headline
         model's L1; kd=1 for planar C=64 levels and 2D models.)
 
         merge=True for decoder levels: their conv1 consumes the concat
-        of upconv output and skip (2x the chunks), and its backward
-        kernel's VMEM working set scales with the INPUT chunk count —
-        measured on v5e: a C=64 planar decoder conv1 at (88, 88)
-        (2 x 4752 rows) exceeds the 16 MB scoped-VMEM limit by 645 KB,
-        while 2 x 1408 rows (headline L1 decoder) fits."""
+        of upconv output and skip (2x the chunks). The last check is a
+        per-kernel scoped-VMEM byte estimate mirroring the kernels'
+        BlockSpecs + scratch (_ff64.conv64_vmem_bytes — the earlier
+        row-count heuristic ignored the packed-weight blocks, which
+        scale with nin*nout*kd and dominate for 4-chunk kd=3 merge
+        convs: a C=128 decoder merge at (44,44,44) compiled at 17.35 MB
+        scoped VMEM, 1.35 MB over the 16 MB limit, while its row count
+        passed the old bound). The estimate is validated against three
+        measured v5e points (see the estimator docstring)."""
         if self.pallas_flat is False:
             return False
         if self.pallas_flat == "auto" and (
@@ -1315,14 +1320,20 @@ class UNet(nn.Module):
             return False
         widest = 2 * nch if (merge and self.merge_mode == "concat") \
             else nch
+        esize = 4 if self.dtype == jnp.float32 else 2
+        vmem = _ff64.conv64_vmem_bytes(
+            widest, nch, 1 if kd1 else 3, H, W, esize=esize,
+            want_stats=self.normalization == "batch", train=train,
+            tiled=tiled)
         return (self.conv_mode == "same" and not self.attention
                 and self.normalization in ("batch", "none")
                 and act_ok and channels in (_ff64.CC64, 2 * _ff64.CC64)
                 and H % 2 == 0 and W % 2 == 0
                 and (not pooling or kd1 or D % 2 == 0)
-                # VMEM scratch bound (scales with the widest conv's
-                # input chunk count; see `merge` in the docstring)
-                and widest * H * (W // 2 + 10) <= 8192)
+                # Interpret mode (CPU parity tests) has no scoped-VMEM
+                # limit; the byte gate models the real chip only.
+                and (_ff64._interpret()
+                     or vmem + _ff64.VMEM_SLOP <= _ff64.VMEM_LIMIT))
 
     def _plan_tile2d(self, H0: int, W0: int, train: bool) -> int:
         """L0 slab height for 2D H-tiling: largest divisor of H0 that
@@ -1406,8 +1417,16 @@ class UNet(nn.Module):
                     f"({H * ((W + _fc.W_OFF) // _fc.JG)} per-chunk "
                     f"rows > {bound} "
                     f"{'train' if train else 'eval'} bound)")
-        return (f"level VMEM working set too large "
-                f"(H*W/2 = {H * (W // 2)} rows > 8192)")
+        nch = channels // _ff64.CC64
+        kd = 1 if (planar or self.dim == 2) else 3
+        esize = 4 if self.dtype == jnp.float32 else 2
+        vmem = _ff64.conv64_vmem_bytes(
+            nch, nch, kd, H, W, esize=esize,
+            want_stats=self.normalization == "batch", train=train)
+        return (f"level kernel VMEM estimate too large "
+                f"({(vmem + _ff64.VMEM_SLOP) / 2**20:.1f} MB "
+                f"> {_ff64.VMEM_LIMIT / 2**20:.0f} MB scoped limit "
+                f"for the widest conv)")
 
     def _validate(self):
         if self.n_blocks < 1:
@@ -1494,7 +1513,8 @@ class UNet(nn.Module):
                                                  train=train))
             lvl_fused64.append(
                 (not lvl_fused[-1]) and self._flat_fused64_ok(
-                    planar_i, ch, gH, pW, pD, pooling_i))
+                    planar_i, ch, gH, pW, pD, pooling_i,
+                    train=train, tiled=bool(tile0)))
             if (self.pallas_flat is not False and not lvl_fused[-1]
                     and not lvl_fused64[-1]):
                 reason = self._fused_decline_reason(
@@ -1578,7 +1598,9 @@ class UNet(nn.Module):
             up_fused64 = (skip_fused64
                           and self._flat_fused64_ok(
                               planar, outs, H, W,
-                              lvl_shape[level][0], False, merge=True)
+                              lvl_shape[level][0], False, merge=True,
+                              train=train,
+                              tiled=bool(lvl_tile[level]))
                           and self.up_mode == "transpose"
                           and self.merge_mode == "concat"
                           and ins in (2 * _ff64.CC64, 4 * _ff64.CC64)

@@ -676,138 +676,18 @@ def _conv1x1_impl(chunks, w: jnp.ndarray, b, H: int, W: int):
     return y
 
 
-def _head_bwd_kernel(*refs, nin: int, cout: int, G: int, R: int, P: int,
-                     H: int, W: int, Wp: int, out_dtype):
-    """Merged head backward: dgrad into padded flat chunks + wgrad
-    accumulators, consuming the raw (H, W, cout) logit cotangent slab.
-    Replaces XLA's slice-adjoint pad of the (..., cout)-minor dy
-    (whose (8, 128) tile padding inflates each byte ~16x at cout=2;
-    measured 0.57 ms of pure pad at headline shapes) plus a separate
-    dgrad GEMM and scatter."""
-    dy_ref = refs[0]
-    xs = refs[1:1 + nin]
-    m_ref = refs[1 + nin]
-    dxs = refs[2 + nin:2 + 2 * nin]
-    accw = refs[2 + 2 * nin]
-
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _():
-        accw[...] = jnp.zeros_like(accw)
-
-    dy = dy_ref[0, 0].astype(jnp.float32)          # (H, W, cout)
-    z1 = jnp.zeros((H, W_OFF, cout), jnp.float32)
-    z2 = jnp.zeros((H, Wp - W - W_OFF, cout), jnp.float32)
-    # (H, Wp, cout) -> (R, JG*cout): contiguous flatten; row r=(h, g),
-    # minor j*cout+o matches pixel w' = g*JG + j of the flat layout.
-    dyp = jnp.concatenate([z1, dy, z2], axis=1).reshape(R, JG * cout)
-    dims_r = (((1,), (0,)), ((), ()))
-    dims_c = (((0,), (0,)), ((), ()))
-    for i in range(nin):
-        mi = m_ref[i].astype(jnp.float32)          # (JG*cout, 128)
-        dx = _dot(dyp, mi, dimension_numbers=dims_r,
-                  preferred_element_type=jnp.float32)
-        dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
-        dxs[i][0, 0, pl.ds(P, R)] = dx.astype(out_dtype)
-        dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
-        v = xs[i][0, 0, pl.ds(P, R), :].astype(jnp.float32)
-        accw[i] += _dot(dyp, v, dimension_numbers=dims_c,
-                        preferred_element_type=jnp.float32)
-
-
-def _conv1x1_bwd(H, W, res, dy):
-    chunks, w, b = res
-    G, R, P = flat_geometry(H, W)
-    Wp = pad_width(W)
-    cout = w.shape[-1]
-    nin = len(chunks)
-    B, D = chunks[0].shape[0], chunks[0].shape[1]
-    dtype = chunks[0].dtype
-    dy = dy.astype(jnp.float32)
-
-    # Pack the dgrad matrices: M[i, j*cout+o, j*CC+c] = w2[i*CC+c, o].
-    # barrier: XLA:TPU scatter-fusion miscompile guard (see
-    # flat_fused64.conv3_bnact_flat64).
-    w2 = jax.lax.optimization_barrier(w).reshape(-1, cout) \
-        .astype(jnp.float32)
-    M = jnp.zeros((nin, JG * cout, 128), jnp.float32)
-    for i in range(nin):
-        for j in range(JG):
-            M = M.at[i, j * cout:(j + 1) * cout,
-                     j * CC:(j + 1) * CC].set(w2[i * CC:(i + 1) * CC].T)
-
-    kernel = functools.partial(
-        _head_bwd_kernel, nin=nin, cout=cout, G=G, R=R, P=P, H=H, W=W,
-        Wp=Wp, out_dtype=dtype)
-    bd = lambda b_, d_: (b_, d_, 0, 0)
-    in_specs = [pl.BlockSpec((1, 1, H, W, cout),
-                             lambda b_, d_: (b_, d_, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    operands = [dy]
-    for xc in chunks:
-        in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                                     memory_space=pltpu.VMEM))
-        operands.append(xc)
-    in_specs.append(pl.BlockSpec(M.shape, lambda b_, d_: (0, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    operands.append(M)
-    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
-                              memory_space=pltpu.VMEM)] * nin
-    out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
-                 for _ in range(nin)]
-    out_specs.append(pl.BlockSpec((nin, JG * cout, 128),
-                                  lambda b_, d_: (0, 0, 0),
-                                  memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((nin, JG * cout, 128),
-                                          jnp.float32))
-    res_ = pl.pallas_call(
-        kernel,
-        grid=(B, D),
-        in_specs=tuple(in_specs),
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * D * R * JG * cout * 128 * nin,
-            bytes_accessed=2 * nin * B * D * (R + 2 * P) * 128
-            * dtype.itemsize + dy.size * 4,
-            transcendentals=0),
-        interpret=_interpret(),
-    )(*operands)
-    dxs = tuple(res_[:nin])
-    # barrier: keep the unpack slices from fusing into the kernel
-    # results (same scatter-fusion miscompile class as the packs).
-    accw = jax.lax.optimization_barrier(res_[nin])
-    dw2 = jnp.zeros((nin * CC, cout), jnp.float32)
-    for i in range(nin):
-        for j in range(JG):
-            dw2 = dw2.at[i * CC:(i + 1) * CC, :].add(
-                accw[i, j * cout:(j + 1) * cout,
-                     j * CC:(j + 1) * CC].T)
-    dw = dw2.reshape(w.shape).astype(w.dtype)
-    db = (None if b is None
-          else jnp.sum(dy, axis=(0, 1, 2, 3)).astype(b.dtype))
-    return dxs, dw, db
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _conv1x1_vjp(chunks, w, b, H: int, W: int):
-    return _conv1x1_impl(chunks, w, b, H, W)
-
-
-def _conv1x1_fwd(chunks, w, b, H, W):
-    return _conv1x1_impl(chunks, w, b, H, W), (chunks, w, b)
-
-
-_conv1x1_vjp.defvjp(_conv1x1_fwd, _conv1x1_bwd)
-
-
 def conv1x1_from_flat(chunks, w: jnp.ndarray, b: jnp.ndarray,
                       H: int, W: int) -> jnp.ndarray:
     """1x1 conv consuming padded flat chunks, emitting a (small) 5D
-    (B, D, H, W, cout) tensor (the network head). The backward is a
-    merged Pallas kernel (dgrad + wgrad + flat-layout scatter) when
-    cout fits one lane block; larger heads use plain autodiff."""
-    if w.shape[-1] <= CC and b is not None:
-        return _conv1x1_vjp(tuple(chunks), w, b, H, W)
+    (B, D, H, W, cout) tensor (the network head), with plain autodiff.
+
+    A merged Pallas backward (dgrad + wgrad consuming the raw
+    (H, W, cout) logit cotangent, to kill XLA's slice-adjoint pad of
+    the cout-minor dy) was tried and REMOVED: building the
+    (H, Wp, cout) -> (R, JG*cout) row view inside the kernel is a
+    Mosaic "unsupported shape cast" (regrouping the tiled W dim into
+    rows — the same wall as the pool stride-2 row gather and the
+    head+loss fusion note in docs/design.md), and the cotangent is f32
+    regardless of model dtype, so the kernel could not compile for any
+    on-chip path (first exercised 2026-08-18: f32 semi-fused model)."""
     return _conv1x1_impl(chunks, w, b, H, W)

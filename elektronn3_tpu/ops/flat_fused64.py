@@ -107,6 +107,61 @@ def flat_geometry64(H: int, W: int) -> Tuple[int, int, int]:
     return G, H * G, G + 8
 
 
+def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
+                      *, esize: int = 2, want_stats: bool = True,
+                      train: bool = True, tiled: bool = False) -> int:
+    """Estimated scoped-VMEM bytes of the worst conv3_bnact_flat64
+    kernel at this geometry (forward; max with backward when train).
+
+    Mirrors the BlockSpecs + scratch of _conv64_fwd_call/_conv64_bwd:
+    grid-varying blocks are double-buffered by the Mosaic pipeline
+    (x2), constant blocks (packed weights, mask, lane vectors) counted
+    once. In d_halo (2D-tiled) mode the two side views per chunk are
+    narrow pre-shifted strips (G rows) instead of full slabs.
+
+    Validated against three v5e measurements (docs/design.md round-3):
+      - C=128 decoder merge conv fwd at (44,44,44), nin=4 nout=2 kd=3:
+        est 16.2 MB vs real 17.35 MB scoped-OOM (compile failure) —
+        callers must add VMEM_SLOP to cover the ~7% forward
+        underestimate;
+      - planar C=64 decoder conv bwd at (88,88), nin=2 kd=1:
+        est 17.8 MB vs real 16.65 MB OOM (declined);
+      - headline L1 decoder conv bwd (44,44,44), nin=2 nout=1 kd=3:
+        est 14.2 MB, compiles and runs (accepted).
+    """
+    G, R, P = flat_geometry64(H, W)
+    rows = R + 2 * P
+    slab = rows * 128 * esize
+    strip = G * 128 * esize
+    wbytes = 2 * nin * nout * kd * 3 * 128 * 128 * esize  # w0 + wc
+    views = (slab + 2 * strip) if tiled else kd * slab
+    fwd = (2 * nin * views          # input slab views, double-buffered
+           + wbytes                 # packed weights (constant blocks)
+           + 2 * nout * slab        # output chunks, double-buffered
+           + nin * kd * slab)       # a' scratch
+    est = fwd
+    if train:
+        nys = nout if want_stats else 0
+        bwd = (2 * (nin + nout + nys) * views   # x, dy, y slab views
+               + wbytes                         # w0T + wcT
+               + 2 * nin * slab                 # dx outputs
+               + 2 * wbytes                     # m0 + mc f32 outputs
+               + (nin + nout) * kd * slab)      # a', dy_tot scratch
+        est = max(est, bwd)
+    return est
+
+
+# Scoped-VMEM budget for the gate: the v5e limit is 16 MB; the slop
+# covers the measured forward underestimate (17.35 real vs 16.2 est on
+# the C=128 merge conv — block alignment + pipeline staging the model
+# does not count). Env-overridable for other TPU generations.
+import os as _os
+VMEM_LIMIT = int(_os.environ.get("E3TPU_VMEM_LIMIT",
+                                 16 * 1024 * 1024))
+VMEM_SLOP = int(_os.environ.get("E3TPU_VMEM_SLOP",
+                                int(1.5 * 1024 * 1024)))
+
+
 def width_mask64(W: int, dtype=jnp.float32) -> jnp.ndarray:
     """(G, 128) mask: 1 on valid w columns."""
     G = pad_width64(W) // JG64

@@ -115,15 +115,48 @@ def test_sf64_model_plans_without_vmem_oom(tpu_backend):
 
 
 def test_c128_decoder_gate(tpu_backend):
-    """The C=128 decoder (merge=True) engages at big-enough levels
-    (real depth passed to the min-vox gate) and declines small ones."""
+    """The C=128 decoder (merge=True) declines where the per-kernel
+    VMEM estimate exceeds the chip limit and engages where it fits."""
     m = _m(start_filts=64, n_blocks=3)
-    # sf=64 model's L1 at 44^3 (85k vox >= min-vox), merge widest=4:
-    # 4 * 44 * (44//2 + 10) = 5632 <= 8192 — engages.
-    assert m._flat_fused64_ok(False, 128, 44, 44, 44, False, merge=True)
+    # sf=64 model's L1 at 44^3: the 4-chunk kd=3 merge conv COMPILED
+    # AT 17.35 MB scoped VMEM on the v5e (1.35 MB over the 16 MB
+    # limit, measured 2026-08-18) — the old row-count heuristic let it
+    # through (it ignored the nin*nout*kd packed-weight blocks, 4.7 MB
+    # here); the byte estimate must decline it in BOTH train and eval
+    # (the forward alone overflows).
+    assert not m._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                                  merge=True, train=True)
+    assert not m._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                                  merge=True, train=False)
     # headline-22^3-sized C=128 level: min-vox declines under 'auto'.
     assert not m._flat_fused64_ok(False, 128, 22, 22, 22, False,
                                   merge=True)
-    # VMEM bound: 4-chunk merge at (88, 88) exceeds the scratch bound.
+    # VMEM bound: 4-chunk merge at (88, 88) exceeds it a fortiori.
     assert not m._flat_fused64_ok(False, 128, 88, 88, 88, False,
                                   merge=True)
+    # Forced mode respects the VMEM gate too (forcing a config the
+    # chip cannot compile is useless) — except under interpret, where
+    # the CPU parity tests run with no scoped-VMEM constraint.
+    mf = _m(start_filts=64, n_blocks=3, pallas_flat=True)
+    assert not mf._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                                   merge=True)
+
+
+def test_vmem_estimator_matches_measured_points(tpu_backend):
+    """conv64_vmem_bytes against the three v5e calibration points
+    (docs/design.md round-3): measured-OOM configs estimate over the
+    limit, the known-good headline decoder under it."""
+    from elektronn3_tpu.ops import flat_fused64 as ff64
+    lim = ff64.VMEM_LIMIT - ff64.VMEM_SLOP
+    # C=128 decoder merge fwd at (44,44,44): real 17.35 MB (OOM).
+    est = ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=False)
+    assert est > lim and abs(est - 17.35 * 2**20) / 2**20 < 2.5
+    # planar C=64 decoder bwd at (88,88): real 16.65 MB (OOM).
+    est = ff64.conv64_vmem_bytes(2, 1, 1, 88, 88, train=True)
+    assert est > lim
+    # headline L1 decoder bwd at (44,44): compiles and runs.
+    est = ff64.conv64_vmem_bytes(2, 1, 3, 44, 44, train=True)
+    assert est <= lim
+    # headline L1 encoder: plenty of headroom.
+    est = ff64.conv64_vmem_bytes(1, 1, 3, 44, 44, train=True)
+    assert est <= lim - 4 * 2**20
