@@ -451,13 +451,21 @@ class _FusedUpconv64F(nn.Module):
 class _Conv1FusedFlat(nn.Module):
     """First-layer planar 3x3 conv (C_in == 1) straight into a flat
     chunk with BN-stat side outputs (ops/flat_fused.conv1_bnstats_flat).
-    Param tree matches nn.Conv (kernel (1,3,3,1,C) + bias)."""
+    Param tree matches nn.Conv (kernel (1,3,3,1,C) + bias).
+
+    input_grad=False by default: the operand is the NETWORK INPUT,
+    which carries no gradient in training (torch likewise defaults
+    input.requires_grad=False), and the merged backward kernel's
+    dgrad matmuls cannot be DCE'd by XLA — skipping them in-kernel
+    saves the dgrad's MXU work. Set UNet(input_grad=True) when
+    differentiating w.r.t. the input (saliency, adversarial)."""
     features: int
     H: int
     W: int
     dim: int = 3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    input_grad: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -467,7 +475,8 @@ class _Conv1FusedFlat(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return _ffu.conv1_bnstats_flat(x, _k2d(kernel, self.dim), bias,
-                                       self.H, self.W, self.dtype)
+                                       self.H, self.W, self.dtype,
+                                       self.input_grad)
 
 
 class _FusedConv(nn.Module):
@@ -635,6 +644,7 @@ class DownConv(nn.Module):
     pool_form: str = "dense5"  # 'compact32': emit the pool's compact
     #                            form for a fused64 next level
     tile: int = 0   # dim=2 H-tiling slab height (0 = untiled)
+    input_grad: bool = False   # see _Conv1FusedFlat
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -748,7 +758,8 @@ class DownConv(nn.Module):
                 # XLA im2col/layout seams (ops/flat_fused.py conv1).
                 xs1, st1 = _Conv1FusedFlat(
                     C, H, W, dim=self.dim, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv1")(x)
+                    param_dtype=self.param_dtype,
+                    input_grad=self.input_grad, name="conv1")(x)
                 wrs1 = (0,)
                 if self.full_norm and batch:
                     s1 = _ffu.fold_lane_stats(st1[0])
@@ -1221,8 +1232,28 @@ class UNet(nn.Module):
     # Output logit dtype. None = float32 (reference semantics). For
     # bf16 models, jnp.bfloat16 halves the HBM traffic of the logit
     # volume (written once, read by the loss fwd+bwd) — the losses in
-    # modules/loss.py upcast internally, so training math stays f32.
+    # modules/loss.py upcast internally, so training math stays f32,
+    # and the Predictor upcasts before softmax. None resolves to bf16
+    # for bf16 models (measured on the v5e: -0.45 ms/step on the
+    # headline workload with a bitwise-equal-through-upcast loss
+    # trajectory; reference AMP likewise emits half-precision logits
+    # under autocast) and f32 otherwise; pass jnp.float32 explicitly
+    # to force f32 logits from a bf16 model.
     logit_dtype: Optional[Dtype] = None
+    # Compute the gradient w.r.t. the network INPUT through the fused
+    # first-layer conv. False (the default, matching torch's
+    # input.requires_grad=False) skips the first conv's dgrad matmuls
+    # inside the merged backward kernel, where XLA cannot DCE them.
+    # Set True for saliency maps / adversarial training / composing
+    # the UNet behind differentiable preprocessing — with False, a
+    # jax.grad w.r.t. the input returns ZEROS on the fused path.
+    input_grad: bool = False
+
+    def _logit_dtype(self):
+        if self.logit_dtype is not None:
+            return self.logit_dtype
+        return jnp.bfloat16 if self.dtype == jnp.bfloat16 \
+            else jnp.float32
 
     def _flat_level_ok(self, planar: bool, channels: int, H: int,
                        W: int) -> bool:
@@ -1561,6 +1592,7 @@ class UNet(nn.Module):
             down = DownCls(outs, pooling=pooling, planar=planar,
                            flat=flat, fused=fused, fused64=fused64,
                            pool_form=pool_form, tile=lvl_tile[i],
+                           input_grad=self.input_grad,
                            name=f"down_{i}", **block_kw)
             x, before_pool = down(x, train)
             encoder_outs.append(before_pool)
@@ -1672,7 +1704,7 @@ class UNet(nn.Module):
                            act=_act_name(self.activation),
                            dim=self.dim, dtype=self.dtype,
                            param_dtype=self.param_dtype,
-                           out_dtype=self.logit_dtype or jnp.float32,
+                           out_dtype=self._logit_dtype(),
                            name="conv_final")(x.chunks, x.inv, x.shift)
             if self.dim == 2:
                 x = _drop2d(x)
@@ -1684,7 +1716,7 @@ class UNet(nn.Module):
                              act=_act_name(self.activation),
                              dim=self.dim, dtype=self.dtype,
                              param_dtype=self.param_dtype,
-                             out_dtype=self.logit_dtype or jnp.float32,
+                             out_dtype=self._logit_dtype(),
                              name="conv_final")(x.chunks, x.inv, x.shift)
             if self.dim == 2:
                 x = _drop2d(x)
@@ -1698,7 +1730,7 @@ class UNet(nn.Module):
             x = nn.Conv(self.out_channels, (1,) * self.dim,
                         kernel_init=_kernel_init, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_final")(x)
-        return x.astype(self.logit_dtype or jnp.float32)
+        return x.astype(self._logit_dtype())
 
 
 def init_unet(model: UNet, input_shape: Sequence[int],

@@ -1430,8 +1430,12 @@ def _conv1_fwd_kernel(x_ref, s_ref, bias_ref, mask_ref, out_ref,
 
 
 def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
-                      s_ref, dsel_ref, db_ref, dx_ref, *, G: int, R: int,
-                      P: int, H: int, x_dtype):
+                      s_ref, *out_refs, G: int, R: int,
+                      P: int, H: int, x_dtype, input_grad: bool):
+    if input_grad:
+        dsel_ref, db_ref, dx_ref = out_refs
+    else:
+        dsel_ref, db_ref = out_refs
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -1454,6 +1458,12 @@ def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
         dsel_ref[dh] += _dot(
             a_dh, dyh, dimension_numbers=cdims,
             preferred_element_type=jnp.float32)
+        if not input_grad:
+            # First-layer mode: the network input carries no gradient,
+            # and the merged kernel's dgrad cannot be DCE'd by XLA —
+            # skip the dA dots entirely (the dgrad matmuls contract
+            # over G*128 and are ~40% of this kernel's MXU work).
+            continue
         # dA[h + dh - 1] += dy[h] @ S[dh]^T
         t = _dot(dyh, s_ref[dh], dimension_numbers=ddims,
                                 preferred_element_type=jnp.float32)
@@ -1463,11 +1473,13 @@ def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
             da = da + t
         else:
             da = da + jnp.concatenate([z, t[:-1]], axis=0)
-    dx_ref[0, 0, :, :] = da.astype(x_dtype)
+    if input_grad:
+        dx_ref[0, 0, :, :] = da.astype(x_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
+                       input_grad: bool = True):
     """Planar 3x3 'same' conv of a single-channel input into one flat
     chunk with per-lane (sum, sumsq) side outputs.
 
@@ -1524,13 +1536,13 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16):
     return (y,), (s, q)
 
 
-def _conv1_fwd(x, w, b, H, W, dtype):
-    out = conv1_bnstats_flat(x, w, b, H, W, dtype)
+def _conv1_fwd(x, w, b, H, W, dtype, input_grad=True):
+    out = conv1_bnstats_flat(x, w, b, H, W, dtype, input_grad)
     (y,), _ = out
     return out, (x, y, w)
 
 
-def _conv1_bwd(H, W, dtype, res, cts):
+def _conv1_bwd(H, W, dtype, input_grad, res, cts):
     x, y, w = res
     (dy_in,), dstats = cts
     B, D = x.shape[0], x.shape[1]
@@ -1544,14 +1556,27 @@ def _conv1_bwd(H, W, dtype, res, cts):
                                            (0, 128 - W)))
 
     kernel = functools.partial(_conv1_bwd_kernel, G=G, R=R, P=P, H=H,
-                               x_dtype=dtype)
+                               x_dtype=dtype, input_grad=input_grad)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     # Rebuild S for dgrad from the saved weights (tiny einsum).
     s_mat = _conv1_build_s(
         jax.lax.optimization_barrier(w).astype(jnp.float32),
         W).astype(dtype)
-    dsel, db, dxr = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, 128, G * 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    ]
+    if input_grad:
+        out_specs.append(pl.BlockSpec((1, 1, H, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, H, 128), dtype))
+    res_ = pl.pallas_call(
         kernel,
         grid=(B, D),
         in_specs=(
@@ -1566,24 +1591,21 @@ def _conv1_bwd(H, W, dtype, res, cts):
             pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_specs=(
-            pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H, 128), bd, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, 128, G * 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, D, H, 128), dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(xr, y, dy, ds, dq, width_mask(W).astype(jnp.float32), s_mat)
+    dsel, db = res_[0], res_[1]
     # barrier: scatter-fusion miscompile guard (see conv_bnact_flat)
     dsel = jax.lax.optimization_barrier(dsel)
     dw = _conv1_unpack_ds(dsel, W)
     dbc = jnp.sum(db.reshape(JG, CC), axis=0)
-    dx = dxr[..., :W, None].astype(x.dtype)
+    if input_grad:
+        dx = res_[2][..., :W, None].astype(x.dtype)
+    else:
+        # The network input carries no gradient; return a symbolic
+        # zero XLA folds away (nothing consumes it).
+        dx = jnp.zeros_like(x)
     return dx, dw, dbc
 
 

@@ -109,7 +109,8 @@ def flat_geometry64(H: int, W: int) -> Tuple[int, int, int]:
 
 def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
                       *, esize: int = 2, want_stats: bool = True,
-                      train: bool = True, tiled: bool = False) -> int:
+                      train: bool = True, tiled: bool = False,
+                      zw: Optional[bool] = None) -> int:
     """Estimated scoped-VMEM bytes of the worst conv3_bnact_flat64
     kernel at this geometry (forward; max with backward when train).
 
@@ -117,24 +118,31 @@ def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
     grid-varying blocks are double-buffered by the Mosaic pipeline
     (x2), constant blocks (packed weights, mask, lane vectors) counted
     once. In d_halo (2D-tiled) mode the two side views per chunk are
-    narrow pre-shifted strips (G rows) instead of full slabs.
+    narrow pre-shifted strips (G rows) instead of full slabs. In
+    z-window streaming mode (zw; default for kd=3 non-tiled — see
+    _zwindow_enabled) each array has ONE lookahead view instead of kd,
+    and the backward adds the raw-center delay ring (nin*2 R-row
+    slots).
 
-    Validated against three v5e measurements (docs/design.md round-3):
+    Validated against three v5e measurements of the 3-view kernels
+    (docs/design.md round-3; pass zw=False to reproduce):
       - C=128 decoder merge conv fwd at (44,44,44), nin=4 nout=2 kd=3:
-        est 16.2 MB vs real 17.35 MB scoped-OOM (compile failure) —
-        callers must add VMEM_SLOP to cover the ~7% forward
-        underestimate;
+        est 15.4 MB vs real 17.35 MB scoped-OOM (compile failure) —
+        callers must add VMEM_SLOP to cover the forward underestimate;
       - planar C=64 decoder conv bwd at (88,88), nin=2 kd=1:
         est 17.8 MB vs real 16.65 MB OOM (declined);
       - headline L1 decoder conv bwd (44,44,44), nin=2 nout=1 kd=3:
         est 14.2 MB, compiles and runs (accepted).
     """
+    if zw is None:
+        zw = kd == 3 and not tiled and _zwindow_enabled()
     G, R, P = flat_geometry64(H, W)
     rows = R + 2 * P
     slab = rows * 128 * esize
     strip = G * 128 * esize
     wbytes = 2 * nin * nout * kd * 3 * 128 * 128 * esize  # w0 + wc
-    views = (slab + 2 * strip) if tiled else kd * slab
+    views = (slab + 2 * strip) if tiled else \
+        (slab if zw else kd * slab)
     fwd = (2 * nin * views          # input slab views, double-buffered
            + wbytes                 # packed weights (constant blocks)
            + 2 * nout * slab        # output chunks, double-buffered
@@ -146,7 +154,8 @@ def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
                + wbytes                         # w0T + wcT
                + 2 * nin * slab                 # dx outputs
                + 2 * wbytes                     # m0 + mc f32 outputs
-               + (nin + nout) * kd * slab)      # a', dy_tot scratch
+               + (nin + nout) * kd * slab       # a', dy_tot scratch
+               + (nin * 2 * R * 128 * esize if zw else 0))  # raw ring
         est = max(est, bwd)
     return est
 
@@ -462,6 +471,133 @@ def _slab_index_map(z: int, D: int):
     return imap
 
 
+# ---------------------------------------------------------------------------
+# z-window streaming (kd=3): one HBM fetch per slab instead of three
+#
+# The three-BlockSpec-view form above fetches every chunk slab once per
+# z-tap: Mosaic's pipeline refetches each (b, d±1) block because the
+# views are distinct operands, so a kd=3 conv reads 3x its input bytes
+# (and the backward 3x of x, dy AND y). The round-3 profile shows the
+# kd=3 kernels at 273-441 GB/s with traffic within ~15% of 3x-their-
+# logical bytes — i.e. HBM-bound on redundant fetches.
+#
+# Streaming form: grid (B, D+1) with ONE lookahead view per chunk
+# (index map min(j, D-1)); a persistent VMEM scratch window keeps the
+# last three prologued slabs, indexed by slab phase (slab mod 3 —
+# dynamic leading-dim scratch indexing, validated on the v5e). Step j
+# ingests slab j (prologue applied ONCE instead of 3x; value zeroed
+# for j == D) and computes output slab d = j-1 from window phases
+# (d-1..d+1) mod 3. The "slab -1" phase is zeroed at j == 0, giving
+# exact conv zero-padding at both D edges. Output block index maps
+# clamp j-1 to 0: the j == 0 step writes garbage to output slab 0 and
+# j == 1 overwrites it (pipeline writes are ordered).
+# ---------------------------------------------------------------------------
+
+def _zwindow_enabled() -> bool:
+    import os
+    return os.environ.get("E3TPU_ZWINDOW", "1") != "0"
+
+
+# Measured dead end (v5e, 2026-08-18): precomputing the combined-
+# corner operand select(lane < 64, slab(r+1), slab(r-1)) into a
+# per-slab scratch bank at ingest — so the 36 per-tap (R,128) selects
+# per backward step become plain row slices — made the headline step
+# SLOWER (51.7 vs 50.7 ms with a dgrad-only bank; the full bank OOM'd
+# the 16 MB scoped VMEM by 5 KB on the L1 decoder merge). Mosaic
+# already fuses the inline lane-select into the matmul operand feed;
+# the bank's extra full-slot stores cost more than the selects save.
+
+
+def _conv64_fwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
+                          P: int, Ps: int, H: int, out_dtype, act: str,
+                          want_stats: bool, forms, D: int):
+    ins = refs[:nin]                       # one lookahead view per chunk
+    w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
+        refs[nin:nin + 6]
+    outs = refs[nin + 6:nin + 6 + nout]
+    idx = nin + 6 + nout
+    if want_stats:
+        s_ref, q_ref = refs[idx:idx + 2]
+        idx += 2
+    a_s = refs[idx]                        # (nin*3, R + 2*Ps, 128)
+
+    j = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        if want_stats:
+            s_ref[...] = jnp.zeros_like(s_ref)
+            q_ref[...] = jnp.zeros_like(q_ref)
+        # Scratch pad rows: zeroed once; body writes never touch them.
+        a_s[...] = jnp.zeros_like(a_s)
+
+    @pl.when(j == 0)
+    def _():
+        # Phase 2 = "slab -1": conv zero padding at the leading edge.
+        for i in range(nin):
+            a_s[i * 3 + 2, pl.ds(Ps, R)] = jnp.zeros((R, 128), a_s.dtype)
+
+    # Ingest slab j into phase j % 3 (prologue applied once per slab).
+    # Guarded, not value-masked: the j == D lookahead step writes a
+    # zero slab (conv zero padding at the trailing edge) so real-slab
+    # values stay bitwise-identical to the 3-view kernel's.
+    ph_in = jax.lax.rem(j, 3)
+
+    @pl.when(j < D)
+    def _():
+        for i in range(nin):
+            a = _load_raw64(ins[i], forms[i], R=R, P=P)
+            pre = a * inv_ref[i][None, :] + shift_ref[i][None, :]
+            val = (_act_fwd(pre, act).reshape(H, G, 128)
+                   * mask_ref[...][None]).reshape(R, 128) \
+                .astype(a_s.dtype)
+            a_s[i * 3 + ph_in, pl.ds(Ps, R)] = val
+
+    @pl.when(j == D)
+    def _():
+        for i in range(nin):
+            a_s[i * 3 + ph_in, pl.ds(Ps, R)] = jnp.zeros((R, 128),
+                                                         a_s.dtype)
+
+    @pl.when(j >= 1)
+    def _():
+        d = j - 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        dims = (((1,), (0,)), ((), ()))
+        for o in range(nout):
+            y = jnp.zeros((R, 128), jnp.float32)
+            for i in range(nin):
+                for z in range(3):   # accumulation order matches the
+                    ph = jax.lax.rem(d + z + 2, 3)   # 3-view kernel
+                    slot = i * 3 + ph
+                    for t in range(3):
+                        off = Ps + (t - 1) * G
+                        a = a_s[slot, pl.ds(off, R), :]
+                        y = y + _dot(
+                            a, w0_ref[i, o, z, t],
+                            dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+                        a_hi = a_s[slot, pl.ds(off + 1, R), :]
+                        a_lo = a_s[slot, pl.ds(off - 1, R), :]
+                        a_c = jnp.where(lane < CC64, a_hi, a_lo)
+                        y = y + _dot(
+                            a_c, wc_ref[i, o, z, t],
+                            dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+            y = y + bias_ref[o][None, :]
+            y = (y.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            yc = y.astype(out_dtype)
+            outs[o][0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
+            outs[o][0, 0, pl.ds(P, R)] = yc
+            outs[o][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128),
+                                                       out_dtype)
+            if want_stats:
+                yf = yc.astype(jnp.float32)
+                s_ref[o, :] += jnp.sum(yf, axis=0)
+                q_ref[o, :] += jnp.sum(yf * yf, axis=0)
+
+
 def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                      want_stats, act, nout, forms, d_halo=False):
     w0, wc = wpk
@@ -473,13 +609,21 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
 
-    kernel = functools.partial(
-        _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
-        H=H, out_dtype=dtype, act=act, want_stats=want_stats,
-        forms=forms, kd=kd, d_halo=d_halo)
+    zw = kd == 3 and not d_halo and _zwindow_enabled()
+    if zw:
+        kernel = functools.partial(
+            _conv64_fwd_kernel_zw, nin=nin, nout=nout, G=G, R=R, P=P,
+            Ps=Ps, H=H, out_dtype=dtype, act=act,
+            want_stats=want_stats, forms=forms, D=D)
+    else:
+        kernel = functools.partial(
+            _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
+            Ps=Ps, H=H, out_dtype=dtype, act=act,
+            want_stats=want_stats, forms=forms, kd=kd, d_halo=d_halo)
 
     in_specs, operands = [], []
     bd4 = lambda b_, d_: (b_, d_, 0, 0)
+    la4 = lambda b_, j_: (b_, jnp.minimum(j_, D - 1), 0, 0)
     for x, form in zip(xs, forms):
         rows = R if form == "pool32" else R + 2 * P
         if d_halo:
@@ -488,6 +632,11 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                     (1, 1, v.shape[2], 128), bd4,
                     memory_space=pltpu.VMEM))
                 operands.append(v)
+            continue
+        if zw:
+            in_specs.append(pl.BlockSpec((1, 1, rows, 128), la4,
+                                         memory_space=pltpu.VMEM))
+            operands.append(x)
             continue
         for z in range(kd):
             in_specs.append(pl.BlockSpec(
@@ -508,8 +657,9 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                                      memory_space=pltpu.VMEM))
         operands.append(v.astype(jnp.float32))
 
-    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128),
-                              lambda b_, d_: (b_, d_, 0, 0),
+    od4 = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) if zw \
+        else (lambda b_, d_: (b_, d_, 0, 0))
+    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), od4,
                               memory_space=pltpu.VMEM)
                  for _ in range(nout)]
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
@@ -519,16 +669,18 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                                    memory_space=pltpu.VMEM)] * 2
         out_shape += [jax.ShapeDtypeStruct((nout, 128), jnp.float32)] * 2
 
+    scratch = [pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype)]
     res = pl.pallas_call(
         kernel,
-        grid=(B, D),
+        grid=(B, D + 1) if zw else (B, D),
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * R * 128 * 256 * nin * nout * 3 * kd,
-            bytes_accessed=(kd * nin + nout) * B * D * (R + 2 * P) * 256,
+            bytes_accessed=((1 if zw else kd) * nin + nout)
+            * B * D * (R + 2 * P) * 256,
             transcendentals=0),
         interpret=_interpret(),
     )(*operands)
@@ -696,6 +848,160 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                         preferred_element_type=jnp.float32)
 
 
+def _conv64_bwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
+                          P: int, Ps: int, H: int, act: str,
+                          want_stats: bool, x_dtype, forms, D: int):
+    """z-window variant of _conv64_bwd_kernel (kd=3, non-d_halo): one
+    lookahead view per array (x, dy, y) instead of three, rolling
+    3-phase windows of a' and dy_tot in persistent scratch, plus a
+    2-slot ring of the RAW center slab for the prologue epilogue.
+    Accumulation orders match the 3-view kernel exactly (bitwise-equal
+    grads in interpret parity)."""
+    pos = 0
+    ins = refs[pos:pos + nin]; pos += nin
+    dys = refs[pos:pos + nout]; pos += nout
+    ys = ()
+    if want_stats:
+        ys = refs[pos:pos + nout]; pos += nout
+    w0T, wcT = refs[pos:pos + 2]; pos += 2
+    mask_ref = refs[pos]; pos += 1
+    inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
+    if want_stats:
+        ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
+    dxs = refs[pos:pos + nin]; pos += nin
+    dinv_ref, dshift_ref, m0, mc, db = refs[pos:pos + 5]; pos += 5
+    a_s, dyt_s, xr = refs[pos:pos + 3]
+
+    j = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+        m0[...] = jnp.zeros_like(m0)
+        mc[...] = jnp.zeros_like(mc)
+        db[...] = jnp.zeros_like(db)
+        a_s[...] = jnp.zeros_like(a_s)      # pad rows stay zero
+        dyt_s[...] = jnp.zeros_like(dyt_s)
+
+    @pl.when(j == 0)
+    def _():
+        # Phase 2 = "slab -1" (conv zero padding at the leading edge).
+        for i in range(nin):
+            a_s[i * 3 + 2, pl.ds(Ps, R)] = jnp.zeros((R, 128),
+                                                     a_s.dtype)
+        for o in range(nout):
+            dyt_s[o * 3 + 2, pl.ds(Ps, R)] = jnp.zeros((R, 128),
+                                                       dyt_s.dtype)
+
+    # --- Ingest slab j (prologue + dy_tot built ONCE per slab) ---
+    # Guarded (see _conv64_fwd_kernel_zw): j == D writes zero slabs so
+    # real-slab values and the db accumulation stay bitwise-identical
+    # to the 3-view kernel's.
+    ph_in = jax.lax.rem(j, 3)
+
+    @pl.when(j < D)
+    def _():
+        for i in range(nin):
+            x = _load_raw64(ins[i], forms[i], R=R, P=P)
+            xr[i * 2 + jax.lax.rem(j, 2), :, :] = x.astype(xr.dtype)
+            pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
+            val = (_act_fwd(pre, act).reshape(H, G, 128)
+                   * mask_ref[...][None]).reshape(R, 128) \
+                .astype(a_s.dtype)
+            a_s[i * 3 + ph_in, pl.ds(Ps, R)] = val
+
+        def _dy_tot(o, dyv, yv):
+            dy = dyv[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            if want_stats:
+                y = yv[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+                dy = dy + ds_ref[o][None, :] \
+                    + 2.0 * y * dq_ref[o][None, :]
+            return dy
+
+        for o in range(nout):
+            dy = _dy_tot(o, dys[o], ys[o] if want_stats else None)
+            dy = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
+            dyt_s[o * 3 + ph_in, pl.ds(Ps, R)] = dy.astype(dyt_s.dtype)
+            db[o, :] += jnp.sum(dy, axis=0)
+
+    @pl.when(j == D)
+    def _():
+        for i in range(nin):
+            a_s[i * 3 + ph_in, pl.ds(Ps, R)] = jnp.zeros((R, 128),
+                                                         a_s.dtype)
+        for o in range(nout):
+            dyt_s[o * 3 + ph_in, pl.ds(Ps, R)] = jnp.zeros(
+                (R, 128), dyt_s.dtype)
+
+    # --- Compute output slab d = j - 1 ---
+    @pl.when(j >= 1)
+    def _():
+        d = j - 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        dims = (((1,), (0,)), ((), ()))
+        cdims = (((0,), (0,)), ((), ()))
+        ph_c = jax.lax.rem(d, 3)            # center phase (slab d)
+        for i in range(nin):
+            g = jnp.zeros((R, 128), jnp.float32)
+            for o in range(nout):
+                for z in range(3):
+                    ph = jax.lax.rem(d + z + 2, 3)   # (d-1+z) mod 3
+                    slot = o * 3 + ph
+                    for t in range(3):
+                        off = Ps + (t - 1) * G
+                        dyv = dyt_s[slot, pl.ds(off, R), :]
+                        g = g + _dot(
+                            dyv, w0T[o, i, z, t],
+                            dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+                        d_hi = dyt_s[slot, pl.ds(off + 1, R), :]
+                        d_lo = dyt_s[slot, pl.ds(off - 1, R), :]
+                        d_c = jnp.where(lane < CC64, d_hi, d_lo)
+                        g = g + _dot(
+                            d_c, wcT[o, i, z, t],
+                            dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+            # prologue epilogue (raw center slab from the delay ring)
+            x = xr[i * 2 + jax.lax.rem(d, 2), :, :].astype(jnp.float32)
+            pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
+            gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+                * _act_deriv(pre, act)
+            dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
+            dshift_ref[i, :] += jnp.sum(gm, axis=0)
+            dx = gm * inv_ref[i][None, :]
+            if forms[i] == "pool32":
+                rolledL = jnp.concatenate([dx[:, 32:], dx[:, :32]],
+                                          axis=-1)
+                dc = jnp.where(lane < CC64 // 2, dx, rolledL) \
+                    * (lane < CC64).astype(jnp.float32)
+                dxs[i][0, 0, :, :] = dc.astype(x_dtype)
+            else:
+                dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+                dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+                dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128),
+                                                          x_dtype)
+            # wgrad: a'[slab d-1+z]^T @ dy_tot[slab d] per tap
+            for o in range(nout):
+                dyc = dyt_s[o * 3 + ph_c, pl.ds(Ps, R), :]
+                for z in range(3):
+                    ph = jax.lax.rem(d + z + 2, 3)
+                    slot = i * 3 + ph
+                    for t in range(3):
+                        off = Ps + (t - 1) * G
+                        a = a_s[slot, pl.ds(off, R), :]
+                        m0[i, o, z, t] += _dot(
+                            a, dyc, dimension_numbers=cdims,
+                            preferred_element_type=jnp.float32)
+                        a_hi = a_s[slot, pl.ds(off + 1, R), :]
+                        a_lo = a_s[slot, pl.ds(off - 1, R), :]
+                        a_c = jnp.where(lane < CC64, a_hi, a_lo)
+                        mc[i, o, z, t] += _dot(
+                            a_c, dyc, dimension_numbers=cdims,
+                            preferred_element_type=jnp.float32)
+
+
 def conv3_bnact_flat64(xs, inv, shift, w, b, H: int, W: int,
                        want_stats: bool, act: str, forms=None,
                        d_halo: bool = False):
@@ -770,26 +1076,39 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         ds = jnp.zeros((nout, 128), jnp.float32) if ds is None else ds
         dq = jnp.zeros((nout, 128), jnp.float32) if dq is None else dq
 
-    kernel = functools.partial(
-        _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
-        H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-        forms=forms, kd=kd, d_halo=d_halo)
+    zw = kd == 3 and not d_halo and _zwindow_enabled()
+    if zw:
+        kernel = functools.partial(
+            _conv64_bwd_kernel_zw, nin=nin, nout=nout, G=G, R=R, P=P,
+            Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
+            forms=forms, D=D)
+    else:
+        kernel = functools.partial(
+            _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
+            Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
+            forms=forms, kd=kd, d_halo=d_halo)
 
     in_specs, operands = [], []
 
     bd4 = lambda b_, d_: (b_, d_, 0, 0)
+    la4 = lambda b_, j_: (b_, jnp.minimum(j_, D - 1), 0, 0)
 
     def addv(arr, rows=R + 2 * P, form="flat64"):
-        """Add per-chunk operands: kd clamped slab views (no D-padded
-        copy; see _slab_index_map), or [strip0, center, strip2] with
-        pre-shifted narrow halo strips in d_halo mode
-        (_halo_strips64)."""
+        """Add per-chunk operands: ONE lookahead view (z-window mode),
+        kd clamped slab views (no D-padded copy; see _slab_index_map),
+        or [strip0, center, strip2] with pre-shifted narrow halo
+        strips in d_halo mode (_halo_strips64)."""
         if d_halo:
             for v in _strip_views64(arr, form, G, R, P):
                 in_specs.append(pl.BlockSpec(
                     (1, 1, v.shape[2], 128), bd4,
                     memory_space=pltpu.VMEM))
                 operands.append(v)
+            return
+        if zw:
+            in_specs.append(pl.BlockSpec((1, 1, rows, 128), la4,
+                                         memory_space=pltpu.VMEM))
+            operands.append(arr)
             return
         for z in range(kd):
             in_specs.append(pl.BlockSpec(
@@ -820,7 +1139,8 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         addc(ds, (nout, 128))
         addc(dq, (nout, 128))
 
-    bd = lambda b_, d_: (b_, d_, 0, 0)
+    bd = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) if zw \
+        else (lambda b_, d_: (b_, d_, 0, 0))
     c2 = lambda b_, d_: (0, 0)
     out_specs, out_shape = [], []
     for form in forms:
@@ -841,19 +1161,24 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
                                   memory_space=pltpu.VMEM))
     out_shape.append(jax.ShapeDtypeStruct((nout, 128), jnp.float32))
 
+    scratch = [pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype),
+               pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)]
+    if zw:
+        scratch.append(pltpu.VMEM((nin * 2, R, 128), dtype))  # raw ring
     res_ = pl.pallas_call(
         kernel,
-        grid=(B, D),
+        grid=(B, D + 1) if zw else (B, D),
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype),
-                        pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             # dgrad + wgrad, each the forward's FLOPs
             flops=2 * 2 * B * D * R * 128 * 256 * nin * nout * 3 * kd,
-            bytes_accessed=((1 + kd) * nin
-                            + kd * (3 if want_stats else 2) * nout)
+            bytes_accessed=((2 * nin + (3 if want_stats else 2) * nout)
+                            if zw else
+                            ((1 + kd) * nin
+                             + kd * (3 if want_stats else 2) * nout))
             * B * D * (R + 2 * P) * 256,
             transcendentals=0),
         interpret=_interpret(),

@@ -324,3 +324,36 @@ def test_conv1_bnstats_flat_matches_xla(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(r))))
         assert np.allclose(np.asarray(a), np.asarray(r),
                            atol=2e-2 * scale), (a.shape)
+
+
+def test_conv1_input_grad_switch(rng):
+    """input_grad=False (the default: network inputs carry no grad,
+    matching torch's input.requires_grad=False) must leave every
+    parameter gradient bitwise unchanged and return a zero input
+    cotangent; True computes the real dx (saliency/adversarial)."""
+    import jax
+    from elektronn3_tpu.models.unet import UNet, init_unet
+
+    shape = (1, 4, 8, 8, 1)
+    kw = dict(in_channels=1, out_channels=2, n_blocks=2, start_filts=32,
+              planar_blocks=(0,), dim=3, normalization="batch",
+              dtype=jnp.bfloat16, pallas_flat=True)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    grads = {}
+    for ig in (False, True):
+        m = UNet(input_grad=ig, **kw)
+        v = init_unet(m, shape)
+
+        def loss(params, xx):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"])
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        grads[ig] = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+            v["params"], x)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[False][0]),
+                    jax.tree_util.tree_leaves(grads[True][0])):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    assert float(jnp.max(jnp.abs(grads[False][1]))) == 0.0
+    assert float(jnp.max(jnp.abs(grads[True][1]))) > 0.0

@@ -119,15 +119,18 @@ def test_c128_decoder_gate(tpu_backend):
     VMEM estimate exceeds the chip limit and engages where it fits."""
     m = _m(start_filts=64, n_blocks=3)
     # sf=64 model's L1 at 44^3: the 4-chunk kd=3 merge conv COMPILED
-    # AT 17.35 MB scoped VMEM on the v5e (1.35 MB over the 16 MB
-    # limit, measured 2026-08-18) — the old row-count heuristic let it
-    # through (it ignored the nin*nout*kd packed-weight blocks, 4.7 MB
-    # here); the byte estimate must decline it in BOTH train and eval
-    # (the forward alone overflows).
+    # AT 17.35 MB scoped VMEM on the v5e in its 3-view form (1.35 MB
+    # over the 16 MB limit, measured 2026-08-18) — the old row-count
+    # heuristic let it through (it ignored the nin*nout*kd
+    # packed-weight blocks, 4.7 MB here). Training must decline (the
+    # backward's m0/mc f32 accumulators alone are 9.4 MB); eval fits
+    # under the z-window kernels (one input view per chunk).
     assert not m._flat_fused64_ok(False, 128, 44, 44, 44, False,
                                   merge=True, train=True)
-    assert not m._flat_fused64_ok(False, 128, 44, 44, 44, False,
-                                  merge=True, train=False)
+    import elektronn3_tpu.ops.flat_fused64 as _f
+    assert m._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                              merge=True, train=False) \
+        == _f._zwindow_enabled()
     # headline-22^3-sized C=128 level: min-vox declines under 'auto'.
     assert not m._flat_fused64_ok(False, 128, 22, 22, 22, False,
                                   merge=True)
@@ -145,18 +148,30 @@ def test_c128_decoder_gate(tpu_backend):
 def test_vmem_estimator_matches_measured_points(tpu_backend):
     """conv64_vmem_bytes against the three v5e calibration points
     (docs/design.md round-3): measured-OOM configs estimate over the
-    limit, the known-good headline decoder under it."""
+    limit, the known-good headline decoder under it. The OOM points
+    were measured on the 3-view kernels (zw=False); the z-window
+    variants shrink the input-view footprint."""
     from elektronn3_tpu.ops import flat_fused64 as ff64
     lim = ff64.VMEM_LIMIT - ff64.VMEM_SLOP
     # C=128 decoder merge fwd at (44,44,44): real 17.35 MB (OOM).
-    est = ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=False)
+    est = ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=False, zw=False)
     assert est > lim and abs(est - 17.35 * 2**20) / 2**20 < 2.5
-    # planar C=64 decoder bwd at (88,88): real 16.65 MB (OOM).
+    # planar C=64 decoder bwd at (88,88): real 16.65 MB (OOM);
+    # kd=1, so the z-window mode does not apply.
     est = ff64.conv64_vmem_bytes(2, 1, 1, 88, 88, train=True)
     assert est > lim
-    # headline L1 decoder bwd at (44,44): compiles and runs.
-    est = ff64.conv64_vmem_bytes(2, 1, 3, 44, 44, train=True)
-    assert est <= lim
+    # headline L1 decoder bwd at (44,44): compiles and runs (both
+    # kernel forms).
+    for zw in (False, True):
+        est = ff64.conv64_vmem_bytes(2, 1, 3, 44, 44, train=True, zw=zw)
+        assert est <= lim
     # headline L1 encoder: plenty of headroom.
     est = ff64.conv64_vmem_bytes(1, 1, 3, 44, 44, train=True)
     assert est <= lim - 4 * 2**20
+    # z-window halves the view footprint: the C=128 merge conv fwd
+    # that OOM'd in 3-view form fits under zw (eval engages; its
+    # backward still declines on the m0/mc f32 accumulators).
+    assert ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=False,
+                                  zw=True) <= lim
+    assert ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=True,
+                                  zw=True) > lim

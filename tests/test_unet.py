@@ -174,8 +174,15 @@ def test_bfloat16_compute():
     model = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=8,
                  dim=3, normalization="none", dtype=jnp.bfloat16)
     out = run_model(model, (1, 8, 16, 16, 1))
-    assert out.dtype == jnp.float32  # final output upcast
+    # bf16 models emit bf16 logits by default (halves the logit
+    # volume's HBM traffic; losses and the Predictor upcast
+    # internally — see UNet.logit_dtype). Explicit f32 still wins.
+    assert out.dtype == jnp.bfloat16
     assert out.shape == (1, 8, 16, 16, 2)
+    m32 = UNet(in_channels=1, out_channels=2, n_blocks=2, start_filts=8,
+               dim=3, normalization="none", dtype=jnp.bfloat16,
+               logit_dtype=jnp.float32)
+    assert run_model(m32, (1, 8, 16, 16, 1)).dtype == jnp.float32
 
 
 def test_invalid_configs_raise():
