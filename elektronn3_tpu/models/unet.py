@@ -380,24 +380,26 @@ class _FusedUpconv64(nn.Module):
     @nn.compact
     def __call__(self, dec):
         cin = dec.shape[-1]
+        # Draw order matters: flax folds a per-module call counter
+        # into the param rng, so kernel-then-bias (nn.ConvTranspose's
+        # order) keeps same-seed inits identical to the XLA path.
+        if self.dim == 2:
+            w = self.param("kernel", _kernel_init,
+                           (2, 2, cin, self.features),
+                           self.param_dtype)[None]
+        elif self.planar:
+            w = self.param("kernel", _kernel_init,
+                           (1, 2, 2, cin, self.features),
+                           self.param_dtype)
+        else:
+            w = self.param("kernel", _kernel_init,
+                           (2, 2, 2, cin, self.features),
+                           self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
-        if self.dim == 2:
-            kernel = self.param("kernel", _kernel_init,
-                                (2, 2, cin, self.features),
-                                self.param_dtype)
-            w = kernel[None]
-        elif self.planar:
-            kernel = self.param("kernel", _kernel_init,
-                                (1, 2, 2, cin, self.features),
-                                self.param_dtype)
-            w = kernel
-        else:
-            kernel = self.param("kernel", _kernel_init,
-                                (2, 2, 2, cin, self.features),
-                                self.param_dtype)
+        if self.dim == 3 and not self.planar:
             return _ff64.upconv222_bn_flat64(
-                dec.astype(self.dtype), kernel, bias, self.H, self.W,
+                dec.astype(self.dtype), w, bias, self.H, self.W,
                 self.want_stats)
         return _ff64.upconv122_bn_flat64(
             dec.astype(self.dtype), w, bias, self.H, self.W,
@@ -423,25 +425,25 @@ class _FusedUpconv64F(nn.Module):
     @nn.compact
     def __call__(self, acts):
         cin = len(acts.chunks) * _ff64.CC64
+        chunks = tuple(c.astype(self.dtype) for c in acts.chunks)
+        # kernel-then-bias draw order: see _FusedUpconv64.
+        if self.dim == 2:
+            w = self.param("kernel", _kernel_init,
+                           (2, 2, cin, self.features),
+                           self.param_dtype)[None]
+        elif self.planar:
+            w = self.param("kernel", _kernel_init,
+                           (1, 2, 2, cin, self.features),
+                           self.param_dtype)
+        else:
+            w = self.param("kernel", _kernel_init,
+                           (2, 2, 2, cin, self.features),
+                           self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
-        chunks = tuple(c.astype(self.dtype) for c in acts.chunks)
-        if self.dim == 2:
-            kernel = self.param("kernel", _kernel_init,
-                                (2, 2, cin, self.features),
-                                self.param_dtype)
-            w = kernel[None]
-        elif self.planar:
-            kernel = self.param("kernel", _kernel_init,
-                                (1, 2, 2, cin, self.features),
-                                self.param_dtype)
-            w = kernel
-        else:
-            kernel = self.param("kernel", _kernel_init,
-                                (2, 2, 2, cin, self.features),
-                                self.param_dtype)
+        if self.dim == 3 and not self.planar:
             return _ff64.upconv222_f64in(
-                chunks, acts.inv, acts.shift, kernel, bias, self.H,
+                chunks, acts.inv, acts.shift, w, bias, self.H,
                 self.W, self.want_stats, self.act)
         return _ff64.upconv122_f64in(
             chunks, acts.inv, acts.shift, w, bias, self.H, self.W,
@@ -1454,6 +1456,17 @@ class UNet(nn.Module):
         vmem = _ff64.conv64_vmem_bytes(
             nch, nch, kd, H, W, esize=esize,
             want_stats=self.normalization == "batch", train=train)
+        if vmem + _ff64.VMEM_SLOP <= _ff64.VMEM_LIMIT:
+            # Encoder fits; the level was declined for decoder
+            # coherence (see the planning loop).
+            mv = _ff64.conv64_vmem_bytes(
+                2 * nch, nch, kd, H, W, esize=esize,
+                want_stats=self.normalization == "batch", train=train)
+            return (f"decoder merge conv VMEM estimate too large "
+                    f"({(mv + _ff64.VMEM_SLOP) / 2**20:.1f} MB > "
+                    f"{_ff64.VMEM_LIMIT / 2**20:.0f} MB scoped limit; "
+                    f"encoder-only fusion measured slower than XLA, "
+                    f"so the whole level falls back)")
         return (f"level kernel VMEM estimate too large "
                 f"({(vmem + _ff64.VMEM_SLOP) / 2**20:.1f} MB "
                 f"> {_ff64.VMEM_LIMIT / 2**20:.0f} MB scoped limit "
@@ -1542,8 +1555,25 @@ class UNet(nn.Module):
             lvl_tile.append(gH if tile0 else 0)
             lvl_fused.append(self._flat_fused_ok(planar_i, ch, gH, pW,
                                                  train=train))
+            # Level coherence: if this level's DECODER merge conv
+            # would decline on the VMEM gate while the model would
+            # otherwise fuse it (transpose + concat/add), run the
+            # whole level on XLA — fusing only the encoder measured
+            # SLOWER than pure XLA (v5e, sf=64 3-block model: 156 vs
+            # 143 ms/step; the materialize-skip + XLA-decoder seams
+            # eat the encoder kernels' win). Bottom level has no
+            # decoder; non-transpose up modes never fuse decoders and
+            # keep the (unmeasured) status-quo mix.
+            dec_coherent = (
+                i == self.n_blocks - 1
+                or self.up_mode != "transpose"
+                or self.merge_mode not in ("concat", "add")
+                or self._flat_fused64_ok(
+                    planar_i, ch, gH, pW, pD, False, merge=True,
+                    train=train, tiled=bool(tile0)))
             lvl_fused64.append(
-                (not lvl_fused[-1]) and self._flat_fused64_ok(
+                (not lvl_fused[-1]) and dec_coherent
+                and self._flat_fused64_ok(
                     planar_i, ch, gH, pW, pD, pooling_i,
                     train=train, tiled=bool(tile0)))
             if (self.pallas_flat is not False and not lvl_fused[-1]

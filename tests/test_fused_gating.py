@@ -175,3 +175,69 @@ def test_vmem_estimator_matches_measured_points(tpu_backend):
                                   zw=True) <= lim
     assert ff64.conv64_vmem_bytes(4, 2, 3, 44, 44, train=True,
                                   zw=True) > lim
+
+
+def test_sf64_level_coherence(tpu_backend):
+    """When a level's decoder merge conv declines on the VMEM gate,
+    the ENCODER must decline too under 'auto' — fusing only the
+    encoder measured slower than pure XLA (v5e: 156 vs 143 ms/step on
+    the sf=64 3-block model). At eval the merge fits (z-window fwd),
+    so the level may fuse there."""
+    import jax
+    m = _m(start_filts=64, n_blocks=3)
+    shape = (1, 44, 88, 88, 1)
+    x = jax.ShapeDtypeStruct(shape, jnp.float32)
+    v = jax.eval_shape(
+        lambda xx: m.init({"params": jax.random.PRNGKey(0)}, xx,
+                          train=False), x)
+
+    def train_apply(params, batch_stats, xx):
+        return m.apply({"params": params, "batch_stats": batch_stats},
+                       xx, train=True, mutable=["batch_stats"])
+
+    jaxpr = jax.make_jaxpr(train_apply)(v["params"], v["batch_stats"], x)
+
+    # Flatten nested jaxprs (pjit/custom_vjp bodies hold the kernels).
+    def collect(jx, acc):
+        for e in jx.eqns:
+            acc.add(e.primitive.name)
+            for p in e.params.values():
+                if hasattr(p, "jaxpr"):
+                    collect(p.jaxpr if hasattr(p.jaxpr, "eqns")
+                            else p.jaxpr.jaxpr, acc)
+                if isinstance(p, (tuple, list)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            collect(q.jaxpr if hasattr(q.jaxpr, "eqns")
+                                    else q.jaxpr.jaxpr, acc)
+        return acc
+
+    names = collect(jaxpr.jaxpr, set())
+    assert "pallas_call" not in names, (
+        "sf=64 3-block training trace must run fully on XLA under "
+        "'auto' (decoder merges decline; encoder-only fusion measured "
+        "slower)")
+
+
+def test_fused_and_xla_models_init_identically():
+    """Same-seed init must be BITWISE identical between the fused and
+    XLA executors (flax folds a per-module call counter into param
+    rngs, so fused modules must draw kernel-then-bias exactly like
+    nn.Conv/nn.ConvTranspose — a bias-first draw in the fused upconvs
+    silently de-paired executor A/B runs)."""
+    import jax
+    from elektronn3_tpu.models.unet import init_unet
+    for kwx in (dict(start_filts=64, n_blocks=2),
+                dict(start_filts=32, n_blocks=4)):
+        kw = dict(in_channels=1, out_channels=2, planar_blocks=(0,),
+                  dim=3, normalization="batch", dtype=jnp.bfloat16,
+                  **kwx)
+        shape = (1, 4, 8, 8, 1)
+        va = init_unet(UNet(pallas_flat=True, **kw), shape)
+        vb = init_unet(UNet(pallas_flat=False, **kw), shape)
+        for a, b in zip(jax.tree_util.tree_leaves(va["params"]),
+                        jax.tree_util.tree_leaves(vb["params"])):
+            assert a.shape == b.shape
+            assert float(jnp.max(jnp.abs(
+                jnp.asarray(a, jnp.float32)
+                - jnp.asarray(b, jnp.float32)))) == 0.0
