@@ -1291,6 +1291,99 @@ upconv_bn_flat.defvjp(_upconv_fwd, _upconv_bwd)
 # into the einsum). Reference models/unet.py conv_final.
 # ---------------------------------------------------------------------------
 
+def _head_wbig(w2, i, cout, cc, jg):
+    """Block-diagonal (128, jg*cout) GEMM weights for chunk i:
+    Wbig[(j, ci), (j', co)] = w[ci, co] iff j == j'."""
+    wblk = w2[i * cc:(i + 1) * cc]                   # (cc, cout)
+    wbig = jnp.zeros((128, jg * cout), jnp.float32)
+    for j in range(jg):
+        wbig = wbig.at[j * cc:(j + 1) * cc,
+                       j * cout:(j + 1) * cout].set(wblk)
+    return wbig
+
+
+def _head_impl(xs, inv, shift, w, b, H: int, W: int, act: str):
+    G, R, P = flat_geometry(H, W)
+    Wp = pad_width(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout).astype(jnp.float32)
+    ys = []
+    for i, xc in enumerate(xs):
+        B, D, Rp, _ = xc.shape
+        v = xc[:, :, P:P + R].astype(jnp.float32)
+        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
+        a = _act_fwd(pre, act)
+        wbig = _head_wbig(w2, i, cout, CC, JG)
+        # Memory-bound head GEMM: default precision on purpose (the
+        # logits feed a softmax loss; f32-HIGHEST would slow the bf16
+        # model's head ~2x for no training benefit).
+        ys.append(_dot(
+            a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))     # (B, D, R, JG*cout)
+    y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG)
+    return y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _head_bnact(xs, inv, shift, w, b, H: int, W: int, act: str):
+    return _head_impl(xs, inv, shift, w, b, H, W, act)
+
+
+def _head_fwd(xs, inv, shift, w, b, H, W, act):
+    return _head_impl(xs, inv, shift, w, b, H, W, act), (xs, inv, shift, w, b)
+
+
+def _head_bwd(H, W, act, res, dy):
+    """Hand-written head backward: the dx path runs over ALL chunk
+    rows with a ROW-PADDED dy (B, D, Rp, JG*cout ~ 25 MB at headline
+    shapes), so dx is written ONCE at full chunk size — plain autodiff
+    of the row slice emitted slice-adjoint pads of the chunk-sized dx
+    (~0.57 ms of pure HBM pad traffic), and hoisting the slice past
+    the GEMM instead broke XLA's forward prologue+dot fusion (it
+    materialized the f32 activation, +0.9 ms measured). Pad rows hold
+    well-defined finite chunk data (the conv kernels consume them as
+    halos), and their dy is zero, so all parameter reductions are
+    unchanged. Reductions (dw, dinv, dshift) share the full-row dpre."""
+    xs, inv, shift, w, b = res
+    G, R, P = flat_geometry(H, W)
+    Wp = pad_width(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout).astype(jnp.float32)
+    B, D = dy.shape[:2]
+    dy = dy.astype(jnp.float32)
+    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, 0),
+                       (W_OFF, Wp - W_OFF - W), (0, 0)))
+    dy_rows = dyp.reshape(B, D, R, JG * cout)
+    db = jnp.sum(dy_rows, axis=(0, 1, 2)).reshape(JG, cout).sum(axis=0)
+    dxs, dinvs, dshifts, dwblks = [], [], [], []
+    for i, xc in enumerate(xs):
+        Rp = xc.shape[2]
+        dy_full = jnp.pad(dy_rows,
+                          ((0, 0), (0, 0), (P, Rp - P - R), (0, 0)))
+        wbig = _head_wbig(w2, i, cout, CC, JG)
+        vf = xc.astype(jnp.float32)
+        pref = vf * inv[i][None, None, None] + shift[i][None, None, None]
+        da = _dot(dy_full, wbig,
+                  dimension_numbers=(((3,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32)  # (B, D, Rp, 128)
+        dpre = da * _act_deriv(pref, act)
+        dxs.append((dpre * inv[i][None, None, None]).astype(xc.dtype))
+        dinvs.append(jnp.sum(dpre * vf, axis=(0, 1, 2)).astype(inv[i].dtype))
+        dshifts.append(jnp.sum(dpre, axis=(0, 1, 2)).astype(shift[i].dtype))
+        a = _act_fwd(pref, act)
+        dwbig = _dot(a.reshape(-1, 128), dy_full.reshape(-1, JG * cout),
+                     dimension_numbers=(((0,), (0,)), ((), ())),
+                     preferred_element_type=jnp.float32)  # (128, JG*cout)
+        dwblks.append(sum(dwbig[j * CC:(j + 1) * CC,
+                                j * cout:(j + 1) * cout]
+                          for j in range(JG)))
+    dw = jnp.concatenate(dwblks, axis=0).reshape(w.shape).astype(w.dtype)
+    return (dxs, dinvs, dshifts, dw, db.astype(b.dtype))
+
+
+_head_bnact.defvjp(_head_fwd, _head_bwd)
+
+
 def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str,
                          out_dtype=jnp.float32):
     """1x1 conv head consuming flat chunks with a BN-apply +
@@ -1302,31 +1395,11 @@ def head_bnact_from_flat(xs, inv, shift, w, b, H: int, W: int, act: str,
     block-diagonal weights Wbig[(j, ci), (j', co)] = w[ci, co] iff
     j == j' — a clean (rows, 128) x (128, JG*cout) matmul that XLA
     fuses the prologue into (the per-j einsum formulation lowered to a
-    slow reduce; measured 6.5 ms -> GEMM form is memory-bound)."""
-    G, R, P = flat_geometry(H, W)
-    Wp = pad_width(W)
-    cout = w.shape[-1]
-    w2 = w.reshape(-1, cout).astype(jnp.float32)
-    ys = []
-    for i, xc in enumerate(xs):
-        B, D, Rp, _ = xc.shape
-        v = xc[:, :, P:P + R].astype(jnp.float32)
-        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
-        a = _act_fwd(pre, act)
-        wblk = w2[i * CC:(i + 1) * CC]               # (CC, cout)
-        wbig = jnp.zeros((128, JG * cout), jnp.float32)
-        for j in range(JG):
-            wbig = wbig.at[j * CC:(j + 1) * CC,
-                           j * cout:(j + 1) * cout].set(wblk)
-        # Memory-bound head GEMM: default precision on purpose (the
-        # logits feed a softmax loss; f32-HIGHEST would slow the bf16
-        # model's head ~2x for no training benefit).
-        ys.append(_dot(
-            a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))     # (B, D, R, JG*cout)
-    y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG)
-    y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF:W_OFF + W, :]
-    return y.astype(out_dtype)
+    slow reduce; measured 6.5 ms -> GEMM form is memory-bound). The
+    backward is a hand-written VJP (see _head_bwd) that pads dy
+    instead of dx. Reference models/unet.py conv_final."""
+    return _head_bnact(list(xs), list(inv), list(shift), w, b,
+                       H, W, act).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -3001,16 +3001,8 @@ def _upconv122_f64in_bwd(H, W, want_stats, act, res, cts):
 
 upconv122_f64in.defvjp(_upconv122_f64in_fwd, _upconv122_f64in_bwd)
 
-def head_bnact_from_flat64(xs, inv, shift, w, b, H: int, W: int,
-                           act: str, out_dtype=jnp.float32):
-    """1x1 conv head consuming flat64 chunks with a BN-apply +
-    activation prologue, emitting (B, D, H, W, cout) logits — the
-    flat64 analog of flat_fused.head_bnact_from_flat, used when the
-    decoder ends at a C=64/128 level (start_filts=64 models). Removes
-    the full-resolution materialize seam before the head.
-
-    ONE lane-contraction GEMM per chunk with block-diagonal weights
-    Wbig[(j, ci), (j', co)] = w[ci, co] iff j == j'."""
+def _head64_impl(xs, inv, shift, w, b, H: int, W: int, act: str):
+    from elektronn3_tpu.ops.flat_fused import _head_wbig
     G, R, P = flat_geometry64(H, W)
     Wp = pad_width64(W)
     cout = w.shape[-1]
@@ -3021,16 +3013,81 @@ def head_bnact_from_flat64(xs, inv, shift, w, b, H: int, W: int,
         v = xc[:, :, P:P + R].astype(jnp.float32)
         pre = v * inv[i][None, None, None] + shift[i][None, None, None]
         a = _act_fwd(pre, act)
-        wblk = w2[i * CC64:(i + 1) * CC64]           # (64, cout)
-        wbig = jnp.zeros((128, JG64 * cout), jnp.float32)
-        for j in range(JG64):
-            wbig = wbig.at[j * CC64:(j + 1) * CC64,
-                           j * cout:(j + 1) * cout].set(wblk)
+        wbig = _head_wbig(w2, i, cout, CC64, JG64)
         # Memory-bound head GEMM: _dot pins HIGHEST for f32 operands
         # and DEFAULT for bf16 (see flat_fused.head_bnact_from_flat).
         ys.append(_dot(
             a, wbig, dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))     # (B, D, R, 2*cout)
     y = sum(ys) + jnp.tile(b.astype(jnp.float32), JG64)
-    y = y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF64:W_OFF64 + W, :]
-    return y.astype(out_dtype)
+    return y.reshape(B, D, H, Wp, cout)[:, :, :, W_OFF64:W_OFF64 + W, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _head64_bnact(xs, inv, shift, w, b, H: int, W: int, act: str):
+    return _head64_impl(xs, inv, shift, w, b, H, W, act)
+
+
+def _head64_fwd(xs, inv, shift, w, b, H, W, act):
+    return (_head64_impl(xs, inv, shift, w, b, H, W, act),
+            (xs, inv, shift, w, b))
+
+
+def _head64_bwd(H, W, act, res, dy):
+    """Row-padded-dy head backward (dx written once at full chunk
+    size, no slice-adjoint pad) — flat64 analog of
+    flat_fused._head_bwd; see its docstring for the rationale."""
+    from elektronn3_tpu.ops.flat_fused import _head_wbig
+    xs, inv, shift, w, b = res
+    G, R, P = flat_geometry64(H, W)
+    Wp = pad_width64(W)
+    cout = w.shape[-1]
+    w2 = w.reshape(-1, cout).astype(jnp.float32)
+    B, D = dy.shape[:2]
+    dy = dy.astype(jnp.float32)
+    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, 0),
+                       (W_OFF64, Wp - W_OFF64 - W), (0, 0)))
+    dy_rows = dyp.reshape(B, D, R, JG64 * cout)
+    db = jnp.sum(dy_rows, axis=(0, 1, 2)).reshape(JG64, cout).sum(axis=0)
+    dxs, dinvs, dshifts, dwblks = [], [], [], []
+    for i, xc in enumerate(xs):
+        Rp = xc.shape[2]
+        dy_full = jnp.pad(dy_rows,
+                          ((0, 0), (0, 0), (P, Rp - P - R), (0, 0)))
+        wbig = _head_wbig(w2, i, cout, CC64, JG64)
+        vf = xc.astype(jnp.float32)
+        pref = vf * inv[i][None, None, None] + shift[i][None, None, None]
+        da = _dot(dy_full, wbig,
+                  dimension_numbers=(((3,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32)  # (B, D, Rp, 128)
+        dpre = da * _act_deriv(pref, act)
+        dxs.append((dpre * inv[i][None, None, None]).astype(xc.dtype))
+        dinvs.append(jnp.sum(dpre * vf, axis=(0, 1, 2)).astype(inv[i].dtype))
+        dshifts.append(jnp.sum(dpre, axis=(0, 1, 2)).astype(shift[i].dtype))
+        a = _act_fwd(pref, act)
+        dwbig = _dot(a.reshape(-1, 128), dy_full.reshape(-1, JG64 * cout),
+                     dimension_numbers=(((0,), (0,)), ((), ())),
+                     preferred_element_type=jnp.float32)  # (128, 2*cout)
+        dwblks.append(sum(dwbig[j * CC64:(j + 1) * CC64,
+                                j * cout:(j + 1) * cout]
+                          for j in range(JG64)))
+    dw = jnp.concatenate(dwblks, axis=0).reshape(w.shape).astype(w.dtype)
+    return (dxs, dinvs, dshifts, dw, db.astype(b.dtype))
+
+
+_head64_bnact.defvjp(_head64_fwd, _head64_bwd)
+
+
+def head_bnact_from_flat64(xs, inv, shift, w, b, H: int, W: int,
+                           act: str, out_dtype=jnp.float32):
+    """1x1 conv head consuming flat64 chunks with a BN-apply +
+    activation prologue, emitting (B, D, H, W, cout) logits — the
+    flat64 analog of flat_fused.head_bnact_from_flat, used when the
+    decoder ends at a C=64/128 level (start_filts=64 models). Removes
+    the full-resolution materialize seam before the head.
+
+    ONE lane-contraction GEMM per chunk with block-diagonal weights
+    Wbig[(j, ci), (j', co)] = w[ci, co] iff j == j'; hand-written
+    row-padded-dy backward (_head64_bwd)."""
+    return _head64_bnact(list(xs), list(inv), list(shift), w, b,
+                         H, W, act).astype(out_dtype)
