@@ -76,7 +76,12 @@ class FlatBatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        # The sum/sumsq formulation can go slightly negative from
+        # cancellation (large mean, tiny true variance); clamp before
+        # rsqrt like FlatBNStats below (running stats keep the raw
+        # value for flax parity).
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon) \
+            * scale.astype(jnp.float32)
         shift = bias.astype(jnp.float32) - mean * inv
 
         # Per-lane vectors + combined (row, lane) zero mask
