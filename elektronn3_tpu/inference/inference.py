@@ -249,9 +249,10 @@ class Predictor:
             assert state is not None, \
                 "state (variables dict) required with a flax Module"
             if isinstance(state, str):
-                # Reference torch checkpoint (state_dict*.pth / model*.pt,
-                # reference inference.py:418-440): convert into flax
-                # variables for this model (models/torch_import.py).
+                # Reference torch checkpoint (state_dict*.pth /
+                # model*.pt / TorchScript model*.pts, reference
+                # inference.py:418-440): convert into flax variables
+                # for this model (models/torch_import.py).
                 from elektronn3_tpu.models.torch_import import \
                     load_torch_state_dict
                 state = load_torch_state_dict(

@@ -3,10 +3,11 @@
 Completes the drop-in migration story (docs/MIGRATION.md): users of the
 reference hold ``state_dict*.pth`` bundles (torch.save dict with a
 'model_state_dict' entry, reference trainer.py:845-869), bare
-state_dicts, or pickled ``model*.pt`` modules (reference
-inference.py:418-440); :func:`load_torch_state_dict` converts any of
-them into a flax ``variables`` dict for the corresponding
-``elektronn3_tpu`` model (UNet and ResUNet layouts).
+state_dicts, pickled ``model*.pt`` modules, or TorchScript
+``model*.pts`` archives (the reference Predictor's full artifact
+triple, reference inference.py:418-440); :func:`load_torch_state_dict`
+converts any of them into a flax ``variables`` dict for the
+corresponding ``elektronn3_tpu`` model (UNet and ResUNet layouts).
 
 Name translation (torch module path -> flax variable path):
 
@@ -121,8 +122,20 @@ def load_torch_state_dict(src, model, example_input_shape=None,
     # --- resolve the source into a flat {name: np.ndarray} state dict
     if isinstance(src, str):
         import torch
-        obj = torch.load(src, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):  # pickled nn.Module (model*.pt)
+        if src.endswith(".pts"):
+            # TorchScript archive (reference trainer.py:876-887
+            # save_jit; consumed by reference inference.py:418-440) —
+            # torch.jit.load exposes the module's state_dict, which
+            # feeds the same rename map as .pth/.pt below.
+            obj = torch.jit.load(src, map_location="cpu")
+        else:
+            try:
+                obj = torch.load(src, map_location="cpu",
+                                 weights_only=False)
+            except RuntimeError:
+                # A TorchScript zip saved under a non-.pts name.
+                obj = torch.jit.load(src, map_location="cpu")
+        if hasattr(obj, "state_dict"):  # nn.Module / ScriptModule
             obj = obj.state_dict()
         if isinstance(obj, dict) and "model_state_dict" in obj:
             obj = obj["model_state_dict"]
