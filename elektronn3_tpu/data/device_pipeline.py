@@ -138,8 +138,12 @@ class DeviceWarpPatchLoader:
                 self.n_failed += 1
                 continue
             self.n_ok += 1
-            # Read and pad to the static window shape.
-            cut = slice_3d(src, lo, hi, dtype=floatX)
+            # Read and pad to the static window shape in the source's
+            # NATIVE dtype: uint8 EM raw ships over H2D at 1 byte/voxel
+            # (4x less than the old float32 path on the measured e2e
+            # bottleneck); the cast + normalize happen on device
+            # (_device_process). float sources pass through unchanged.
+            cut = slice_3d(src, lo, hi, dtype=None)
             if cut.ndim == 3:
                 cut = cut[None]  # (C=1, d, h, w)
             pad = [(0, 0)] + [(0, int(w - s))
@@ -147,7 +151,7 @@ class DeviceWarpPatchLoader:
             window = np.pad(cut, pad)  # (C, *window_shape)
             t_window = None
             if tsrc is not None:
-                tcut = slice_3d(tsrc, lo, hi, dtype=floatX)
+                tcut = slice_3d(tsrc, lo, hi, dtype=None)
                 if tcut.ndim == 3:
                     tcut = tcut[None]
                 tpad = [(0, 0)] + pad[1:]
@@ -158,8 +162,14 @@ class DeviceWarpPatchLoader:
 
     @partial(jax.jit, static_argnames=("self",))
     def _device_process(self, windows, t_windows, M_invs, los, key):
-        # windows (N, C, *window): fold channels into the batch for the
-        # interpolation kernel, then unfold to channels-last.
+        # windows (N, C, *window): arrive in the source's native dtype
+        # (uint8 for EM raw — the H2D transfer ships 1 byte/voxel);
+        # upcast to float32 HERE, on device, where the cast is free
+        # (fused into the interpolation gather). Exact: uint8 -> f32 is
+        # lossless, so numerics match the old host-f32 path bitwise.
+        windows = windows.astype(jnp.float32)
+        # fold channels into the batch for the interpolation kernel,
+        # then unfold to channels-last.
         N, C = windows.shape[:2]
         wf = windows.reshape((N * C,) + windows.shape[2:])
         mrep = jnp.repeat(M_invs, C, axis=0)
@@ -174,6 +184,7 @@ class DeviceWarpPatchLoader:
             inp = self.augment_fn(inp, key)
         out = {"inp": inp}  # channels-last (N, pd, ph, pw, C)
         if t_windows is not None:
+            t_windows = t_windows.astype(jnp.float32)  # native-int H2D
             Nt, Ct = t_windows.shape[:2]
             tf = t_windows.reshape((Nt * Ct,) + t_windows.shape[2:])
             tgt = warp_ops.warp_interpolate_batch(

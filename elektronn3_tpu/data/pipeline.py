@@ -223,7 +223,11 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
     targets never need 64 bits) and, when ``inp_dtype`` is given (e.g.
     ml_dtypes.bfloat16 for bf16 models), the 'inp' array is cast on the
     host BEFORE the transfer — the model would cast it on device
-    anyway, so this halves H2D traffic at identical numerics.
+    anyway, so this halves H2D traffic at identical numerics. Integer
+    'inp' arrays (uint8 EM raw from a pipeline that defers
+    normalization to the device) pass through at native width —
+    1 byte/voxel, the narrowest transfer; ``inp_dtype`` deliberately
+    applies to floating inputs only so it never widens them.
     """
     if jax is None:  # pragma: no cover
         yield from iterator

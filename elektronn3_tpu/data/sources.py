@@ -11,7 +11,7 @@ Behavioral parity with reference elektronn3/data/sources.py:16-125:
 from __future__ import annotations
 
 import os
-from typing import Any, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
 import numpy as np
 
@@ -88,11 +88,15 @@ def slice_3d(
         src: DataSource,
         coords_lo: Sequence[int],
         coords_hi: Sequence[int],
-        dtype: type = np.float32,
+        dtype: Optional[type] = np.float32,
         prepend_empty_axis: bool = False,
         check_bounds: bool = True,
 ) -> np.ndarray:
     """Slice a (C,)D,H,W window out of a data source with bounds checks.
+
+    ``dtype=None`` keeps the source's native dtype (e.g. uint8 EM raw)
+    — the device pipeline ships windows in native width and casts on
+    device, quartering H2D traffic vs. float32 (round-4 e2e lever).
 
     Reference: sources.py:65-125.
     """
@@ -114,4 +118,6 @@ def slice_3d(
             f"Expected src.ndim to be 3 or 4, but got {src.ndim} instead.")
     if prepend_empty_axis:
         cut = cut[None]
+    if dtype is None:
+        return np.asarray(cut)
     return cut.astype(dtype, copy=False)

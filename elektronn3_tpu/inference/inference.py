@@ -46,6 +46,7 @@ def tiled_apply(
         offset: Optional[Sequence[int]],
         out_shape: Sequence[int],
         verbose: bool = False,
+        phase_times: Optional[Dict[str, float]] = None,
 ) -> np.ndarray:
     """Apply ``func`` tile-wise over a large (N, C, *spatial) input.
 
@@ -123,8 +124,11 @@ def tiled_apply(
     def flush():
         if not tile_batch:
             return
+        ta = time.time()
         stacked = np.concatenate(tile_batch)  # (B*n, C, *in_tile)
+        tb = time.time()
         res = np.asarray(func(stacked))
+        tc = time.time()
         if np.any(crop_low > 0):
             res = res[_extend_nc(
                 [slice(c, c + t) for c, t in zip(crop_low, tile_shape)])]
@@ -134,6 +138,14 @@ def tiled_apply(
             out[_extend_nc([slice(lo, hi)
                             for lo, hi in zip(out_lo, out_hi)])] = \
                 res[bi * n:(bi + 1) * n]
+        if phase_times is not None:
+            td = time.time()
+            phase_times["host_assemble"] = \
+                phase_times.get("host_assemble", 0.0) + (tb - ta)
+            phase_times["device_call"] = \
+                phase_times.get("device_call", 0.0) + (tc - tb)
+            phase_times["host_scatter"] = \
+                phase_times.get("host_scatter", 0.0) + (td - tc)
         tile_batch.clear()
         positions_batch.clear()
 
@@ -212,6 +224,7 @@ class Predictor:
             argmax_with_threshold: Union[None, bool, float] = None,
             strict_shapes: bool = False,
             verbose: bool = False,
+            collect_phase_times: bool = False,
             mesh=None,
             shard_mode: str = "spatial",
             shard_axis: int = 2,
@@ -229,6 +242,12 @@ class Predictor:
         self.argmax_with_threshold = argmax_with_threshold
         self.strict_shapes = strict_shapes
         self.verbose = verbose
+        # Opt-in per-phase wall-time attribution (host_assemble / h2d /
+        # compute / d2h / host_scatter), populated per predict() call.
+        # Adds one tiny sync fetch per device call when enabled — leave
+        # off in production.
+        self.collect_phase_times = collect_phase_times
+        self.last_phase_times: Optional[Dict[str, float]] = None
         # Integer specs are resolved per call from the input rank (the
         # 2D vs 3D default table depends on it) — never written back,
         # so one Predictor is shareable across volumes of any rank.
@@ -390,9 +409,33 @@ class Predictor:
             pad = self._n_shards - n % self._n_shards
             inp_ncf = np.concatenate(
                 [inp_ncf] + [inp_ncf[-1:]] * pad)
-        x_cl = jnp.asarray(np.moveaxis(inp_ncf, 1, -1))
+        host = np.ascontiguousarray(np.moveaxis(inp_ncf, 1, -1))
+        if self.float16:
+            # Ship bf16: the forward casts to bf16 on device anyway
+            # (_forward_cl), so converting on the host first HALVES the
+            # H2D bytes at identical numerics — on relay/PCIe-bound
+            # hosts the transfer is the tiled-inference bottleneck.
+            import ml_dtypes
+            host = host.astype(ml_dtypes.bfloat16)
+        if self.last_phase_times is None:
+            x_cl = jnp.asarray(host)
+            out = self._jit_forward(x_cl)
+            return np.moveaxis(np.asarray(out), -1, 1)[:n]
+        pt = self.last_phase_times
+        t0 = time.time()
+        x_cl = jax.block_until_ready(jnp.asarray(host))
+        t1 = time.time()
         out = self._jit_forward(x_cl)
-        return np.moveaxis(np.asarray(out), -1, 1)[:n]
+        # relay-safe device sync: a 1-element fetch (block_until_ready
+        # may not truly block through axon; CLAUDE.md)
+        float(out.ravel()[0])
+        t2 = time.time()
+        res = np.moveaxis(np.asarray(out), -1, 1)[:n]
+        t3 = time.time()
+        pt["h2d"] = pt.get("h2d", 0.0) + (t1 - t0)
+        pt["compute"] = pt.get("compute", 0.0) + (t2 - t1)
+        pt["d2h"] = pt.get("d2h", 0.0) + (t3 - t2)
+        return res
 
     # -- public API ------------------------------------------------------
 
@@ -401,6 +444,7 @@ class Predictor:
         numpy array; returns (N, C_out, *spatial_out) float32.
         Reference Predictor.predict (inference.py:569-642)."""
         start = time.time()
+        self.last_phase_times = {} if self.collect_phase_times else None
         inp = np.asarray(inp, np.float32)
         spatial_ndim = None
         if self.tile_shape is not None:
@@ -499,7 +543,8 @@ class Predictor:
     def _tiled_predict(self, inp, tile_shape, overlap, offset, out_shape):
         return tiled_apply(
             self._splitbatch_predict, inp, tile_shape, overlap,
-            offset, out_shape, verbose=self.verbose)
+            offset, out_shape, verbose=self.verbose,
+            phase_times=self.last_phase_times)
 
     def _splitbatch_predict(self, inp: np.ndarray) -> np.ndarray:
         """Split over-long batches (reference :552-567).

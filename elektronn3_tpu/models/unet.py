@@ -647,6 +647,9 @@ class DownConv(nn.Module):
     #                            form for a fused64 next level
     tile: int = 0   # dim=2 H-tiling slab height (0 = untiled)
     input_grad: bool = False   # see _Conv1FusedFlat
+    # Mapped (shard_map) batch-axis name for cross-shard batch-norm
+    # statistics (parallel/shard_step); None outside shard_map.
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -655,7 +658,8 @@ class DownConv(nn.Module):
         ks = conv_kernel(3, self.dim, self.planar)
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
-        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                       axis_name=self.axis_name)
 
         if self.fused64:
             # Fully fused C=64 executor (ops/flat_fused64.py):
@@ -700,6 +704,7 @@ class DownConv(nn.Module):
                 s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
                 q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
                 inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
+                                           axis_name=self.axis_name,
                                            name=f"BatchNorm_{nidx}")(
                     s1, q1, count, n, not train)
                 nidx += 1
@@ -717,6 +722,7 @@ class DownConv(nn.Module):
                 s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
                 q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
                 inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
+                                           axis_name=self.axis_name,
                                            name=f"BatchNorm_{nidx}")(
                     s2, q2, count, n, not train)
             else:
@@ -766,7 +772,7 @@ class DownConv(nn.Module):
                 if self.full_norm and batch:
                     s1 = _ffu.fold_lane_stats(st1[0])
                     q1 = _ffu.fold_lane_stats(st1[1])
-                    inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                         s1, q1, count, n, not train)
                     nidx += 1
                 else:
@@ -784,7 +790,7 @@ class DownConv(nn.Module):
                     y1 = y1.reshape(B, Dd, H, W, C)
                 if self.full_norm and batch:
                     s1, q1 = _ffu.channel_stats_dense(y1)
-                    inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                    inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                         s1, q1, count, n, not train)
                     nidx += 1
                 else:
@@ -805,7 +811,7 @@ class DownConv(nn.Module):
             if batch:
                 s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
                 q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                inv2, shift2 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     s2, q2, count, n, not train)
             else:
                 inv2, shift2 = identity_prologue(n)
@@ -848,7 +854,7 @@ class DownConv(nn.Module):
                 chunks = _fc.to_flat(y)
             nidx = 0
             if self.full_norm and self.normalization == "batch":
-                chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                chunks = FlatBatchNorm(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     chunks, H=H, W=W, use_running_average=not train)
                 nidx += 1
             chunks = _flat_act(act, chunks)
@@ -857,7 +863,7 @@ class DownConv(nn.Module):
                                param_dtype=self.param_dtype,
                                name="conv2")(chunks)
             if self.normalization == "batch":
-                chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                chunks = FlatBatchNorm(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     chunks, H=H, W=W, use_running_average=not train)
             chunks = _flat_act(act, chunks)
             y = (_fc.pool_flat(chunks, H, W) if self.pooling
@@ -936,6 +942,9 @@ class UpConv(nn.Module):
     fused64: bool = False
     flat_hw: Tuple[int, int] = (0, 0)
     tile: int = 0   # dim=2 H-tiling slab height (0 = untiled)
+    # Mapped (shard_map) batch-axis name for cross-shard batch-norm
+    # statistics (parallel/shard_step); None outside shard_map.
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -944,7 +953,8 @@ class UpConv(nn.Module):
         ks = conv_kernel(3, self.dim, self.planar)
         padding = "SAME" if self.conv_mode == "same" else "VALID"
         act = get_activation(self.activation)
-        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        norm_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                       axis_name=self.axis_name)
 
         if self.fused64:
             # Fully fused C=64 decoder level: stride-2 upconv -> BN
@@ -992,6 +1002,7 @@ class UpConv(nn.Module):
                 su = _ff64.fold_lane_stats64(stu[0]) if stu else None
                 qu = _ff64.fold_lane_stats64(stu[1]) if stu else None
                 invu, shiftu = FlatBNStats(cc=_ff64.CC64,
+                                           axis_name=self.axis_name,
                                            name=f"BatchNorm_{nidx}")(
                     su, qu, count, n, not train)
                 nidx += 1
@@ -1011,6 +1022,7 @@ class UpConv(nn.Module):
                 s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
                 q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
                 inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
+                                           axis_name=self.axis_name,
                                            name=f"BatchNorm_{nidx}")(
                     s1, q1, count, n, not train)
                 nidx += 1
@@ -1027,6 +1039,7 @@ class UpConv(nn.Module):
                 s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
                 q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
                 inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
+                                           axis_name=self.axis_name,
                                            name=f"BatchNorm_{nidx}")(
                     s2, q2, count, n, not train)
             else:
@@ -1067,7 +1080,7 @@ class UpConv(nn.Module):
             if self.full_norm and batch:
                 su = _ffu.fold_lane_stats(stu[0]) if stu else None
                 qu = _ffu.fold_lane_stats(stu[1]) if stu else None
-                invu, shiftu = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                invu, shiftu = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     su, qu, count, n, not train)
                 nidx += 1
             else:
@@ -1086,7 +1099,7 @@ class UpConv(nn.Module):
             if self.full_norm and batch:
                 s1 = _ffu.fold_lane_stats(st1[0]) if st1 else None
                 q1 = _ffu.fold_lane_stats(st1[1]) if st1 else None
-                inv1, shift1 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     s1, q1, count, n, not train)
                 nidx += 1
             else:
@@ -1101,7 +1114,7 @@ class UpConv(nn.Module):
             if batch:
                 s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
                 q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(name=f"BatchNorm_{nidx}")(
+                inv2, shift2 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     s2, q2, count, n, not train)
             else:
                 inv2, shift2 = identity_prologue(n)
@@ -1119,7 +1132,7 @@ class UpConv(nn.Module):
                                       name="upconv")(dec)
             nidx = 0
             if self.full_norm and self.normalization == "batch":
-                up_chunks = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                up_chunks = FlatBatchNorm(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     up_chunks, H=H, W=W, use_running_average=not train)
                 nidx += 1
             up_chunks = _flat_act(act, up_chunks)
@@ -1130,14 +1143,14 @@ class UpConv(nn.Module):
             y = _FlatConv(self.out_channels, 1, H, W, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="conv1")(mrg)
             if self.full_norm and self.normalization == "batch":
-                y = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                y = FlatBatchNorm(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     y, H=H, W=W, use_running_average=not train)
                 nidx += 1
             y = _flat_act(act, y)
             y = _FlatConv(self.out_channels, 1, H, W, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="conv2")(y)
             if self.normalization == "batch":
-                y = FlatBatchNorm(name=f"BatchNorm_{nidx}")(
+                y = FlatBatchNorm(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
                     y, H=H, W=W, use_running_average=not train)
             y = _flat_act(act, y)
             return y, None  # flat chunks; UNet handles the head/seam
@@ -1229,6 +1242,15 @@ class UNet(nn.Module):
     # auto plan (_plan_tile2d). Tests use this to exercise the d_halo
     # path at small shapes; production leaves it None.
     tile2d: Optional[int] = None
+    # Name of a mapped (shard_map) batch axis for explicit data
+    # parallelism: batch-norm statistics are psum'd over it so
+    # per-shard fused kernels produce GLOBAL batch statistics,
+    # matching the GSPMD executor's semantics. Set by
+    # Trainer(mesh=...) via model.clone(axis_name='data') — the model
+    # must then be applied inside jax.shard_map over that axis (a bare
+    # apply raises an unbound-axis error). None (default) outside
+    # shard_map.
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     # Output logit dtype. None = float32 (reference semantics). For
@@ -1511,8 +1533,8 @@ class UNet(nn.Module):
         block_kw = dict(
             activation=self.activation, normalization=self.normalization,
             full_norm=self.full_norm, dim=self.dim,
-            conv_mode=self.conv_mode, dtype=self.dtype,
-            param_dtype=self.param_dtype)
+            conv_mode=self.conv_mode, axis_name=self.axis_name,
+            dtype=self.dtype, param_dtype=self.param_dtype)
 
         # Gradient checkpointing after each block (reference
         # forward_gradcp, unet.py:918-935) via flax's jax.checkpoint

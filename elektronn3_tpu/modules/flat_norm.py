@@ -31,9 +31,17 @@ from elektronn3_tpu.ops.flat_conv import (
 
 
 class FlatBatchNorm(nn.Module):
-    """BatchNorm on flat chunks. Call with (chunks, H, W, train)."""
+    """BatchNorm on flat chunks. Call with (chunks, H, W, train).
+
+    ``axis_name``: name of a mapped (shard_map) batch axis. When set,
+    batch statistics are psum'd over it so per-shard kernels produce
+    the GLOBAL batch statistics — the flat-executor analog of
+    ``nn.BatchNorm(axis_name=...)`` (cross-device batch norm under
+    explicit data parallelism; parallel/shard_step design).
+    """
     momentum: float = 0.9
     epsilon: float = 1e-5
+    axis_name: Optional[str] = None
     dtype = jnp.float32
     param_dtype = jnp.float32
 
@@ -45,6 +53,8 @@ class FlatBatchNorm(nn.Module):
         B, D, Rp, _ = chunks[0].shape
         G, R, P = flat_geometry(H, W)
         count = B * D * H * W
+        if self.axis_name is not None:
+            count *= jax.lax.axis_size(self.axis_name)
 
         scale = self.param("scale", nn.initializers.ones, (C,),
                            self.param_dtype)
@@ -69,6 +79,9 @@ class FlatBatchNorm(nn.Module):
                 [v.reshape(JG, CC).sum(0) for v in sums])      # (C,)
             sq = jnp.concatenate(
                 [v.reshape(JG, CC).sum(0) for v in sqs])
+            if self.axis_name is not None:
+                s = jax.lax.psum(s, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
             mean = s / count
             var = sq / count - mean * mean
             if not self.is_initializing():
@@ -114,10 +127,19 @@ class FlatBNStats(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     cc: int = CC  # channel-chunk size (32 for flat32, 64 for flat64)
+    # Mapped batch-axis name for cross-shard statistics (see
+    # FlatBatchNorm.axis_name): kernels emit per-shard (sum, sumsq);
+    # psum makes them global before the mean/var division.
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, s_c, q_c, count: int, n_chunks: int,
                  use_running_average: bool):
+        if self.axis_name is not None:
+            count = count * jax.lax.axis_size(self.axis_name)
+            if not use_running_average:
+                s_c = jax.lax.psum(s_c, self.axis_name)
+                q_c = jax.lax.psum(q_c, self.axis_name)
         cc, jg = self.cc, 128 // self.cc
         C = n_chunks * cc
         scale = self.param("scale", nn.initializers.ones, (C,),

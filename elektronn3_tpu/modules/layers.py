@@ -117,6 +117,7 @@ def get_normalization(
         *,
         dtype: Dtype = jnp.float32,
         param_dtype: Dtype = jnp.float32,
+        axis_name: Optional[str] = None,
 ) -> Optional[nn.Module]:
     """Build a normalization layer by name.
 
@@ -124,13 +125,17 @@ def get_normalization(
     'group<G>' (e.g. 'group16'), 'none'/None. All normalize over
     channels-last layout. BatchNorm state lives in the 'batch_stats'
     collection; callers thread ``use_running_average``.
+
+    ``axis_name`` names a mapped (shard_map) batch axis for
+    cross-device batch statistics; only 'batch' reduces over the batch,
+    so group/instance norms ignore it.
     """
     if norm is None or norm == "none":
         return None
     if norm == "batch":
         return nn.BatchNorm(
             use_running_average=None, momentum=0.9, epsilon=1e-5,
-            dtype=dtype, param_dtype=param_dtype)
+            axis_name=axis_name, dtype=dtype, param_dtype=param_dtype)
     if norm == "batchp":
         # Pallas fused batch norm (ops/pallas_bn.py): same semantics as
         # 'batch' with a kernel-fused stats+normalize implementation.

@@ -144,6 +144,7 @@ class Trainer:
             knossos_preview_config: Optional[Dict[str, Any]] = None,
             tb_hist_interval: int = 1,
             mesh=None,
+            shard_strategy: str = "auto",
             seed: int = 0,
             tqdm_kwargs: Optional[Dict] = None,
             profile_steps: Optional[Tuple[int, int]] = None,
@@ -180,6 +181,7 @@ class Trainer:
         # _tb_log_histograms, trainer.py:977-986).
         self.tb_hist_interval = tb_hist_interval
         self.mesh = mesh
+        self.shard_strategy = shard_strategy
         self.seed = seed
         self.overlay_alpha = overlay_alpha
         self.tqdm_kwargs = dict(tqdm_kwargs or {})
@@ -298,11 +300,43 @@ class Trainer:
 
         self._sharding = None
         self._replicated = None
+        self._sm_model = None   # shard_map-strategy model clone
+        self._sm_axis = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self._sharding = NamedSharding(self.mesh, P("data"))
+            axis0 = self.mesh.axis_names[0]
+            self._sharding = NamedSharding(self.mesh, P(axis0))
             self._replicated = NamedSharding(self.mesh, P())
             self.state = jax.device_put(self.state, self._replicated)
+            # Sharding strategy for the model forward:
+            # - 'gspmd': jit + in_shardings; XLA partitions the graph.
+            #   Correct for pure-XLA executors, but GSPMD has no
+            #   partitioning rules for Pallas custom calls, so a model
+            #   with fused flat executors would be replicated (with
+            #   all-gathers) instead of batch-sharded.
+            # - 'shard_map': the model forward runs per-shard inside
+            #   jax.shard_map over the batch axis (fused kernels run
+            #   unchanged on their local batch); batch-norm statistics
+            #   are psum'd via the model's axis_name, and loss/optimizer
+            #   run outside under GSPMD, so semantics (global BN stats,
+            #   global loss reductions) are identical to 'gspmd'.
+            # - 'auto': shard_map when the model supports axis_name
+            #   threading and the mesh is a single data axis.
+            strategy = self.shard_strategy
+            if strategy == "auto":
+                strategy = ("shard_map"
+                            if hasattr(type(self.model), "axis_name")
+                            and len(self.mesh.axis_names) == 1
+                            else "gspmd")
+            if strategy not in ("gspmd", "shard_map"):
+                raise ValueError(
+                    f"shard_strategy must be 'auto', 'gspmd' or "
+                    f"'shard_map', got {strategy!r}")
+            if strategy == "shard_map":
+                self._sm_axis = axis0
+                self._sm_model = (
+                    self.model if getattr(self.model, "axis_name", None)
+                    else self.model.clone(axis_name=axis0))
 
         self._train_step_jit = self._build_train_step()
         self._eval_step_jit = self._build_eval_step()
@@ -317,6 +351,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _apply(self, params, batch_stats, inp, train, rng):
+        if self._sm_model is not None:
+            return self._apply_sharded(params, batch_stats, inp, train,
+                                       rng)
+        return self._apply_local(self.model, params, batch_stats, inp,
+                                 train, rng)
+
+    @staticmethod
+    def _apply_local(model, params, batch_stats, inp, train, rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -324,11 +366,51 @@ class Trainer:
         mutable = ["batch_stats"] if (train and batch_stats) else False
         rngs = {"dropout": rng} if rng is not None else None
         if mutable:
-            out, mut = self.model.apply(variables, inp, rngs=rngs,
-                                        mutable=mutable, **kwargs)
+            out, mut = model.apply(variables, inp, rngs=rngs,
+                                   mutable=mutable, **kwargs)
             return out, mut.get("batch_stats", batch_stats)
-        out = self.model.apply(variables, inp, rngs=rngs, **kwargs)
+        out = model.apply(variables, inp, rngs=rngs, **kwargs)
         return out, batch_stats
+
+    def _apply_sharded(self, params, batch_stats, inp, train, rng):
+        """Model forward under explicit batch-axis SPMD
+        (shard_strategy='shard_map'): each device applies the model to
+        its batch shard — Pallas fused executors run unchanged on the
+        local batch — while the model's ``axis_name`` psums batch-norm
+        statistics, so outputs and updated running stats are identical
+        to the GSPMD path. Loss/grad/optimizer run OUTSIDE this region:
+        the logits are returned batch-sharded, the criterion reduces
+        them globally under GSPMD, and shard_map's AD transposes the
+        replicated params to a psum'd gradient.
+
+        The reference's multi-device analog is ``nn.DataParallel``
+        scatter/gather (SURVEY.md §2.2) — here the scatter is the
+        sharding itself and the gather collapses into collectives.
+        """
+        from jax.sharding import PartitionSpec as P
+        model = self._sm_model
+        axis = self._sm_axis
+        have_rng = rng is not None
+
+        def local(params, batch_stats, inp, *rest):
+            r = None
+            if have_rng:
+                # De-correlate per-shard dropout masks.
+                r = jax.random.fold_in(rest[0],
+                                       jax.lax.axis_index(axis))
+            return self._apply_local(model, params, batch_stats, inp,
+                                     train, r)
+
+        in_specs = [P(), P(), P(axis)]
+        args = [params, batch_stats, inp]
+        if have_rng:
+            in_specs.append(P())
+            args.append(rng)
+        sm = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=tuple(in_specs),
+                           out_specs=(P(axis), P()),
+                           check_vma=False)
+        return sm(*args)
 
     def _build_train_step(self):
         optimizer = self.optimizer

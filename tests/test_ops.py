@@ -194,3 +194,47 @@ def test_device_warp_patch_loader_multichannel_and_prios(rng):
     for _ in range(5):
         w, t, m, lo = loader._sample_one()
         assert w.shape[0] == 2
+
+
+def test_device_loader_uint8_native_h2d_parity(rng):
+    """Native-dtype H2D (round-4 e2e lever): a uint8 source ships its
+    windows at 1 byte/voxel and is cast+normalized ON DEVICE; the
+    result must match the float32-source path bitwise (uint8 -> f32 is
+    lossless)."""
+    from elektronn3_tpu.data.device_pipeline import DeviceWarpPatchLoader
+    from elektronn3_tpu.data.sources import ArrayDataSource
+
+    vol8 = rng.integers(0, 256, size=(48, 64, 64)).astype(np.uint8)
+    lab = rng.integers(0, 3, size=(48, 64, 64)).astype(np.uint8)
+    kw = dict(patch_shape=(8, 12, 12), batch_size=2, epoch_size=2,
+              warp_prob=0.5,
+              warp_kwargs=dict(sample_aniso=True, warp_amount=0.5),
+              normalize=(155.3, 41.8), seed=0)
+    loader8 = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(lab)], **kw)
+    loader32 = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8.astype(np.float32))],
+        targets=[ArrayDataSource(lab.astype(np.float32))], **kw)
+
+    # The host-side sample ships NATIVE uint8 windows (the whole point:
+    # 4x fewer H2D bytes). Probe with a SEPARATE instance so the
+    # compared loaders' RNG streams stay aligned.
+    probe = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(lab)], **kw)
+    window, t_window, _, _ = probe._sample_one()
+    assert window.dtype == np.uint8
+    assert t_window.dtype == np.uint8
+    # ... and the device-side batches match the float32-source pipeline
+    # (same seed -> same sample stream). uint8 -> f32 conversion is
+    # lossless, but XLA fuses the convert into the gather/interp, so
+    # the f32 rounding association differs by <= 1 ulp — tolerance 1e-5
+    # on ~N(0,1) normalized values. Discrete targets are exact.
+    for b8, b32 in zip(loader8, loader32):
+        assert b8["inp"].dtype == b32["inp"].dtype
+        assert np.allclose(np.asarray(b8["inp"]),
+                           np.asarray(b32["inp"]), atol=1e-5), \
+            np.abs(np.asarray(b8["inp"]) - np.asarray(b32["inp"])).max()
+        assert np.array_equal(np.asarray(b8["target"]),
+                              np.asarray(b32["target"]))
