@@ -164,6 +164,23 @@ def load_torch_state_dict(src, model, example_input_shape=None,
     params_flat = _flatten(dict(variables.get("params", {})))
     bs_flat = _flatten(dict(variables.get("batch_stats", {})))
 
+    # ResUNet layout resolution: a res_blocks=0 ResUNet delegates to
+    # the UNet forward (models/resunet.py), so its flax tree has no
+    # conv_{j} ConvBlock nesting — but the reference resunet ALWAYS
+    # wraps its single ConvBlock in a Sequential (``convs.0``,
+    # reference resunet.py:288-298). When the target template has no
+    # conv_{j} modules, collapse the (sole) ``conv_0`` token so
+    # ``down_convs.0.convs.0.conv1`` lands on ``down_0/conv1``.
+    template_has_convn = any(
+        any(re.fullmatch(r"conv_\d+", c) for c in path)
+        for path in params_flat)
+
+    def _rename(key: str) -> Tuple[str, ...]:
+        parts = _structural_rename(tuple(key.split(".")))
+        if not template_has_convn:
+            parts = tuple(p for p in parts if p != "conv_0")
+        return parts
+
     # --- norm-slot resolution: per flax parent, norm modules by order
     norm_slots: Dict[Tuple[str, ...], list] = {}
     for path in params_flat:
@@ -179,7 +196,7 @@ def load_torch_state_dict(src, model, example_input_shape=None,
     # torch norm names per parent, by index order
     torch_norms: Dict[Tuple[str, ...], list] = {}
     for key in sd:
-        parts = _structural_rename(tuple(key.split(".")))
+        parts = _rename(key)
         if len(parts) >= 2 and re.fullmatch(r"norm\d+", parts[-2]):
             parent = parts[:-2]
             lst = torch_norms.setdefault(parent, [])
@@ -199,7 +216,7 @@ def load_torch_state_dict(src, model, example_input_shape=None,
     new_bs = dict(bs_flat)
     problems = []
     for key, w in sd.items():
-        parts = _structural_rename(tuple(key.split(".")))
+        parts = _rename(key)
         leaf = parts[-1]
         if leaf == "num_batches_tracked":
             continue

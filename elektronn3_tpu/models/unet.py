@@ -1523,6 +1523,15 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        return self._unet_forward(x, train)
+
+    def _unet_forward(self, x, train: bool):
+        """Level-planned forward body. Undecorated so subclasses with
+        their own ``@nn.compact __call__`` (models/resunet.py ResUNet —
+        structurally a UNet when ``res_blocks == 0``) can delegate to
+        the full executor planning, including the fused flat levels
+        (flax allows one compact method per class, so the body cannot
+        be shared via ``UNet.__call__`` directly)."""
         self._validate()
         if x.shape[-1] != self.in_channels:
             raise ValueError(

@@ -43,6 +43,41 @@ def test_resunet_2d_residual_grad():
                for l in jax.tree_util.tree_leaves(g))
 
 
+def test_resunet_res0_is_unet():
+    """enc_res_blocks == dec_res_blocks == 0 (the reference default)
+    delegates to the UNet forward: identical param tree, bit-identical
+    outputs with transplanted params — so the #2 model rides the same
+    executor planning (incl. the fused flat levels on TPU) as UNet
+    (reference resunet.py:598-935 runs the same cuDNN path as unet)."""
+    kw = dict(in_channels=1, out_channels=2, n_blocks=3, start_filts=4,
+              planar_blocks=(0,), normalization="batch", dim=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8, 16, 16, 1)),
+        jnp.float32)
+    mr = models.ResUNet(**kw)
+    mu = models.UNet(full_norm=True, **kw)
+    vr = mr.init({"params": key}, x, train=False)
+    vu = mu.init({"params": key}, x, train=False)
+    assert (jax.tree_util.tree_structure(vr)
+            == jax.tree_util.tree_structure(vu))
+    out_r = mr.apply(vu, x, train=False)
+    out_u = mu.apply(vu, x, train=False)
+    assert np.array_equal(np.asarray(out_r), np.asarray(out_u))
+
+
+def test_resunet_res0_fused_gating(monkeypatch):
+    """The delegated ResUNet inherits UNet's fused-executor planning:
+    on a (faked) TPU backend with bf16, the headline level geometries
+    pass the same gates as UNet's."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m = models.ResUNet(in_channels=1, out_channels=2, n_blocks=2,
+                       start_filts=32, planar_blocks=(0,), dim=3,
+                       normalization="batch", dtype=jnp.bfloat16)
+    assert m._flat_fused_ok(True, 32, 88, 88)
+    assert m._flat_fused64_ok(False, 64, 44, 44, 44, True)
+
+
 def test_vnet():
     m = models.VNet(fac=4)
     out, _ = run(m, (1, 16, 16, 16, 1), mutable=["batch_stats"])
