@@ -47,6 +47,8 @@ def tiled_apply(
         out_shape: Sequence[int],
         verbose: bool = False,
         phase_times: Optional[Dict[str, float]] = None,
+        device_crop: bool = False,
+        max_tiles_per_call: Optional[int] = None,
 ) -> np.ndarray:
     """Apply ``func`` tile-wise over a large (N, C, *spatial) input.
 
@@ -56,6 +58,20 @@ def tiled_apply(
     both sides. ``offset`` accounts for valid-conv shrinkage: the model
     output is smaller than its input by 2*offset, so only
     ``overlap - offset`` is cropped from the raw output.
+
+    ``device_crop``: ``func`` accepts ``crop_lo``/``crop_size`` kwargs
+    and returns already-cropped core tiles. With 'same'-mode overlap
+    the raw tile output is ``prod(1 + 2*overlap/tile)`` times the core
+    (8x at the reference example's tile=2*overlap shapes) — cropping
+    before the device->host copy removes that factor from the D2H
+    bytes, which dominate tiled e2e on relay/PCIe-bound hosts
+    (measured v5e-relay: 92 of 112 s in D2H before this).
+    ``max_tiles_per_call``: explicit tiles-per-device-call override
+    (Predictor ``batch_size``). The default budget (~64 MB of f32
+    input voxels per call) is deliberately conservative: it is a proxy
+    for ACTIVATION memory, which dominates — a bf16-ship-bytes budget
+    packed 3 of the reference example's 8.4-MVox tiles and OOM'd the
+    v5e's 16 GB HBM at 18.95 GB.
 
     Semantics parity with reference tiled_apply (inference.py:45-199);
     execution is batched per-tile-grid rather than sequential.
@@ -120,6 +136,12 @@ def tiled_apply(
     tile_bytes = (n * inp_padded.shape[1]
                   * int(np.prod(in_tile_spatial)) * 4)
     max_batch_tiles = max(1, int(64e6 // max(tile_bytes, 1)))
+    if max_tiles_per_call is not None:
+        max_batch_tiles = max(1, int(max_tiles_per_call))
+    crop_kw = {}
+    if device_crop and np.any(crop_low > 0):
+        crop_kw = dict(crop_lo=tuple(int(c) for c in crop_low),
+                       crop_size=tuple(int(t) for t in tile_shape))
 
     def flush():
         if not tile_batch:
@@ -127,9 +149,9 @@ def tiled_apply(
         ta = time.time()
         stacked = np.concatenate(tile_batch)  # (B*n, C, *in_tile)
         tb = time.time()
-        res = np.asarray(func(stacked))
+        res = np.asarray(func(stacked, **crop_kw))
         tc = time.time()
-        if np.any(crop_low > 0):
+        if not crop_kw and np.any(crop_low > 0):
             res = res[_extend_nc(
                 [slice(c, c + t) for c, t in zip(crop_low, tile_shape)])]
         for bi, pos in enumerate(positions_batch):
@@ -315,6 +337,7 @@ class Predictor:
         self.shard_axis = shard_axis
         self.halo = halo
         self._n_shards = 1
+        self._crop_on_device = False   # spatial sharding: host crop
         if mesh is not None and shard_mode == "spatial":
             if halo is None:
                 raise ValueError("halo is required with spatial sharding")
@@ -333,15 +356,18 @@ class Predictor:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._n_shards = mesh.shape["data"]
             self._jit_forward = jax.jit(
-                self._forward_cl,
+                self._forward_crop, static_argnums=(1, 2),
                 in_shardings=NamedSharding(mesh, P("data")),
                 out_shardings=NamedSharding(mesh, P("data")))
+            self._crop_on_device = True
         elif mesh is not None:
             raise ValueError(
                 f"shard_mode must be 'spatial' or 'tiles', "
                 f"got {shard_mode!r}")
         else:
-            self._jit_forward = jax.jit(self._forward_cl)
+            self._jit_forward = jax.jit(self._forward_crop,
+                                        static_argnums=(1, 2))
+            self._crop_on_device = True
 
     @staticmethod
     def _probe_shape(model):
@@ -399,10 +425,34 @@ class Predictor:
                     jnp.float32)
         return out
 
-    def _predict(self, inp_ncf: np.ndarray) -> np.ndarray:
+    def _forward_crop(self, x_cl: jnp.ndarray,
+                      crop_lo: Optional[Tuple[int, ...]] = None,
+                      crop_size: Optional[Tuple[int, ...]] = None):
+        """Forward + static center-crop ON DEVICE. tiled_apply's 'same'
+        mode discards the 2*overlap border of every tile output; doing
+        the crop before the D2H copy shrinks the dominant tiled-predict
+        phase (measured v5e-relay, (64,128,128)+(32,64,64) tiles: D2H
+        was 82% of e2e at 8x redundant bytes)."""
+        out = self._forward_cl(x_cl)
+        if crop_lo is not None:
+            sl = ((slice(None),)
+                  + tuple(slice(lo, lo + sz)
+                          for lo, sz in zip(crop_lo, crop_size))
+                  + (slice(None),))
+            out = out[sl]
+        return out
+
+    def _predict(self, inp_ncf: np.ndarray,
+                 crop_lo: Optional[Tuple[int, ...]] = None,
+                 crop_size: Optional[Tuple[int, ...]] = None) -> np.ndarray:
         """Forward an (N, C, *spatial) numpy batch → (N, C', *spatial')
         numpy (device roundtrip)."""
         n = inp_ncf.shape[0]
+        host_crop = None
+        if crop_lo is not None and not self._crop_on_device:
+            host_crop = _extend_nc([slice(lo, lo + sz) for lo, sz
+                                    in zip(crop_lo, crop_size)])
+            crop_lo = crop_size = None
         if self._n_shards > 1 and n % self._n_shards:
             # tile-grid sharding needs an even batch split: pad with
             # repeats of the last tile and drop them afterwards.
@@ -417,15 +467,18 @@ class Predictor:
             # hosts the transfer is the tiled-inference bottleneck.
             import ml_dtypes
             host = host.astype(ml_dtypes.bfloat16)
+        fwd_args = ((crop_lo, crop_size) if self._crop_on_device
+                    else ())
         if self.last_phase_times is None:
             x_cl = jnp.asarray(host)
-            out = self._jit_forward(x_cl)
-            return np.moveaxis(np.asarray(out), -1, 1)[:n]
+            out = self._jit_forward(x_cl, *fwd_args)
+            res = np.moveaxis(np.asarray(out), -1, 1)[:n]
+            return res[host_crop] if host_crop else res
         pt = self.last_phase_times
         t0 = time.time()
         x_cl = jax.block_until_ready(jnp.asarray(host))
         t1 = time.time()
-        out = self._jit_forward(x_cl)
+        out = self._jit_forward(x_cl, *fwd_args)
         # relay-safe device sync: a 1-element fetch (block_until_ready
         # may not truly block through axon; CLAUDE.md)
         float(out.ravel()[0])
@@ -435,7 +488,7 @@ class Predictor:
         pt["h2d"] = pt.get("h2d", 0.0) + (t1 - t0)
         pt["compute"] = pt.get("compute", 0.0) + (t2 - t1)
         pt["d2h"] = pt.get("d2h", 0.0) + (t3 - t2)
-        return res
+        return res[host_crop] if host_crop else res
 
     # -- public API ------------------------------------------------------
 
@@ -544,9 +597,11 @@ class Predictor:
         return tiled_apply(
             self._splitbatch_predict, inp, tile_shape, overlap,
             offset, out_shape, verbose=self.verbose,
-            phase_times=self.last_phase_times)
+            phase_times=self.last_phase_times,
+            device_crop=True,
+            max_tiles_per_call=self.batch_size)
 
-    def _splitbatch_predict(self, inp: np.ndarray) -> np.ndarray:
+    def _splitbatch_predict(self, inp: np.ndarray, **crop_kw) -> np.ndarray:
         """Split over-long batches (reference :552-567).
 
         The final ragged chunk is zero-padded to the full batch size so
@@ -554,7 +609,7 @@ class Predictor:
         n = inp.shape[0]
         bs = self.batch_size or n
         if n <= bs:
-            return self._predict(inp)
+            return self._predict(inp, **crop_kw)
         outs = []
         for i in range(0, n, bs):
             chunk = inp[i:i + bs]
@@ -563,7 +618,7 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)])
-            res = self._predict(chunk)
+            res = self._predict(chunk, **crop_kw)
             if pad > 0:
                 res = res[:res.shape[0] - pad]
             outs.append(res)
