@@ -30,6 +30,12 @@ p.add_argument("--f32", action="store_true",
 p.add_argument("--only", choices=["xla", "fused"], default=None)
 p.add_argument("--sf", type=int, default=32, help="start_filts")
 p.add_argument("--blocks", type=int, default=4, help="n_blocks")
+p.add_argument("--norm", default="batch",
+               help="normalization ('batch'/'group'/'group<G>'/"
+                    "'instance'/'none') — non-batch norms currently "
+                    "decline the fused path (coverage-matrix rows)")
+p.add_argument("--conv-mode", default="same", choices=["same", "valid"],
+               help="'valid' declines the fused path (matrix row)")
 args = p.parse_args()
 
 BATCH = args.batch
@@ -41,7 +47,8 @@ def measure(pallas_flat):
         pallas_flat = True   # force: 'auto' resolves to off for f32
     model = UNet(in_channels=1, out_channels=2, n_blocks=args.blocks,
                  start_filts=args.sf,
-                 planar_blocks=(0,), dim=3, normalization="batch",
+                 planar_blocks=(0,), dim=3, normalization=args.norm,
+                 conv_mode=args.conv_mode,
                  dtype=jnp.float32 if args.f32 else jnp.bfloat16,
                  pallas_flat=pallas_flat,
                  logit_dtype=jnp.bfloat16 if args.logit_bf16 else None)
@@ -49,34 +56,41 @@ def measure(pallas_flat):
     shape = (BATCH,) + PATCH + (1,)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 2, size=shape[:-1]))
     key = jax.random.PRNGKey(0)
     variables = model.init({"params": key, "dropout": key},
                            jnp.zeros(shape, jnp.float32), train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    params = variables["params"]
+    # Non-batch norms carry no running statistics; keep the step
+    # signature uniform with an (empty) extra-collections dict.
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    # 'valid' convs shrink the output; size the target by a dry run.
+    out_spatial = jax.eval_shape(
+        lambda v, xx: model.apply(v, xx, train=False),
+        variables, jax.ShapeDtypeStruct(shape, jnp.float32)).shape[1:-1]
+    y = jnp.asarray(rng.integers(0, 2, size=(BATCH,) + out_spatial))
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, x, y):
+    def train_step(params, extra, opt_state, x, y):
         def loss_fn(pp):
             out, mut = model.apply(
-                {"params": pp, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"])
-            return crit(out, y).astype(jnp.float32), mut["batch_stats"]
-        (loss, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                {"params": pp, **extra}, x, train=True,
+                mutable=list(extra.keys()))
+            return crit(out, y).astype(jnp.float32), mut
+        (loss, mut), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(g, opt_state)
         params = optax.apply_updates(params, updates)
-        return params, new_bs, opt_state, loss
+        return params, dict(extra, **mut), opt_state, loss
 
     for _ in range(3):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, y)
+        params, extra, opt_state, loss = train_step(
+            params, extra, opt_state, x, y)
     l0 = float(loss)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, y)
+        params, extra, opt_state, loss = train_step(
+            params, extra, opt_state, x, y)
     lf = float(loss)
     dt = (time.perf_counter() - t0) / args.steps
     vox = int(np.prod(shape))
