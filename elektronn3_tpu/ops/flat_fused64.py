@@ -50,6 +50,7 @@ statistics; max-pool tie-routing caveat identical).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -2317,13 +2318,34 @@ def materialize_flat_acts64(chunks, inv, shift, H: int, W: int,
 # the fused planar level above it. Reference models/unet.py:328-409.
 # ---------------------------------------------------------------------------
 
+def _upconv_dblk(D: int, cap: int, rows: int, row_budget: int) -> int:
+    """D-slabs per grid step for the upconv kernels: the MFU ledger
+    measured the (1,2,2) upconv at 7-11%% of its packing ceiling with
+    per-grid-step DMA/dispatch overhead dominating its small math, so
+    slabs are batched — largest divisor of D within ``cap`` whose
+    combined output rows (nd * rows) stay within ``row_budget``, which
+    bounds the VMEM block footprint (2D H-tiled slabs are much taller
+    than 3D headline slabs and must not regain the whole-image
+    working set the tiling removed). E3TPU_UPCONV_DBLK=1 reverts to
+    per-slab grid steps."""
+    env = _os.environ.get("E3TPU_UPCONV_DBLK")
+    if env is not None:
+        cap = max(1, int(env))
+    cap = min(cap, max(1, row_budget // max(rows, 1)))
+    for nd in range(min(cap, D), 0, -1):
+        if D % nd == 0:
+            return nd
+    return 1
+
+
 def _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, *, G1, R1, P1,
-                        H1, W1, act):
-    """Chunk slab -> (a' (H1*WRd, 128), pre, x) with WRd = W1*64/128."""
-    x = chunk_ref[0, 0, pl.ds(P1, R1), :].astype(jnp.float32)
-    pre = x * inv_ref[0][None, :] + shift_ref[0][None, :]
-    a = _act_fwd(pre, act).reshape(H1, G1, 128)[:, 1:1 + W1 // JG64, :]
-    return a.reshape(H1 * (W1 // JG64), 128), pre, x
+                        H1, W1, act, nd):
+    """nd chunk slabs -> (a' (nd*H1*WRd, 128), pre, x)."""
+    x = chunk_ref[0, :, P1:P1 + R1, :].astype(jnp.float32)  # (nd,R1,128)
+    pre = x * inv_ref[0][None, None, :] + shift_ref[0][None, None, :]
+    a = _act_fwd(pre, act).reshape(nd * H1, G1, 128)[
+        :, 1:1 + W1 // JG64, :]
+    return a.reshape(nd * H1 * (W1 // JG64), 128), pre, x
 
 
 def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
@@ -2331,7 +2353,7 @@ def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
                               s_ref, q_ref, *, G: int, R: int, P: int,
                               H: int, G1: int, R1: int, P1: int,
                               H1: int, W1: int, WRd: int, out_dtype,
-                              act: str, want_stats: bool):
+                              act: str, want_stats: bool, nd: int):
     if want_stats:
         first = jnp.logical_and(pl.program_id(0) == 0,
                                 pl.program_id(1) == 0)
@@ -2342,28 +2364,29 @@ def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
             q_ref[...] = jnp.zeros_like(q_ref)
 
     S, _, _ = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, G1=G1,
-                                  R1=R1, P1=P1, H1=H1, W1=W1, act=act)
+                                  R1=R1, P1=P1, H1=H1, W1=W1, act=act,
+                                  nd=nd)
     S = S.astype(out_dtype)
     dims = (((1,), (0,)), ((), ()))
     outE = _dot(S, m0_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
     outO = _dot(S, m1_ref[...], dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
-    z1 = jnp.zeros((H1, 1, 128), jnp.float32)
-    z2 = jnp.zeros((H1, G - WRd - 1, 128), jnp.float32)
+    z1 = jnp.zeros((nd * H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((nd * H1, G - WRd - 1, 128), jnp.float32)
     rows = jnp.concatenate(
-        [z1, outE.reshape(H1, WRd, 128), z2,
-         z1, outO.reshape(H1, WRd, 128), z2], axis=1)
-    y = rows.reshape(H, G, 128) + bias_ref[0][None, None, :]
-    y = (y * mask_ref[...][None]).reshape(R, 128)
+        [z1, outE.reshape(nd * H1, WRd, 128), z2,
+         z1, outO.reshape(nd * H1, WRd, 128), z2], axis=1)
+    y = rows.reshape(nd, H, G, 128) + bias_ref[0][None, None, None, :]
+    y = (y * mask_ref[...][None, None]).reshape(nd, R, 128)
     yc = y.astype(out_dtype)
-    out_ref[0, 0, 0:P] = jnp.zeros((P, 128), out_dtype)
-    out_ref[0, 0, pl.ds(P, R)] = yc
-    out_ref[0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), out_dtype)
+    out_ref[0, :, 0:P] = jnp.zeros((nd, P, 128), out_dtype)
+    out_ref[0, :, P:P + R] = yc
+    out_ref[0, :, P + R:2 * P + R] = jnp.zeros((nd, P, 128), out_dtype)
     if want_stats:
         yf = yc.astype(jnp.float32)
-        s_ref[0, :] += jnp.sum(yf, axis=0)
-        q_ref[0, :] += jnp.sum(yf * yf, axis=0)
+        s_ref[0, :] += jnp.sum(yf, axis=(0, 1))
+        q_ref[0, :] += jnp.sum(yf * yf, axis=(0, 1))
 
 
 def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
@@ -2372,7 +2395,8 @@ def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
                               dinv_ref, dshift_ref, *, G: int, R: int,
                               P: int, H: int, G1: int, R1: int,
                               P1: int, H1: int, W1: int, WRd: int,
-                              want_stats: bool, x_dtype, act: str):
+                              want_stats: bool, x_dtype, act: str,
+                              nd: int):
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -2385,17 +2409,20 @@ def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
 
     S, pre, x = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref,
                                     G1=G1, R1=R1, P1=P1, H1=H1, W1=W1,
-                                    act=act)
+                                    act=act, nd=nd)
     Sc = S.astype(x_dtype)
-    dy = dy_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+    dy = dy_ref[0, :, P:P + R, :].astype(jnp.float32)     # (nd, R, 128)
     if want_stats:
-        y = y_ref[0, 0, pl.ds(P, R), :].astype(jnp.float32)
-        dy = dy + ds_ref[0][None, :] + 2.0 * y * dq_ref[0][None, :]
-    dyt = (dy.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128)
-    db[0, :] += jnp.sum(dyt, axis=0)
-    d3 = dyt.reshape(H1, 2 * G, 128)
-    E = d3[:, 1:1 + WRd, :].reshape(H1 * WRd, 128).astype(x_dtype)
-    O = d3[:, G + 1:G + 1 + WRd, :].reshape(H1 * WRd, 128).astype(x_dtype)
+        y = y_ref[0, :, P:P + R, :].astype(jnp.float32)
+        dy = dy + ds_ref[0][None, None, :] \
+            + 2.0 * y * dq_ref[0][None, None, :]
+    dyt = (dy.reshape(nd, H, G, 128) * mask_ref[...][None, None]
+           ).reshape(nd, R, 128)
+    db[0, :] += jnp.sum(dyt, axis=(0, 1))
+    d3 = dyt.reshape(nd * H1, 2 * G, 128)
+    E = d3[:, 1:1 + WRd, :].reshape(nd * H1 * WRd, 128).astype(x_dtype)
+    O = d3[:, G + 1:G + 1 + WRd, :].reshape(
+        nd * H1 * WRd, 128).astype(x_dtype)
     dimsT = (((1,), (1,)), ((), ()))
     cdims = (((0,), (0,)), ((), ()))
     dS = _dot(E, m0_ref[...], dimension_numbers=dimsT,
@@ -2407,17 +2434,18 @@ def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
     dM1[...] += _dot(Sc, O, dimension_numbers=cdims,
                                     preferred_element_type=jnp.float32)
     # prologue backward: embed dS into the chunk's group layout
-    z1 = jnp.zeros((H1, 1, 128), jnp.float32)
-    z2 = jnp.zeros((H1, G1 - W1 // JG64 - 1, 128), jnp.float32)
-    demb = jnp.concatenate([z1, dS.reshape(H1, W1 // JG64, 128), z2],
-                           axis=1).reshape(R1, 128)
+    z1 = jnp.zeros((nd * H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((nd * H1, G1 - W1 // JG64 - 1, 128), jnp.float32)
+    demb = jnp.concatenate(
+        [z1, dS.reshape(nd * H1, W1 // JG64, 128), z2],
+        axis=1).reshape(nd, R1, 128)
     dpre = demb * _act_deriv(pre, act)
-    dinv_ref[0, :] += jnp.sum(dpre * x, axis=0)
-    dshift_ref[0, :] += jnp.sum(dpre, axis=0)
-    dx = dpre * inv_ref[0][None, :]
-    dchunk[0, 0, 0:P1] = jnp.zeros((P1, 128), x_dtype)
-    dchunk[0, 0, pl.ds(P1, R1)] = dx.astype(x_dtype)
-    dchunk[0, 0, P1 + R1:2 * P1 + R1] = jnp.zeros((P1, 128), x_dtype)
+    dinv_ref[0, :] += jnp.sum(dpre * x, axis=(0, 1))
+    dshift_ref[0, :] += jnp.sum(dpre, axis=(0, 1))
+    dx = dpre * inv_ref[0][None, None, :]
+    dchunk[0, :, 0:P1] = jnp.zeros((nd, P1, 128), x_dtype)
+    dchunk[0, :, P1:P1 + R1] = dx.astype(x_dtype)
+    dchunk[0, :, P1 + R1:2 * P1 + R1] = jnp.zeros((nd, P1, 128), x_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -2445,14 +2473,15 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
         jax.lax.optimization_barrier(w))
     bias_l = jnp.tile(b.reshape(-1, 32), (1, 4))
 
+    nd = _upconv_dblk(D, 4, R + 2 * P, 9216)
     kernel = functools.partial(
         _upconv122_f64_fwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
         P1=P1, H1=H1, W1=W1, WRd=WRd, out_dtype=dtype, act=act,
-        want_stats=want_stats)
+        want_stats=want_stats, nd=nd)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     in_specs = [
-        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
@@ -2465,7 +2494,7 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
                 shift.astype(jnp.float32), M0.astype(dtype),
                 M1.astype(dtype), width_mask(W).astype(jnp.float32),
                 bias_l.astype(jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+    out_specs = [pl.BlockSpec((1, nd, R + 2 * P, 128), bd,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
@@ -2474,7 +2503,7 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
                  jax.ShapeDtypeStruct((1, 128), jnp.float32)]
     y, sst, qst = pl.pallas_call(
         kernel,
-        grid=(B, D),
+        grid=(B, D // nd),
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -2511,18 +2540,19 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
     ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
     dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
 
+    nd = _upconv_dblk(D, 2, R + 2 * P, 4608)
     kernel = functools.partial(
         _upconv122_f64_bwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
         P1=P1, H1=H1, W1=W1, WRd=WRd, want_stats=want_stats,
-        x_dtype=dtype, act=act)
+        x_dtype=dtype, act=act, nd=nd)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     in_specs = [
-        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+        pl.BlockSpec((1, nd, R + 2 * P, 128), bd,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
+        pl.BlockSpec((1, nd, R + 2 * P, 128), bd,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
@@ -2537,7 +2567,7 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
                 M1.astype(dtype), width_mask(W).astype(jnp.float32),
                 ds, dq]
     out_specs = [
-        pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
@@ -2555,7 +2585,7 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
     ]
     dchunk, dM0, dM1, dbl, dinv, dshift = pl.pallas_call(
         kernel,
-        grid=(B, D),
+        grid=(B, D // nd),
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
