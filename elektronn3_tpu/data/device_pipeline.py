@@ -99,6 +99,26 @@ class DeviceWarpPatchLoader:
         self._jax_key = jax.random.PRNGKey(seed)
         self.n_failed = 0
         self.n_ok = 0
+        # Label windows dominate H2D bytes once the raw ships uint8
+        # (int16 labels = 2x the uint8 raw at equal window size).
+        # Segmentation labels almost always fit uint8 (<256 classes,
+        # non-negative); probe each target source ONCE at init and ship
+        # uint8 windows when every source fits — the device-side
+        # astype(float32) is identical, so numerics are unchanged.
+        self._targets_u8 = self.targets is not None and all(
+            self._fits_uint8(t) for t in self.targets)
+
+    @staticmethod
+    def _fits_uint8(src) -> bool:
+        if np.issubdtype(np.dtype(src.dtype), np.unsignedinteger) \
+                and np.dtype(src.dtype).itemsize == 1:
+            return True
+        if not np.issubdtype(np.dtype(src.dtype), np.integer):
+            return False
+        arr = getattr(src, "_data", None)
+        if arr is None or not isinstance(arr, np.ndarray):
+            return False  # not in memory: probing would read the cube
+        return bool(arr.min() >= 0 and arr.max() <= 255)
 
     def __len__(self):
         return self.epoch_size
@@ -156,6 +176,10 @@ class DeviceWarpPatchLoader:
                     tcut = tcut[None]
                 tpad = [(0, 0)] + pad[1:]
                 t_window = np.pad(tcut, tpad)
+                if self._targets_u8:
+                    # exact for label values in [0, 255] (probed at
+                    # init); halves the label H2D bytes vs int16
+                    t_window = t_window.astype(np.uint8)
             return window, t_window, M_inv, lo.astype(np.float32)
 
     # -- device side ---------------------------------------------------

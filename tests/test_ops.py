@@ -238,3 +238,43 @@ def test_device_loader_uint8_native_h2d_parity(rng):
             np.abs(np.asarray(b8["inp"]) - np.asarray(b32["inp"])).max()
         assert np.array_equal(np.asarray(b8["target"]),
                               np.asarray(b32["target"]))
+
+
+def test_device_loader_int16_labels_ship_uint8(rng):
+    """Label windows dominate H2D bytes once the raw ships uint8
+    (int16 = 2x the uint8 raw at equal window size). in-range int16
+    label sources (probed once at init) ship uint8 windows, exactly;
+    out-of-range sources keep their native dtype."""
+    from elektronn3_tpu.data.device_pipeline import DeviceWarpPatchLoader
+    from elektronn3_tpu.data.sources import ArrayDataSource
+
+    vol8 = rng.integers(0, 256, size=(48, 64, 64)).astype(np.uint8)
+    lab16 = rng.integers(0, 3, size=(48, 64, 64)).astype(np.int16)
+    kw = dict(patch_shape=(8, 12, 12), batch_size=2, epoch_size=2,
+              warp_prob=0.5,
+              warp_kwargs=dict(sample_aniso=True, warp_amount=0.5),
+              normalize=(155.3, 41.8), seed=0)
+    loader = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(lab16)], **kw)
+    ref = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(lab16.astype(np.float32))], **kw)
+    assert loader._targets_u8
+    assert not ref._targets_u8  # float labels never cast
+    probe = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(lab16)], **kw)
+    _, t_window, _, _ = probe._sample_one()
+    assert t_window.dtype == np.uint8
+    # ... and batches match the (uncast) float-label pipeline exactly
+    for b, br in zip(loader, ref):
+        assert np.array_equal(np.asarray(b["target"]),
+                              np.asarray(br["target"]))
+
+    big = lab16.copy()
+    big[0, 0, 0] = 300  # exceeds uint8 -> must keep native dtype
+    loader_big = DeviceWarpPatchLoader(
+        inputs=[ArrayDataSource(vol8)],
+        targets=[ArrayDataSource(big)], **kw)
+    assert not loader_big._targets_u8
