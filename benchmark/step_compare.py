@@ -30,6 +30,9 @@ p.add_argument("--f32", action="store_true",
 p.add_argument("--only", choices=["xla", "fused"], default=None)
 p.add_argument("--sf", type=int, default=32, help="start_filts")
 p.add_argument("--blocks", type=int, default=4, help="n_blocks")
+p.add_argument("--dim", type=int, default=3, choices=[2, 3],
+               help="2 = 2D model on the last two --patch dims "
+                    "(H-tiled fused path; planar_blocks=())")
 p.add_argument("--norm", default="batch",
                help="normalization ('batch'/'group'/'group<G>'/"
                     "'instance'/'none') — non-batch norms currently "
@@ -47,13 +50,14 @@ def measure(pallas_flat):
         pallas_flat = True   # force: 'auto' resolves to off for f32
     model = UNet(in_channels=1, out_channels=2, n_blocks=args.blocks,
                  start_filts=args.sf,
-                 planar_blocks=(0,), dim=3, normalization=args.norm,
+                 planar_blocks=(0,) if args.dim == 3 else (),
+                 dim=args.dim, normalization=args.norm,
                  conv_mode=args.conv_mode,
                  dtype=jnp.float32 if args.f32 else jnp.bfloat16,
                  pallas_flat=pallas_flat,
                  logit_dtype=jnp.bfloat16 if args.logit_bf16 else None)
     crit = CEDiceLoss(1.0, 1.0)
-    shape = (BATCH,) + PATCH + (1,)
+    shape = (BATCH,) + (PATCH if args.dim == 3 else PATCH[-2:]) + (1,)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
     key = jax.random.PRNGKey(0)
