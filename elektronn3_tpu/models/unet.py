@@ -50,11 +50,13 @@ from elektronn3_tpu.modules.layers import (
     resize_nearest,
 )
 from elektronn3_tpu.modules.flat_norm import (
-    FlatBatchNorm, FlatBNStats, identity_prologue)
+    FlatBatchNorm, FlatBNStats, FlatGNStats, identity_prologue,
+    norm_kind)
 from elektronn3_tpu.ops import flat_conv as _fc
 from elektronn3_tpu.ops import flat_fused as _ffu
 from elektronn3_tpu.ops import flat_fused64 as _ff64
 
+import functools
 import logging
 import os
 
@@ -84,8 +86,10 @@ _FUSED128_MIN_VOX = int(os.environ.get("E3TPU_FUSED128_MIN_VOX",
 # at 3220 unpadded rows (16.2 MB) while the same slab's forward fits
 # (the 164 MVox/s 2D pred run); the headline 3D levels (2024 rows)
 # train with >5 MB headroom. Unpadded H*G rows; env-overridable for
-# other TPU generations.
-_FUSED_ROWS_TRAIN = int(os.environ.get("E3TPU_FUSED_ROWS_TRAIN", 2400))
+# other TPU generations. TRAIN recalibrated round 4 (2026-08-19
+# probe at 2D 640x640: 2600 -> 46.9, 3000 -> 53.5, 3300 -> 53.4
+# MVox/s, no OOM): 3000 rows picks taller 2D train slabs.
+_FUSED_ROWS_TRAIN = int(os.environ.get("E3TPU_FUSED_ROWS_TRAIN", 3000))
 _FUSED_ROWS_EVAL = int(os.environ.get("E3TPU_FUSED_ROWS_EVAL", 3400))
 
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
@@ -243,6 +247,47 @@ def _flat_act(act, chunks):
 def _act_name(activation) -> str:
     """Kernel-prologue activation id for the fused flat executor."""
     return "leaky" if activation in ("leaky", "lrelu") else "relu"
+
+
+def _want_stats(kind: str, *, normed: bool, train: bool):
+    """Kernel stats request for a conv followed by ``kind`` norm:
+    batch norm needs global (sum, sumsq) in training only (eval uses
+    running stats); group/instance norm needs PER-SAMPLE stats in
+    both train and eval (no running state). ``normed=False`` (a
+    full_norm=False position) needs none."""
+    if not normed or kind == "none":
+        return False
+    if kind == "group":
+        return "per_sample"
+    return train
+
+
+def _stats_prologue(kind: str, ngroups: int, st, fold, *, count: int,
+                    spatial: int, n: int, B: int, axis_name, nidx: int,
+                    train: bool, cc: int, normed: bool = True):
+    """(inv, shift, nidx') prologue lane vectors from fused-kernel
+    stat side outputs — the norm dispatch shared by every fused
+    DownConv/UpConv branch. ``st`` is the (s, q) side-output pair (or
+    None when the kernel was called without stats), ``fold`` the
+    executor's per-lane fold fn (fold_lane_stats / fold_lane_stats64).
+    ``spatial`` is the per-sample element count D*H*W (group/instance
+    divisor); ``count`` the global B*D*H*W (batch divisor). Creates
+    the norm submodule with the XLA path's auto-name
+    (BatchNorm_<i>/GroupNorm_<i>) so checkpoints interop."""
+    if not normed or kind == "none":
+        inv, shift = identity_prologue(n, B if kind == "group" else None)
+        return inv, shift, nidx
+    if kind == "group":
+        inv, shift = FlatGNStats(num_groups=ngroups, cc=cc,
+                                 name=f"GroupNorm_{nidx}")(
+            fold(st[0]), fold(st[1]), spatial, n)
+    else:
+        s = fold(st[0]) if st else None
+        q = fold(st[1]) if st else None
+        inv, shift = FlatBNStats(cc=cc, axis_name=axis_name,
+                                 name=f"BatchNorm_{nidx}")(
+            s, q, count, n, not train)
+    return inv, shift, nidx + 1
 
 
 def _lift2d(x, tile: int = 0):
@@ -468,6 +513,7 @@ class _Conv1FusedFlat(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     input_grad: bool = False
+    per_sample: bool = False  # per-sample stats (group/instance norm)
 
     @nn.compact
     def __call__(self, x):
@@ -478,7 +524,7 @@ class _Conv1FusedFlat(nn.Module):
                           (self.features,), self.param_dtype)
         return _ffu.conv1_bnstats_flat(x, _k2d(kernel, self.dim), bias,
                                        self.H, self.W, self.dtype,
-                                       self.input_grad)
+                                       self.input_grad, self.per_sample)
 
 
 class _FusedConv(nn.Module):
@@ -754,11 +800,17 @@ class DownConv(nn.Module):
             H, W = x.shape[2], x.shape[3]
             B, Dd = x.shape[0], x.shape[1]
             count = B * Dd * H * W
+            spatial = Dd * H * W
             C = self.out_channels
             n = C // _fc.CC
-            batch = self.normalization == "batch"
+            kind, ngroups = norm_kind(self.normalization, C)
             aname = _act_name(self.activation)
             nidx = 0
+            pro = functools.partial(
+                _stats_prologue, kind, ngroups,
+                fold=_ffu.fold_lane_stats, count=count, spatial=spatial,
+                n=n, B=B, axis_name=self.axis_name, train=train,
+                cc=_fc.CC)
             if x.shape[-1] == 1 and C == _fc.CC and W <= 128 \
                     and not tiled:
                 # Fully fused conv1: direct Pallas conv from the raw
@@ -767,16 +819,11 @@ class DownConv(nn.Module):
                 xs1, st1 = _Conv1FusedFlat(
                     C, H, W, dim=self.dim, dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                    input_grad=self.input_grad, name="conv1")(x)
+                    input_grad=self.input_grad,
+                    per_sample=kind == "group", name="conv1")(x)
                 wrs1 = (0,)
-                if self.full_norm and batch:
-                    s1 = _ffu.fold_lane_stats(st1[0])
-                    q1 = _ffu.fold_lane_stats(st1[1])
-                    inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                        s1, q1, count, n, not train)
-                    nidx += 1
-                else:
-                    inv1, shift1 = identity_prologue(n)
+                inv1, shift1, nidx = pro(st1, nidx=nidx,
+                                         normed=self.full_norm)
             else:
                 # conv1 runs on the UNTILED image (its own H-taps must
                 # cross slab boundaries), then the dense output is
@@ -788,33 +835,25 @@ class DownConv(nn.Module):
                                  name="conv1")(xin)
                 if tiled:
                     y1 = y1.reshape(B, Dd, H, W, C)
-                if self.full_norm and batch:
-                    s1, q1 = _ffu.channel_stats_dense(y1)
-                    inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                        s1, q1, count, n, not train)
-                    nidx += 1
-                else:
-                    inv1, shift1 = identity_prologue(n)
+                st1 = (_ffu.channel_stats_dense(y1, kind == "group")
+                       if self.full_norm and kind != "none" else None)
+                inv1, shift1, nidx = pro(st1, fold=lambda v: v,
+                                         nidx=nidx,
+                                         normed=self.full_norm)
                 if C == _fc.CC and _ffu.dense_rows_ok(W):
                     xs1 = (_ffu.as_dense_rows(y1),)
                     wrs1 = (W * _fc.CC // 128,)
                 else:
                     xs1 = _fc.to_flat(y1)
                     wrs1 = (0,) * n
-            want2 = batch and train
+            want2 = _want_stats(kind, normed=True, train=train)
             ys2, st2 = _FusedConv(C, H, W, wrs=wrs1, want_stats=want2,
                                   act=aname, dim=self.dim,
                                   d_halo=tiled,
                                   dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="conv2")(xs1, inv1, shift1)
-            if batch:
-                s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
-                q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                    s2, q2, count, n, not train)
-            else:
-                inv2, shift2 = identity_prologue(n)
+            inv2, shift2, nidx = pro(st2, nidx=nidx)
             if self.pooling:
                 # Route the skip through the pool primitive
                 # (pool_bnact_flat_skip): single consumer for ys2, so
@@ -1061,10 +1100,16 @@ class UpConv(nn.Module):
             else:
                 B, Dd = dec.shape[0], dec.shape[1]
             count = B * Dd * H * W
-            batch = self.normalization == "batch"
+            kind, ngroups = norm_kind(self.normalization, C)
             aname = _act_name(self.activation)
             nidx = 0
-            wantu = batch and self.full_norm and train
+            pro = functools.partial(
+                _stats_prologue, kind, ngroups,
+                fold=_ffu.fold_lane_stats, count=count,
+                spatial=Dd * H * W, n=n, B=B, axis_name=self.axis_name,
+                train=train, cc=_fc.CC)
+            wantu = _want_stats(kind, normed=self.full_norm,
+                                train=train)
             if isinstance(dec, _ff64.FlatActs64):
                 yu, stu = _FusedUpconvF64(C, H, W, want_stats=wantu,
                                           act=aname, dim=self.dim,
@@ -1077,18 +1122,13 @@ class UpConv(nn.Module):
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name="upconv")(dec)
-            if self.full_norm and batch:
-                su = _ffu.fold_lane_stats(stu[0]) if stu else None
-                qu = _ffu.fold_lane_stats(stu[1]) if stu else None
-                invu, shiftu = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                    su, qu, count, n, not train)
-                nidx += 1
-            else:
-                invu, shiftu = identity_prologue(n)
+            invu, shiftu, nidx = pro(stu, nidx=nidx,
+                                     normed=self.full_norm)
             xs = tuple(yu) + tuple(enc.chunks)
             inv_s = jnp.concatenate([invu, enc.inv])
             shift_s = jnp.concatenate([shiftu, enc.shift])
-            want1 = batch and self.full_norm and train
+            want1 = _want_stats(kind, normed=self.full_norm,
+                                train=train)
             y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
                                  want_stats=want1, act=aname,
                                  dup_weights=self.merge_mode == "add",
@@ -1096,28 +1136,16 @@ class UpConv(nn.Module):
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv1")(xs, inv_s, shift_s)
-            if self.full_norm and batch:
-                s1 = _ffu.fold_lane_stats(st1[0]) if st1 else None
-                q1 = _ffu.fold_lane_stats(st1[1]) if st1 else None
-                inv1, shift1 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                    s1, q1, count, n, not train)
-                nidx += 1
-            else:
-                inv1, shift1 = identity_prologue(n)
-            want2 = batch and train
+            inv1, shift1, nidx = pro(st1, nidx=nidx,
+                                     normed=self.full_norm)
+            want2 = _want_stats(kind, normed=True, train=train)
             y2, st2 = _FusedConv(C, H, W, wrs=(0,) * n, want_stats=want2,
                                  act=aname, dim=self.dim,
                                  d_halo=tiled,
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="conv2")(y1, inv1, shift1)
-            if batch:
-                s2 = _ffu.fold_lane_stats(st2[0]) if st2 else None
-                q2 = _ffu.fold_lane_stats(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(axis_name=self.axis_name, name=f"BatchNorm_{nidx}")(
-                    s2, q2, count, n, not train)
-            else:
-                inv2, shift2 = identity_prologue(n)
+            inv2, shift2, nidx = pro(st2, nidx=nidx)
             return _ffu.FlatActs(y2, inv2, shift2), None
 
         if self.flat:
@@ -1328,11 +1356,26 @@ class UNet(nn.Module):
         return ((planar or self.dim == 2)
                 and self.conv_mode == "same"
                 and not self.attention
-                and self.normalization in ("batch", "none")
+                and self._norm_fused_ok(channels)
                 and act_ok and channels == _fc.CC
                 and H % 2 == 0 and W % 8 == 0
                 # scoped-VMEM bound on per-chunk flat rows
                 and H * ((W + _fc.W_OFF) // _fc.JG) <= bound)
+
+    def _norm_fused_ok(self, channels: int) -> bool:
+        """Normalizations the fused executors cover: batch/none, and
+        group/instance via per-sample kernel statistics (round 4 —
+        b-indexed stat blocks + FlatGNStats; reference
+        models/unet.py:77-111 get_normalization)."""
+        try:
+            kind, ngroups = norm_kind(self.normalization, channels)
+        except ValueError:
+            return False
+        if kind == "group":
+            # invalid group counts fall back to the XLA path, which
+            # raises flax's descriptive GroupNorm error
+            return channels % ngroups == 0
+        return True
 
     def _flat_fused64_ok(self, planar: bool, channels: int, H: int,
                          W: int, D: int, pooling: bool,
@@ -1443,8 +1486,15 @@ class UNet(nn.Module):
             return "conv_mode != 'same'"
         if self.attention:
             return "attention=True is not kernel-fused"
-        if self.normalization not in ("batch", "none"):
-            return f"normalization {self.normalization!r} not fused"
+        if not self._norm_fused_ok(channels):
+            return (f"normalization {self.normalization!r} not fused "
+                    f"(unknown name or C={channels} not divisible by "
+                    f"the group count)")
+        if channels != _fc.CC and \
+                norm_kind(self.normalization, channels)[0] == "group":
+            return (f"normalization {self.normalization!r} is fused "
+                    f"for the C={_fc.CC} executor only (C=64/128 "
+                    f"per-sample stats not wired yet)")
         if not (isinstance(self.activation, str)
                 and self.activation in ("relu", "leaky", "lrelu")):
             return f"activation {self.activation!r} has no fused deriv"

@@ -171,7 +171,90 @@ class FlatBNStats(nn.Module):
         return inv, shift
 
 
-def identity_prologue(n_chunks: int):
-    """(inv, shift) lane vectors for a no-norm prologue."""
+class FlatGNStats(nn.Module):
+    """Group/instance norm driven by PER-SAMPLE side-output statistics.
+
+    The fused kernels, when called with ``want_stats='per_sample'``,
+    emit per-lane (sum, sumsq) per batch sample — shape
+    (n_chunks, B, 128) — which ``fold_lane_stats`` reduces to
+    per-channel (B, C). This module turns those into the per-sample
+    prologue lane vectors (inv, shift), each (n_chunks, B, 128), that
+    the CONSUMER kernels apply with b-indexed blocks.
+
+    Semantics match the XLA executor's ``nn.GroupNorm`` (flax default
+    epsilon 1e-6, per-channel affine; 'instance' == one group per
+    channel), which itself mirrors the reference's GroupNorm/
+    InstanceNorm choices (reference models/unet.py:77-111
+    get_normalization). Unlike batch norm there is no running state
+    and statistics are computed in eval mode too; under shard_map data
+    parallelism the stats are intrinsically per-sample, so NO psum is
+    needed (``axis_name`` is deliberately absent).
+
+    Variable tree matches ``nn.GroupNorm`` (params scale/bias (C,))
+    so checkpoints interop with the XLA model path.
+    """
+    num_groups: int
+    epsilon: float = 1e-6
+    cc: int = CC  # channel-chunk size (32 for flat32, 64 for flat64)
+
+    @nn.compact
+    def __call__(self, s_c, q_c, count: int, n_chunks: int):
+        """s_c, q_c: (B, C) per-sample per-channel (sum, sumsq);
+        count = spatial elements per sample (D*H*W)."""
+        cc, jg = self.cc, 128 // self.cc
+        C = n_chunks * cc
+        g = self.num_groups
+        assert C % g == 0, (C, g)
+        gs = C // g
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        B = s_c.shape[0]
+        denom = count * gs
+        mean_g = s_c.reshape(B, g, gs).sum(-1) / denom        # (B, g)
+        var_g = q_c.reshape(B, g, gs).sum(-1) / denom \
+            - mean_g * mean_g
+        # clamp before rsqrt: cancellation guard (see FlatBNStats)
+        rstd = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + self.epsilon)
+        mean = jnp.repeat(mean_g, gs, axis=1)                 # (B, C)
+        inv_c = jnp.repeat(rstd, gs, axis=1) * scale[None]
+        shift_c = bias[None] - mean * inv_c
+        inv = jnp.stack([jnp.tile(inv_c[:, i * cc:(i + 1) * cc],
+                                  (1, jg))
+                         for i in range(n_chunks)])     # (n, B, 128)
+        shift = jnp.stack([jnp.tile(shift_c[:, i * cc:(i + 1) * cc],
+                                    (1, jg))
+                           for i in range(n_chunks)])
+        return inv, shift
+
+
+def identity_prologue(n_chunks: int, batch: Optional[int] = None):
+    """(inv, shift) lane vectors for a no-norm prologue. With
+    ``batch``, the per-sample (n, B, 128) form — used when a sibling
+    prologue in the same level is per-sample (group/instance norm) so
+    concatenated prologues keep one rank."""
+    if batch is not None:
+        return (jnp.ones((n_chunks, batch, 128), jnp.float32),
+                jnp.zeros((n_chunks, batch, 128), jnp.float32))
     return (jnp.ones((n_chunks, 128), jnp.float32),
             jnp.zeros((n_chunks, 128), jnp.float32))
+
+
+def norm_kind(norm: Optional[str], channels: int):
+    """Classify a normalization name for the fused executors.
+
+    Returns (kind, num_groups): kind in {'batch', 'none', 'group'};
+    num_groups is set for kind == 'group' ('instance' == one group per
+    channel; 'group<G>' parses G, plain 'group' = 8 — matching
+    modules/layers.py get_normalization)."""
+    if norm is None or norm in ("none",):
+        return "none", 0
+    if norm in ("batch", "batchp"):
+        return "batch", 0
+    if norm == "instance":
+        return "group", channels
+    if norm.startswith("group"):
+        g = int(norm[len("group"):]) if len(norm) > len("group") else 8
+        return "group", g
+    raise ValueError(f"Unknown normalization: {norm!r}")

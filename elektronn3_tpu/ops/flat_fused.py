@@ -121,26 +121,37 @@ def as_dense_rows(x5: jnp.ndarray) -> jnp.ndarray:
     return x5.reshape(B, D, H * W * C // 128, 128)
 
 
-def channel_stats_dense(x5: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def channel_stats_dense(x5: jnp.ndarray, per_sample: bool = False,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel (sum, sumsq) of a channels-last tensor via its dense
     row view — a full-bandwidth 128-minor reduction (the (.., W, C)
-    layout would reduce at the lane-padded rate). f32 accumulation."""
+    layout would reduce at the lane-padded rate). f32 accumulation.
+    ``per_sample`` keeps the batch axis — (B, C) — for group/instance
+    norm statistics."""
     B, D, H, W, C = x5.shape
     assert C <= 128 and 128 % C == 0, C
     xr = as_dense_rows(x5).astype(jnp.float32)
-    s = jnp.sum(xr, axis=(0, 1, 2))
-    q = jnp.sum(xr * xr, axis=(0, 1, 2))
+    axes = (1, 2) if per_sample else (0, 1, 2)
+    s = jnp.sum(xr, axis=axes)
+    q = jnp.sum(xr * xr, axis=axes)
     wp = 128 // C  # w-phases per 128-lane row
+    if per_sample:
+        return (s.reshape(B, wp, C).sum(1), q.reshape(B, wp, C).sum(1))
     return s.reshape(wp, C).sum(0), q.reshape(wp, C).sum(0)
 
 
 def fold_lane_stats(s: jnp.ndarray) -> jnp.ndarray:
-    """(n, 128) per-lane sums -> (C,) per-channel sums.
+    """(n, 128) per-lane sums -> (C,) per-channel sums, or the
+    per-sample form (n, B, 128) -> (B, C) (group/instance norm).
 
     NOTE: assumes the per-lane values for one channel are w-phase
     PARTIAL sums (fused-conv stats). For `lane_stats_dense` output the
     lanes are replicated per-channel totals; divide by JG after."""
     n = s.shape[0]
+    if s.ndim == 3:
+        B = s.shape[1]
+        return jnp.concatenate(
+            [s[i].reshape(B, JG, CC).sum(1) for i in range(n)], axis=1)
     return s.reshape(n, JG, CC).sum(1).reshape(n * CC)
 
 
@@ -226,7 +237,8 @@ def _strip_views(x, wr: int, G: int, R: int, P: int, H: int):
 
 def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                        Ps: int, H: int, wrs, out_dtype, act: str,
-                       want_stats: bool, d_halo: bool = False):
+                       want_stats: bool, d_halo: bool = False,
+                       per_sample: bool = False):
     nv = 3 if d_halo else 1
     ins = refs[:nin * nv]
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
@@ -241,7 +253,12 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
     scratch = scratches[0]  # (nin, R + 2*Ps, 128)
 
     if want_stats:
-        first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+        # per_sample (group/instance norm): the stats blocks are
+        # b-indexed (squeezed batch dim) — reset at each b's FIRST
+        # grid step, accumulate over d only.
+        first = (pl.program_id(1) == 0 if per_sample else
+                 jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -304,10 +321,15 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
     D = xs[0].shape[1]
     dtype = xs[0].dtype
 
+    # per-sample prologue/stats (group/instance norm): inv/shift are
+    # (nin, B, 128) and stats (nout, B, 128); the batch dim is carried
+    # as a squeezed (None) block dim indexed by grid b, so the kernel
+    # body sees the same (nin, 128)/(nout, 128) blocks as batch norm.
+    per_sample = inv.ndim == 3
     kernel = functools.partial(
         _fused_conv_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps, H=H,
         wrs=tuple(wrs), out_dtype=dtype, act=act, want_stats=want_stats,
-        d_halo=d_halo)
+        d_halo=d_halo, per_sample=per_sample)
 
     in_specs = []
     operands = []
@@ -328,9 +350,9 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
                                  memory_space=pltpu.VMEM))
     operands.append(mask.astype(jnp.float32))
     for v in (bias_l, inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b, d: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128),
                               lambda b, d: (b, d, 0, 0),
@@ -339,9 +361,9 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
                  for _ in range(nout)]
     if want_stats:
-        out_specs += [pl.BlockSpec((nout, 128), lambda b, d: (0, 0),
-                                   memory_space=pltpu.VMEM)] * 2
-        out_shape += [jax.ShapeDtypeStruct((nout, 128), jnp.float32)] * 2
+        st_spec, st_shape = _ps_out(nout, B if per_sample else None)
+        out_specs += [st_spec] * 2
+        out_shape += [st_shape] * 2
 
     flops = 2 * B * D * R * 128 * (128 + 2 * CC) * nin * nout * 3
     res = pl.pallas_call(
@@ -358,7 +380,11 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
         interpret=_interpret(),
     )(*operands)
     ys = tuple(res[:nout])
-    stats = (res[nout], res[nout + 1]) if want_stats else None
+    if want_stats:
+        stats = tuple(s.transpose(1, 0, 2) if per_sample else s
+                      for s in res[nout:nout + 2])
+    else:
+        stats = None
     return ys, stats
 
 
@@ -367,7 +393,8 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
 def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                            P: int, Ps: int, H: int, wrs, act: str,
                            want_stats: bool, x_dtype,
-                           d_halo: bool = False):
+                           d_halo: bool = False,
+                           per_sample: bool = False):
     # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wc),
     #         mask, inv, shift, ds, dq  (xs/dys/ys get 3 clamped slab
     #         views each in d_halo mode)
@@ -389,14 +416,20 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     a_s, dyt_s = refs[pos:pos + 2]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    # per_sample: dinv/dshift blocks are b-indexed — reset at each b's
+    # first grid step (the weight accumulators stay global).
+    first_b = pl.program_id(1) == 0 if per_sample else first
 
     @pl.when(first)
     def _():
-        dinv_ref[...] = jnp.zeros_like(dinv_ref)
-        dshift_ref[...] = jnp.zeros_like(dshift_ref)
         m0[...] = jnp.zeros_like(m0)
         mc[...] = jnp.zeros_like(mc)
         db[...] = jnp.zeros_like(db)
+
+    @pl.when(first_b)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     # Stage A: recompute normalized/activated inputs a' into scratch
     for i in range(nin):
@@ -594,18 +627,20 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
         jax.lax.optimization_barrier(_flip_transpose(w)))
     wT = (w0T, combine_corner_weights(wpT, wmT))
 
+    per_sample = inv.ndim == 3
+    st_shape = (nout, B, 128) if per_sample else (nout, 128)
     # Incoming cotangents may be symbolic zeros; concretize.
     dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
                 else dy.astype(dtype) for dy in dys_in)
     if want_stats:
         ds, dq = dstats
-        ds = jnp.zeros((nout, 128), jnp.float32) if ds is None else ds
-        dq = jnp.zeros((nout, 128), jnp.float32) if dq is None else dq
+        ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+        dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     kernel = functools.partial(
         _fused_conv_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps,
         H=H, wrs=tuple(wrs), act=act, want_stats=want_stats,
-        x_dtype=dtype, d_halo=d_halo)
+        x_dtype=dtype, d_halo=d_halo, per_sample=per_sample)
 
     in_specs, operands = [], []
 
@@ -636,11 +671,15 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
         add(warr.astype(dtype), warr.shape,
             lambda b_, d_, nd=warr.ndim: (0,) * nd)
     add(mask.astype(jnp.float32), (G, 128), lambda b_, d_: (0, 0))
-    add(inv.astype(jnp.float32), inv.shape, lambda b_, d_: (0, 0))
-    add(shift.astype(jnp.float32), shift.shape, lambda b_, d_: (0, 0))
+    for v in (inv, shift):
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     if want_stats:
-        add(ds, (nout, 128), lambda b_, d_: (0, 0))
-        add(dq, (nout, 128), lambda b_, d_: (0, 0))
+        for v in (ds, dq):
+            op, spec = _ps_in(v)
+            in_specs.append(spec)
+            operands.append(op)
 
     out_specs, out_shape = [], []
     for i in range(nin):
@@ -649,9 +688,10 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
     const2 = lambda b_, d_: (0, 0)
-    for shp in ((nin, 128), (nin, 128)):
-        out_specs.append(pl.BlockSpec(shp, const2, memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    for _ in range(2):   # dinv, dshift
+        sp, sh = _ps_out(nin, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
     for shp in ((nin, nout, 1, 3, 128, 128), (nin, nout, 1, 3, 128, 128)):
         out_specs.append(pl.BlockSpec(
             shp, lambda b_, d_, nd=len(shp): (0,) * nd,
@@ -680,6 +720,9 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
     )(*operands)
     dxs = tuple(res_[:nin])
     dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
     # barrier: keep the at[].set/add unpack chain from fusing with its
     # producers (same XLA:TPU scatter-fusion miscompile as the weight
     # packing — see conv_bnact_flat).
@@ -757,6 +800,36 @@ def _pool_expand(Sc, H, G):
                            axis=1).reshape(H, G, 128)
 
 
+def _ps_in(v):
+    """(operand, BlockSpec) for an (n, 128) prologue/stat operand or
+    its per-sample (n, B, 128) form (group/instance norm). Mosaic
+    requires a block's LAST TWO dims to be (8, 128)-aligned or equal
+    to the array dims, so the squeezed batch dim must lead: per-sample
+    operands ship transposed to (B, n, 128) with block (None, n, 128)
+    indexed (b, 0, 0). Kernels see the same (n, 128) block either
+    way."""
+    if v.ndim == 3:
+        return v.transpose(1, 0, 2), pl.BlockSpec(
+            (None, v.shape[0], 128), lambda b_, d_: (b_, 0, 0),
+            memory_space=pltpu.VMEM)
+    return v, pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+
+def _ps_out(n: int, B: Optional[int] = None):
+    """(BlockSpec, ShapeDtypeStruct) for an (n, 128) f32 stat output,
+    or its per-sample B-LEADING (B, n, 128) form (see _ps_in); apply
+    `.transpose(1, 0, 2)` to the result to restore the canonical
+    (n, B, 128) layout."""
+    if B is not None:
+        return (pl.BlockSpec((None, n, 128), lambda b_, d_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                jax.ShapeDtypeStruct((B, n, 128), jnp.float32))
+    return (pl.BlockSpec((n, 128), lambda b_, d_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32))
+
+
 def _load_prologue(ref, i, *, wr, G, R, P, H, inv_ref, shift_ref,
                    mask_ref, act):
     """Like _build_scratch but returns (a' (H,G,128) f32, pre, x)."""
@@ -811,7 +884,8 @@ def _pool_compose_xla(compacts, H: int, G: int, W2: int, C: int):
 
 def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                      WRp: int, wrs, act: str, x_dtype,
-                     with_skip: bool = False):
+                     with_skip: bool = False,
+                     per_sample: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]      # compact pooled per chunk
     dy_refs = refs[2 * nin:3 * nin]  # compact cotangent per chunk
@@ -826,7 +900,9 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
     dxs = refs[pos + 3:pos + 3 + nin]
     dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first = (pl.program_id(1) == 0 if per_sample else
+             jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
 
     @pl.when(first)
     def _():
@@ -904,9 +980,9 @@ def pool_bnact_flat(xs, inv, shift, H: int, W: int, wrs, act: str,
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     res = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -941,9 +1017,11 @@ def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
     dtype = xs[0].dtype
     with_skip = dskips is not None
 
+    per_sample = inv.ndim == 3
     kernel = functools.partial(_pool_bwd_kernel, nin=nin, G=G, R=R, P=P,
                                H=H, WRp=WRp, wrs=tuple(wrs), act=act,
-                               x_dtype=dtype, with_skip=with_skip)
+                               x_dtype=dtype, with_skip=with_skip,
+                               per_sample=per_sample)
     in_specs, operands = [], []
     bd = lambda b_, d_: (b_, d_, 0, 0)
     for x in xs:
@@ -976,9 +1054,9 @@ def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs, out_shape = [], []
     for i in range(nin):
@@ -987,9 +1065,9 @@ def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
     for _ in range(2):
-        out_specs.append(pl.BlockSpec((nin, 128), lambda b_, d_: (0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+        sp, sh = _ps_out(nin, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
     res_ = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -999,7 +1077,11 @@ def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
-    return dxs, res_[nin], res_[nin + 1]
+    dinv, dshift = res_[nin], res_[nin + 1]
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
+    return dxs, dinv, dshift
 
 
 def _pool_bwd(H, W, wrs, act, out_form, res, dpool):
@@ -1075,12 +1157,14 @@ def _unpack_upconv_wgrad(dM0, dM1):
 
 
 def _upconv_fwd_kernel(*refs, G: int, R: int, P: int, H: int, WRd: int,
-                       out_dtype, want_stats: bool):
+                       out_dtype, want_stats):
     dec_ref, m0_ref, m1_ref, mask_ref, bias_ref = refs[:5]
     out = refs[5]
     if want_stats:
         s_ref, q_ref = refs[6:8]
-        first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+        first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+                 else jnp.logical_and(pl.program_id(0) == 0,
+                                      pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -1193,9 +1277,10 @@ def upconv_bn_flat(dec, w, b, H: int, W: int, want_stats: bool):
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)]
     if want_stats:
-        out_specs += [pl.BlockSpec((1, 128), c2,
-                                   memory_space=pltpu.VMEM)] * 2
-        out_shape += [jax.ShapeDtypeStruct((1, 128), jnp.float32)] * 2
+        st_spec, st_shape = _ps_out(
+            1, B if want_stats == "per_sample" else None)
+        out_specs += [st_spec] * 2
+        out_shape += [st_shape] * 2
     res = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -1207,7 +1292,12 @@ def upconv_bn_flat(dec, w, b, H: int, W: int, want_stats: bool):
     y = res[0] if want_stats else res
     if not want_stats and isinstance(res, (tuple, list)):
         y = res[0]
-    stats = (res[1], res[2]) if want_stats else None
+    if want_stats:
+        stats = tuple(
+            s.transpose(1, 0, 2) if want_stats == "per_sample" else s
+            for s in res[1:3])
+    else:
+        stats = None
     return (y,), stats
 
 
@@ -1229,9 +1319,11 @@ def _upconv_bwd(H, W, want_stats, res, cts):
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     if want_stats:
+        st_shape = ((1, B, 128) if want_stats == "per_sample"
+                    else (1, 128))
         ds, dq = dstats
-        ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
-        dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+        ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+        dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     kernel = functools.partial(_upconv_bwd_kernel, G=G, R=R, P=P, H=H,
                                WRd=WRd, want_stats=want_stats,
@@ -1253,9 +1345,10 @@ def _upconv_bwd(H, W, want_stats, res, cts):
     operands += [M0.astype(dtype), M1.astype(dtype),
                  width_mask(W).astype(jnp.float32)]
     if want_stats:
-        in_specs += [pl.BlockSpec((1, 128), c2,
-                                  memory_space=pltpu.VMEM)] * 2
-        operands += [ds, dq]
+        for v in (ds, dq):
+            op, spec = _ps_in(v)
+            in_specs.append(spec)
+            operands.append(op)
     out_specs = [
         pl.BlockSpec((1, 1, H1 * WRd, 128), bd, memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
@@ -1302,6 +1395,14 @@ def _head_wbig(w2, i, cout, cc, jg):
     return wbig
 
 
+def _bc_prologue(p):
+    """Broadcast an inv/shift lane vector against (B, D, rows, 128):
+    (128,) global or (B, 128) per-sample (group/instance norm)."""
+    if p.ndim == 2:
+        return p[:, None, None, :]
+    return p[None, None, None]
+
+
 def _head_impl(xs, inv, shift, w, b, H: int, W: int, act: str):
     G, R, P = flat_geometry(H, W)
     Wp = pad_width(W)
@@ -1311,7 +1412,7 @@ def _head_impl(xs, inv, shift, w, b, H: int, W: int, act: str):
     for i, xc in enumerate(xs):
         B, D, Rp, _ = xc.shape
         v = xc[:, :, P:P + R].astype(jnp.float32)
-        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
+        pre = v * _bc_prologue(inv[i]) + _bc_prologue(shift[i])
         a = _act_fwd(pre, act)
         wbig = _head_wbig(w2, i, cout, CC, JG)
         # Memory-bound head GEMM: default precision on purpose (the
@@ -1362,14 +1463,16 @@ def _head_bwd(H, W, act, res, dy):
                           ((0, 0), (0, 0), (P, Rp - P - R), (0, 0)))
         wbig = _head_wbig(w2, i, cout, CC, JG)
         vf = xc.astype(jnp.float32)
-        pref = vf * inv[i][None, None, None] + shift[i][None, None, None]
+        pref = vf * _bc_prologue(inv[i]) + _bc_prologue(shift[i])
         da = _dot(dy_full, wbig,
                   dimension_numbers=(((3,), (1,)), ((), ())),
                   preferred_element_type=jnp.float32)  # (B, D, Rp, 128)
         dpre = da * _act_deriv(pref, act)
-        dxs.append((dpre * inv[i][None, None, None]).astype(xc.dtype))
-        dinvs.append(jnp.sum(dpre * vf, axis=(0, 1, 2)).astype(inv[i].dtype))
-        dshifts.append(jnp.sum(dpre, axis=(0, 1, 2)).astype(shift[i].dtype))
+        dxs.append((dpre * _bc_prologue(inv[i])).astype(xc.dtype))
+        # per-sample prologues keep their batch axis in the cotangent
+        rax = (1, 2) if inv[i].ndim == 2 else (0, 1, 2)
+        dinvs.append(jnp.sum(dpre * vf, axis=rax).astype(inv[i].dtype))
+        dshifts.append(jnp.sum(dpre, axis=rax).astype(shift[i].dtype))
         a = _act_fwd(pref, act)
         dwbig = _dot(a.reshape(-1, 128), dy_full.reshape(-1, JG * cout),
                      dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1476,8 +1579,12 @@ def _row_shifts(a: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
 
 def _conv1_fwd_kernel(x_ref, s_ref, bias_ref, mask_ref, out_ref,
                       s_out, q_out, *, G: int, R: int, P: int, H: int,
-                      out_dtype):
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+                      out_dtype, per_sample: bool = False):
+    # per_sample (group/instance norm): stats blocks are b-indexed —
+    # reset at each b's first d step, accumulate over d only.
+    first = (pl.program_id(1) == 0 if per_sample else
+             jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
 
     @pl.when(first)
     def _():
@@ -1550,9 +1657,10 @@ def _conv1_bwd_kernel(x_ref, y_ref, dy_ref, ds_ref, dq_ref, mask_ref,
         dx_ref[0, 0, :, :] = da.astype(x_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
-                       input_grad: bool = True):
+                       input_grad: bool = True,
+                       per_sample: bool = False):
     """Planar 3x3 'same' conv of a single-channel input into one flat
     chunk with per-lane (sum, sumsq) side outputs.
 
@@ -1560,6 +1668,8 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
         x: (B, D, H, W, 1) input (computed and stored in ``dtype``,
            the model's activation dtype).
         w: (1, 3, 3, 1, CC) kernel; b: (CC,) bias.
+        per_sample: emit (1, B, 128) per-sample statistics instead of
+           the global (1, 128) (group/instance norm).
     Returns:
         ((chunk,), (s, q)): flat chunk (B, D, R + 2P, 128) ``dtype``
         and per-lane f32 statistics of the stored (rounded) output.
@@ -1575,9 +1685,10 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
     bias_l = jnp.tile(b.astype(jnp.float32).reshape(1, CC), (1, JG))
 
     kernel = functools.partial(_conv1_fwd_kernel, G=G, R=R, P=P, H=H,
-                               out_dtype=dtype)
+                               out_dtype=dtype, per_sample=per_sample)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
+    st_spec, st_shape = _ps_out(1, B if per_sample else None)
     res = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -1591,13 +1702,13 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
         out_specs=(
             pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            st_spec,
+            st_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            st_shape,
+            st_shape,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * 3 * H * 128 * G * 128,
@@ -1606,16 +1717,19 @@ def conv1_bnstats_flat(x, w, b, H: int, W: int, dtype=jnp.bfloat16,
         interpret=_interpret(),
     )(xr, s_mat, bias_l, width_mask(W).astype(jnp.float32))
     y, s, q = res
+    if per_sample:
+        s, q = s.transpose(1, 0, 2), q.transpose(1, 0, 2)
     return (y,), (s, q)
 
 
-def _conv1_fwd(x, w, b, H, W, dtype, input_grad=True):
-    out = conv1_bnstats_flat(x, w, b, H, W, dtype, input_grad)
+def _conv1_fwd(x, w, b, H, W, dtype, input_grad=True, per_sample=False):
+    out = conv1_bnstats_flat(x, w, b, H, W, dtype, input_grad,
+                             per_sample)
     (y,), _ = out
     return out, (x, y, w)
 
 
-def _conv1_bwd(H, W, dtype, input_grad, res, cts):
+def _conv1_bwd(H, W, dtype, input_grad, per_sample, res, cts):
     x, y, w = res
     (dy_in,), dstats = cts
     B, D = x.shape[0], x.shape[1]
@@ -1623,8 +1737,9 @@ def _conv1_bwd(H, W, dtype, input_grad, res, cts):
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
     ds, dq = (dstats if dstats is not None else (None, None))
-    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+    st_shape = (1, B, 128) if per_sample else (1, 128)
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
     xr = jnp.pad(x[..., 0].astype(dtype), ((0, 0), (0, 0), (0, 0),
                                            (0, 128 - W)))
 
@@ -1658,8 +1773,8 @@ def _conv1_bwd(H, W, dtype, input_grad, res, cts):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+            _ps_in(ds)[1],
+            _ps_in(dq)[1],
             pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128, G * 128), lambda b_, d_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1667,7 +1782,8 @@ def _conv1_bwd(H, W, dtype, input_grad, res, cts):
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_interpret(),
-    )(xr, y, dy, ds, dq, width_mask(W).astype(jnp.float32), s_mat)
+    )(xr, y, dy, _ps_in(ds)[0], _ps_in(dq)[0],
+      width_mask(W).astype(jnp.float32), s_mat)
     dsel, db = res_[0], res_[1]
     # barrier: scatter-fusion miscompile guard (see conv_bnact_flat)
     dsel = jax.lax.optimization_barrier(dsel)
@@ -1715,8 +1831,8 @@ def materialize_flat_acts(chunks, inv, shift, H: int, W: int, act: str):
     outs = []
     rowmask = jnp.pad(jnp.tile(width_mask(W), (H, 1)), ((P, P), (0, 0)))
     for i, xc in enumerate(chunks):
-        pre = xc.astype(jnp.float32) * inv[i][None, None, None] \
-            + shift[i][None, None, None]
+        pre = xc.astype(jnp.float32) * _bc_prologue(inv[i]) \
+            + _bc_prologue(shift[i])
         outs.append((_act_fwd(pre, act) * rowmask[None, None]
                      ).astype(xc.dtype))
     return from_flat(outs, H, W, padded=True)

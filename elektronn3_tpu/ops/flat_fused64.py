@@ -59,7 +59,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from elektronn3_tpu.ops.flat_fused import _act_fwd, _act_deriv
+from elektronn3_tpu.ops.flat_fused import (
+    _act_fwd, _act_deriv, _bc_prologue, _ps_in, _ps_out)
 from elektronn3_tpu.ops.flat_conv import _interpret as _fc_interpret
 
 CC64 = 64
@@ -221,8 +222,14 @@ def lane_vec64(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def fold_lane_stats64(s: jnp.ndarray) -> jnp.ndarray:
-    """(n, 128) per-lane sums -> (n*64,) per-channel sums."""
+    """(n, 128) per-lane sums -> (n*64,) per-channel sums, or the
+    per-sample form (n, B, 128) -> (B, n*64) (group/instance norm)."""
     n = s.shape[0]
+    if s.ndim == 3:
+        B = s.shape[1]
+        return jnp.concatenate(
+            [s[i].reshape(B, JG64, CC64).sum(1) for i in range(n)],
+            axis=1)
     return jnp.sum(s.reshape(n, JG64, CC64), axis=1).reshape(-1)
 
 
@@ -378,7 +385,8 @@ def _strip_views64(x, form, G: int, R: int, P: int):
 def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, out_dtype, act: str,
                        want_stats: bool, forms, kd: int = 3,
-                       d_halo: bool = False):
+                       d_halo: bool = False,
+                       per_sample: bool = False):
     zv = 3 if d_halo else kd                   # views per chunk
     ins = refs[:nin * zv]                      # [i][z] slab views
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
@@ -391,8 +399,12 @@ def _conv64_fwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     a_s = refs[idx]
 
     if want_stats:
-        first = jnp.logical_and(pl.program_id(0) == 0,
-                                pl.program_id(1) == 0)
+        # per_sample (group/instance norm): the stats blocks are
+        # b-indexed (squeezed batch dim) — reset at each b's FIRST
+        # grid step, accumulate over d only.
+        first = (pl.program_id(1) == 0 if per_sample else
+                 jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -511,7 +523,8 @@ def _zwindow_enabled() -> bool:
 
 def _conv64_fwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
                           P: int, Ps: int, H: int, out_dtype, act: str,
-                          want_stats: bool, forms, D: int):
+                          want_stats: bool, forms, D: int,
+                          per_sample: bool = False):
     ins = refs[:nin]                       # one lookahead view per chunk
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
         refs[nin:nin + 6]
@@ -525,11 +538,18 @@ def _conv64_fwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
     j = pl.program_id(1)
     first = jnp.logical_and(pl.program_id(0) == 0, j == 0)
 
-    @pl.when(first)
-    def _():
-        if want_stats:
+    if want_stats:
+        # per_sample: b-indexed stat blocks reset at each b's first
+        # window step (j == 0), accumulating over the z-window only.
+        first_st = j == 0 if per_sample else first
+
+        @pl.when(first_st)
+        def _():
             s_ref[...] = jnp.zeros_like(s_ref)
             q_ref[...] = jnp.zeros_like(q_ref)
+
+    @pl.when(first)
+    def _():
         # Scratch pad rows: zeroed once; body writes never touch them.
         a_s[...] = jnp.zeros_like(a_s)
 
@@ -610,17 +630,24 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
     B, D = xs[0].shape[0], xs[0].shape[1]
     dtype = xs[0].dtype
 
+    # per-sample prologue/stats (group/instance norm): inv/shift are
+    # (nin, B, 128) and stats (nout, B, 128); the batch dim rides as a
+    # squeezed block dim indexed by grid b (_ps_in/_ps_out), so the
+    # kernel body sees the same (n, 128) blocks as batch norm.
+    per_sample = inv.ndim == 3
     zw = kd == 3 and not d_halo and _zwindow_enabled()
     if zw:
         kernel = functools.partial(
             _conv64_fwd_kernel_zw, nin=nin, nout=nout, G=G, R=R, P=P,
             Ps=Ps, H=H, out_dtype=dtype, act=act,
-            want_stats=want_stats, forms=forms, D=D)
+            want_stats=want_stats, forms=forms, D=D,
+            per_sample=per_sample)
     else:
         kernel = functools.partial(
             _conv64_fwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
             Ps=Ps, H=H, out_dtype=dtype, act=act,
-            want_stats=want_stats, forms=forms, kd=kd, d_halo=d_halo)
+            want_stats=want_stats, forms=forms, kd=kd, d_halo=d_halo,
+            per_sample=per_sample)
 
     in_specs, operands = [], []
     bd4 = lambda b_, d_: (b_, d_, 0, 0)
@@ -654,9 +681,9 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
                                  memory_space=pltpu.VMEM))
     operands.append(mask.astype(jnp.float32))
     for v in (bias_l, inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
 
     od4 = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) if zw \
         else (lambda b_, d_: (b_, d_, 0, 0))
@@ -666,9 +693,9 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
                  for _ in range(nout)]
     if want_stats:
-        out_specs += [pl.BlockSpec((nout, 128), lambda b_, d_: (0, 0),
-                                   memory_space=pltpu.VMEM)] * 2
-        out_shape += [jax.ShapeDtypeStruct((nout, 128), jnp.float32)] * 2
+        st_spec, st_shape = _ps_out(nout, B if per_sample else None)
+        out_specs += [st_spec] * 2
+        out_shape += [st_shape] * 2
 
     scratch = [pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype)]
     res = pl.pallas_call(
@@ -686,14 +713,19 @@ def _conv64_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W,
         interpret=_interpret(),
     )(*operands)
     ys = tuple(res[:nout])
-    stats = (res[nout], res[nout + 1]) if want_stats else None
+    if want_stats:
+        stats = tuple(s.transpose(1, 0, 2) if per_sample else s
+                      for s in res[nout:nout + 2])
+    else:
+        stats = None
     return ys, stats
 
 
 def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                        P: int, Ps: int, H: int, act: str,
                        want_stats: bool, x_dtype, forms, kd: int = 3,
-                       d_halo: bool = False):
+                       d_halo: bool = False,
+                       per_sample: bool = False):
     nv = 3 if d_halo else kd                   # views per chunk
     pos = 0
     ins = refs[pos:pos + nin * nv]; pos += nin * nv
@@ -711,14 +743,20 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     a_s, dyt_s = refs[pos:pos + 2]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    # per_sample: dinv/dshift blocks are b-indexed — reset at each b's
+    # first grid step (the weight/bias accumulators stay global).
+    first_b = pl.program_id(1) == 0 if per_sample else first
 
     @pl.when(first)
     def _():
-        dinv_ref[...] = jnp.zeros_like(dinv_ref)
-        dshift_ref[...] = jnp.zeros_like(dshift_ref)
         m0[...] = jnp.zeros_like(m0)
         mc[...] = jnp.zeros_like(mc)
         db[...] = jnp.zeros_like(db)
+
+    @pl.when(first_b)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     # Stage A: a' slabs into scratch
     for i in range(nin):
@@ -851,7 +889,8 @@ def _conv64_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
 
 def _conv64_bwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
                           P: int, Ps: int, H: int, act: str,
-                          want_stats: bool, x_dtype, forms, D: int):
+                          want_stats: bool, x_dtype, forms, D: int,
+                          per_sample: bool = False):
     """z-window variant of _conv64_bwd_kernel (kd=3, non-d_halo): one
     lookahead view per array (x, dy, y) instead of three, rolling
     3-phase windows of a' and dy_tot in persistent scratch, plus a
@@ -875,16 +914,22 @@ def _conv64_bwd_kernel_zw(*refs, nin: int, nout: int, G: int, R: int,
 
     j = pl.program_id(1)
     first = jnp.logical_and(pl.program_id(0) == 0, j == 0)
+    # per_sample: dinv/dshift blocks are b-indexed — reset at each b's
+    # first window step (the weight/bias accumulators stay global).
+    first_b = j == 0 if per_sample else first
 
     @pl.when(first)
     def _():
-        dinv_ref[...] = jnp.zeros_like(dinv_ref)
-        dshift_ref[...] = jnp.zeros_like(dshift_ref)
         m0[...] = jnp.zeros_like(m0)
         mc[...] = jnp.zeros_like(mc)
         db[...] = jnp.zeros_like(db)
         a_s[...] = jnp.zeros_like(a_s)      # pad rows stay zero
         dyt_s[...] = jnp.zeros_like(dyt_s)
+
+    @pl.when(first_b)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     @pl.when(j == 0)
     def _():
@@ -1070,24 +1115,26 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     w0T, wcT = pack_weights64(
         jax.lax.optimization_barrier(_flip_transpose64(w)))
 
+    per_sample = inv.ndim == 3
+    st_shape = (nout, B, 128) if per_sample else (nout, 128)
     dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
                 else dy.astype(dtype) for dy in dys_in)
     if want_stats:
         ds, dq = dstats
-        ds = jnp.zeros((nout, 128), jnp.float32) if ds is None else ds
-        dq = jnp.zeros((nout, 128), jnp.float32) if dq is None else dq
+        ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+        dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     zw = kd == 3 and not d_halo and _zwindow_enabled()
     if zw:
         kernel = functools.partial(
             _conv64_bwd_kernel_zw, nin=nin, nout=nout, G=G, R=R, P=P,
             Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-            forms=forms, D=D)
+            forms=forms, D=D, per_sample=per_sample)
     else:
         kernel = functools.partial(
             _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
             Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-            forms=forms, kd=kd, d_halo=d_halo)
+            forms=forms, kd=kd, d_halo=d_halo, per_sample=per_sample)
 
     in_specs, operands = [], []
 
@@ -1134,11 +1181,15 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     addc(w0T.astype(dtype), w0T.shape)
     addc(wcT.astype(dtype), wcT.shape)
     addc(mask.astype(jnp.float32), (G, 128))
-    addc(inv.astype(jnp.float32), inv.shape)
-    addc(shift.astype(jnp.float32), shift.shape)
+    for v in (inv.astype(jnp.float32), shift.astype(jnp.float32)):
+        op, spec = _ps_in(v)
+        in_specs.append(spec)
+        operands.append(op)
     if want_stats:
-        addc(ds, (nout, 128))
-        addc(dq, (nout, 128))
+        for v in (ds, dq):
+            op, spec = _ps_in(v)
+            in_specs.append(spec)
+            operands.append(op)
 
     bd = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) if zw \
         else (lambda b_, d_: (b_, d_, 0, 0))
@@ -1272,7 +1323,8 @@ def _pool64_expand(Sc, H, G):
 
 
 def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
-                       act: str, x_dtype, with_skip: bool = False):
+                       act: str, x_dtype, with_skip: bool = False,
+                       per_sample: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]
     dy_refs = refs[2 * nin:3 * nin]
@@ -1285,7 +1337,9 @@ def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
     dxs = refs[pos + 3:pos + 3 + nin]
     dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first = (pl.program_id(1) == 0 if per_sample else
+             jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
 
     @pl.when(first)
     def _():
@@ -1338,9 +1392,9 @@ def pool222_bnact_flat64(xs, inv, shift, H: int, W: int, C: int,
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     res = pl.pallas_call(
         kernel,
         grid=(B, D // 2),
@@ -1373,9 +1427,11 @@ def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
     dtype = xs[0].dtype
     with_skip = dskips is not None
 
+    per_sample = inv.ndim == 3
     kernel = functools.partial(_pool64_bwd_kernel, nin=nin, G=G, R=R,
                                P=P, H=H, act=act, x_dtype=dtype,
-                               with_skip=with_skip)
+                               with_skip=with_skip,
+                               per_sample=per_sample)
     in_specs, operands = [], []
     for x in xs:
         in_specs.append(pl.BlockSpec((1, 2, R + 2 * P, 128),
@@ -1400,9 +1456,9 @@ def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
                                  memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, lambda b_, d_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs, out_shape = [], []
     for _ in range(nin):
@@ -1412,9 +1468,9 @@ def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
         out_shape.append(jax.ShapeDtypeStruct((B, D, R + 2 * P, 128),
                                               dtype))
     for _ in range(2):
-        out_specs.append(pl.BlockSpec((nin, 128), lambda b_, d_: (0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+        sp, sh = _ps_out(nin, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
     res_ = pl.pallas_call(
         kernel,
         grid=(B, D // 2),
@@ -1424,7 +1480,11 @@ def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
-    return dxs, res_[nin], res_[nin + 1]
+    dinv, dshift = res_[nin], res_[nin + 1]
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
+    return dxs, dinv, dshift
 
 
 def _pool64_bwd(H, W, C, act, res, dpool):
@@ -1477,7 +1537,8 @@ def _pool122_fwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
 
 
 def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
-                        act: str, x_dtype, with_skip: bool = False):
+                        act: str, x_dtype, with_skip: bool = False,
+                        per_sample: bool = False):
     ins = refs[:nin]
     y_refs = refs[nin:2 * nin]
     dy_refs = refs[2 * nin:3 * nin]
@@ -1489,7 +1550,9 @@ def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
     dxs = refs[pos + 3:pos + 3 + nin]
     dinv_ref, dshift_ref = refs[pos + 3 + nin:]
 
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first = (pl.program_id(1) == 0 if per_sample else
+             jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
 
     @pl.when(first)
     def _():
@@ -1541,9 +1604,9 @@ def pool122_bnact_flat64(xs, inv, shift, H: int, W: int, C: int,
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     res = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -1575,9 +1638,11 @@ def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
     dtype = xs[0].dtype
     with_skip = dskips is not None
 
+    per_sample = inv.ndim == 3
     kernel = functools.partial(_pool122_bwd_kernel, nin=nin, G=G, R=R,
                                P=P, H=H, act=act, x_dtype=dtype,
-                               with_skip=with_skip)
+                               with_skip=with_skip,
+                               per_sample=per_sample)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     in_specs, operands = [], []
@@ -1600,9 +1665,9 @@ def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec(v.shape, c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs, out_shape = [], []
     for _ in range(nin):
@@ -1611,9 +1676,9 @@ def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
         out_shape.append(jax.ShapeDtypeStruct((B, D, R + 2 * P, 128),
                                               dtype))
     for _ in range(2):
-        out_specs.append(pl.BlockSpec((nin, 128), c2,
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nin, 128), jnp.float32))
+        sp, sh = _ps_out(nin, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
     res_ = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -1623,7 +1688,11 @@ def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
         interpret=_interpret(),
     )(*operands)
     dxs = tuple(res_[:nin])
-    return dxs, res_[nin], res_[nin + 1]
+    dinv, dshift = res_[nin], res_[nin + 1]
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
+    return dxs, dinv, dshift
 
 
 def _pool122_bwd(H, W, C, act, res, dpool):
@@ -1691,7 +1760,7 @@ def pack_upconv_weights64(w: jnp.ndarray):
 
 def _upconv64_fwd_kernel(*refs, nk: int, no: int, G: int,
                          R: int, P: int, H: int, W1: int, out_dtype,
-                         want_stats: bool):
+                         want_stats):
     # refs: nk dec chunks, 4*nk*no mats (az, ah, k, o order), mask,
     # bias, then no out chunks (+ s, q).
     dec_refs = refs[:nk]
@@ -1700,8 +1769,11 @@ def _upconv64_fwd_kernel(*refs, nk: int, no: int, G: int,
     outs = refs[nk + 4 * nk * no + 2:nk + 4 * nk * no + 2 + no]
     if want_stats:
         s_ref, q_ref = refs[nk + 4 * nk * no + 2 + no:]
-        first = jnp.logical_and(pl.program_id(0) == 0,
-                                pl.program_id(1) == 0)
+        # 'per_sample' (group/instance norm): b-indexed stat blocks
+        # reset at each b's first grid step.
+        first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+                 else jnp.logical_and(pl.program_id(0) == 0,
+                                      pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():

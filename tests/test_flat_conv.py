@@ -357,3 +357,151 @@ def test_conv1_input_grad_switch(rng):
         assert float(jnp.max(jnp.abs(a - b))) == 0.0
     assert float(jnp.max(jnp.abs(grads[False][1]))) == 0.0
     assert float(jnp.max(jnp.abs(grads[True][1]))) > 0.0
+
+
+def test_fused_per_sample_stats_match_references(rng):
+    """want_stats='per_sample' / per-sample (n, B, 128) prologues
+    (group/instance norm, round 4): conv, pool, upconv and conv1
+    match pure-JAX references for values AND gradients, including the
+    per-sample stats side outputs and their cotangents (b-indexed
+    stat blocks reset at each sample's first grid step)."""
+    import flax.linen as nn
+    from elektronn3_tpu.ops import flat_fused as ff
+
+    B, D, H, W = 2, 3, 6, 16
+    cin, cout = 64, 32
+    nin = cin // 32
+
+    def lane_ps(v, n):  # (B, C) -> (n, B, 128)
+        return jnp.stack(
+            [jnp.tile(v[:, i * 32:(i + 1) * 32], (1, 4))
+             for i in range(n)])
+
+    x5 = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    inv_c = jnp.asarray(rng.normal(size=(B, cin)) * 0.5 + 1.0,
+                        jnp.float32)
+    shift_c = jnp.asarray(rng.normal(size=(B, cin)) * 0.2, jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, D, H, W, cout)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(B, cout)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(B, cout)) * 0.1, jnp.float32)
+
+    def bc(p):
+        return p[:, None, None, None, :]
+
+    def loss_ref(x5, inv_c, shift_c, w, b):
+        a = jnp.maximum(x5 * bc(inv_c) + bc(shift_c), 0.0)
+        y = jax.lax.conv_general_dilated(
+            a, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        s = jnp.sum(y, axis=(1, 2, 3))
+        q = jnp.sum(y * y, axis=(1, 2, 3))
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s * cs) + jnp.sum(q * cq)
+
+    def loss_fused(x5, inv_c, shift_c, w, b):
+        xs = fc.to_flat(x5)
+        ys, (s, q) = ff.conv_bnact_flat(
+            xs, lane_ps(inv_c, nin), lane_ps(shift_c, nin), w, b, H, W,
+            (0,) * nin, True, "relu")
+        y = fc.from_flat(ys, H, W, padded=True)
+        s_c, q_c = ff.fold_lane_stats(s), ff.fold_lane_stats(q)
+        return jnp.sum((y - tgt) ** 2) + jnp.sum(s_c * cs) + jnp.sum(q_c * cq)
+
+    l1 = loss_ref(x5, inv_c, shift_c, w, b)
+    l2 = loss_fused(x5, inv_c, shift_c, w, b)
+    assert abs(float(l1 - l2)) < 1e-2 * max(1.0, abs(float(l1)))
+    g1 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    g2 = jax.grad(loss_fused, (0, 1, 2, 3, 4))(x5, inv_c, shift_c, w, b)
+    for a, r in zip(g2, g1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-4 * scale)
+
+    # pool with per-sample prologue (dinv/dshift b-indexed outputs)
+    x32 = x5[..., :32]
+    inv32, shift32 = inv_c[:, :32], shift_c[:, :32]
+
+    def loss_pool_ref(x32, inv32, shift32):
+        a = jnp.maximum(x32 * bc(inv32) + bc(shift32), 0.0)
+        p = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2, 1), (1, 1, 2, 2, 1),
+                                  "VALID")
+        return jnp.sum(p * tgt[:, :, :H // 2, :W // 2, :32])
+
+    def loss_pool_fused(x32, inv32, shift32):
+        p = ff.pool_bnact_flat(fc.to_flat(x32), lane_ps(inv32, 1),
+                               lane_ps(shift32, 1), H, W, (0,), "relu")
+        return jnp.sum(p * tgt[:, :, :H // 2, :W // 2, :32])
+
+    assert abs(float(loss_pool_ref(x32, inv32, shift32)
+                     - loss_pool_fused(x32, inv32, shift32))) < 1e-3
+    gp1 = jax.grad(loss_pool_ref, (0, 1, 2))(x32, inv32, shift32)
+    gp2 = jax.grad(loss_pool_fused, (0, 1, 2))(x32, inv32, shift32)
+    for a, r in zip(gp2, gp1):
+        assert np.allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+    # upconv with want_stats='per_sample'
+    dec = jnp.asarray(rng.normal(size=(B, D, H // 2, W // 2, 64)),
+                      jnp.float32)
+    wt = jnp.asarray(rng.normal(size=(1, 2, 2, 64, 32)) * 0.2,
+                     jnp.float32)
+    ct = nn.ConvTranspose(32, (1, 2, 2), strides=(1, 2, 2))
+
+    def loss_up_ref(dec, wt, b):
+        y = ct.apply({"params": {"kernel": wt, "bias": b}}, dec)
+        s = jnp.sum(y, axis=(1, 2, 3))
+        q = jnp.sum(y * y, axis=(1, 2, 3))
+        return (jnp.sum((y - tgt[..., :32]) ** 2) + jnp.sum(s * cs)
+                + jnp.sum(q * cq))
+
+    def loss_up_fused(dec, wt, b):
+        (yc,), (s, q) = ff.upconv_bn_flat(dec, wt, b, H, W,
+                                          "per_sample")
+        y = fc.from_flat((yc,), H, W, padded=True)
+        s_c, q_c = ff.fold_lane_stats(s), ff.fold_lane_stats(q)
+        return (jnp.sum((y - tgt[..., :32]) ** 2) + jnp.sum(s_c * cs)
+                + jnp.sum(q_c * cq))
+
+    lu1 = loss_up_ref(dec, wt, b)
+    lu2 = loss_up_fused(dec, wt, b)
+    assert abs(float(lu1 - lu2)) < 1e-2 * max(1.0, abs(float(lu1)))
+    gu1 = jax.grad(loss_up_ref, (0, 1, 2))(dec, wt, b)
+    gu2 = jax.grad(loss_up_fused, (0, 1, 2))(dec, wt, b)
+    for a, r in zip(gu2, gu1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-4 * scale)
+
+    # conv1 (single-channel first layer) with per_sample=True
+    x1 = x5[..., :1]
+    w1 = jnp.asarray(rng.normal(size=(1, 3, 3, 1, 32)) * 0.3,
+                     jnp.float32)
+
+    def loss_c1_ref(x1, w1, b):
+        y = jax.lax.conv_general_dilated(
+            x1, w1, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        s = jnp.sum(y, axis=(1, 2, 3))
+        q = jnp.sum(y * y, axis=(1, 2, 3))
+        return (jnp.sum((y - tgt[..., :32]) ** 2) + jnp.sum(s * cs)
+                + jnp.sum(q * cq))
+
+    def loss_c1_fused(x1, w1, b):
+        (yc,), (s, q) = ff.conv1_bnstats_flat(
+            x1, w1, b, H, W, jnp.float32, True, True)
+        y = fc.from_flat((yc,), H, W, padded=True)
+        s_c, q_c = ff.fold_lane_stats(s), ff.fold_lane_stats(q)
+        return (jnp.sum((y - tgt[..., :32]) ** 2) + jnp.sum(s_c * cs)
+                + jnp.sum(q_c * cq))
+
+    lc1 = loss_c1_ref(x1, w1, b)
+    lc2 = loss_c1_fused(x1, w1, b)
+    assert abs(float(lc1 - lc2)) < 1e-2 * max(1.0, abs(float(lc1)))
+    gc1 = jax.grad(loss_c1_ref, (0, 1, 2))(x1, w1, b)
+    gc2 = jax.grad(loss_c1_fused, (0, 1, 2))(x1, w1, b)
+    for a, r in zip(gc2, gc1):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        assert np.allclose(np.asarray(a), np.asarray(r),
+                           atol=1e-4 * scale)
