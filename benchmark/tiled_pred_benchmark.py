@@ -34,6 +34,11 @@ parser.add_argument("--f32", action="store_true",
 parser.add_argument("--batch", type=int, default=None,
                     help="tile batch size override")
 parser.add_argument("--no-softmax", action="store_true")
+parser.add_argument("--argmax", action="store_true",
+                    help="argmax head (out_dtype defaults to uint8 ids)")
+parser.add_argument("--out-dtype", default=None,
+                    help="explicit out_dtype (e.g. float32, bfloat16, "
+                         "uint8); default follows reference semantics")
 args = parser.parse_args()
 
 import jax
@@ -60,8 +65,11 @@ pred = Predictor(
     model=model, state=variables,
     tile_shape=tuple(args.tile), overlap_shape=tuple(args.overlap),
     float16=not args.f32, apply_softmax=not args.no_softmax,
+    argmax_with_threshold=True if args.argmax else None,
+    out_dtype=args.out_dtype,
     batch_size=args.batch, verbose=True, collect_phase_times=True,
 )
+print(f"out_dtype {pred.out_dtype}, argmax {args.argmax}", flush=True)
 
 for rep in range(args.reps):
     t0 = time.time()

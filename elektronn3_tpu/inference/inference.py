@@ -49,6 +49,7 @@ def tiled_apply(
         phase_times: Optional[Dict[str, float]] = None,
         device_crop: bool = False,
         max_tiles_per_call: Optional[int] = None,
+        out_dtype=np.float32,
 ) -> np.ndarray:
     """Apply ``func`` tile-wise over a large (N, C, *spatial) input.
 
@@ -117,7 +118,7 @@ def tiled_apply(
         crop_low = np.zeros_like(tile_shape)
     del inp
 
-    out = np.empty(out_shape, dtype=np.float32)
+    out = np.empty(out_shape, dtype=out_dtype)
     tiles = np.ceil(out_shape[2:] / tile_shape).astype(int)
     tile_positions = [np.array(p) for p in itertools.product(
         *[range(t) for t in tiles])]
@@ -214,6 +215,19 @@ class Predictor:
         out_shape: full output shape (N, C_out, *spatial). If None,
             inferred as input spatial shape with ``out_channels``.
         out_channels: number of output channels.
+        out_dtype: dtype the output is cast to ON DEVICE, before the
+            device->host copy (reference inference.py:324,378,523-524 —
+            there the cast is ``dout.to(self.out_dtype)`` right before
+            the implicit copy). Defaults (reference :455-456,613-615):
+            uint8 when an argmax head is active (class ids; guarded
+            against >255 classes), else the compute dtype (bfloat16
+            under ``float16=True``, float32 otherwise — the reference
+            returns half under its fp16 mode). Casting before D2H is a
+            first-class perf lever on relay/PCIe-bound hosts: uint8
+            argmax output ships 8x fewer bytes than f32 probabilities,
+            bf16 probabilities 2x (measured: d2h was 11.9 of 29.7 s on
+            the v5e relay at f32). Accepts anything ``np.dtype`` does,
+            plus 'bfloat16' (ml_dtypes).
         float16: use bf16 compute (TPU equivalent of the reference's
             fp16 mode).
         apply_softmax: append a softmax head (reference :443-454).
@@ -239,6 +253,7 @@ class Predictor:
             offset: Union[None, str, Sequence[int]] = None,
             out_shape: Optional[Sequence[int]] = None,
             out_channels: Optional[int] = None,
+            out_dtype=None,
             float16: bool = False,
             apply_softmax: bool = True,
             transform: Optional[Callable] = None,
@@ -262,6 +277,23 @@ class Predictor:
         self.apply_softmax = apply_softmax
         self.transform = transform
         self.argmax_with_threshold = argmax_with_threshold
+        argmax_on = argmax_with_threshold is not None \
+            and argmax_with_threshold is not False
+        if out_dtype is None:
+            # Reference defaults (inference.py:455-456,613-615): uint8
+            # for argmax class ids, else the compute dtype.
+            if argmax_on:
+                out_dtype = np.uint8
+            elif float16:
+                import ml_dtypes
+                out_dtype = ml_dtypes.bfloat16
+            else:
+                out_dtype = np.float32
+        elif out_dtype == "bfloat16":
+            import ml_dtypes
+            out_dtype = ml_dtypes.bfloat16
+        self.out_dtype = np.dtype(out_dtype)
+        self._argmax_on = argmax_on
         self.strict_shapes = strict_shapes
         self.verbose = verbose
         # Opt-in per-phase wall-time attribution (host_assemble / h2d /
@@ -416,14 +448,15 @@ class Predictor:
         out = out.astype(jnp.float32)
         if self.apply_softmax:
             out = jax.nn.softmax(out, axis=-1)
-        if self.argmax_with_threshold is not None \
-                and self.argmax_with_threshold is not False:
+        if self._argmax_on:
             if self.argmax_with_threshold is True:
                 out = jnp.argmax(out, axis=-1, keepdims=True)
             else:
-                out = (out[..., 1:2] > self.argmax_with_threshold).astype(
-                    jnp.float32)
-        return out
+                out = out[..., 1:2] > self.argmax_with_threshold
+        # Cast to out_dtype ON DEVICE so the D2H copy ships the small
+        # representation (reference inference.py:523-524; uint8 argmax
+        # is 8x fewer bytes than f32 probabilities).
+        return out.astype(self.out_dtype)
 
     def _forward_crop(self, x_cl: jnp.ndarray,
                       crop_lo: Optional[Tuple[int, ...]] = None,
@@ -494,8 +527,9 @@ class Predictor:
 
     def predict(self, inp: np.ndarray) -> np.ndarray:
         """Predict on a (N, C, *spatial) / (C, *spatial) / (*spatial)
-        numpy array; returns (N, C_out, *spatial_out) float32.
-        Reference Predictor.predict (inference.py:569-642)."""
+        numpy array; returns (N, C_out, *spatial_out) in ``out_dtype``
+        (uint8 class ids with an argmax head, bf16/f32 probabilities
+        otherwise). Reference Predictor.predict (inference.py:569-642)."""
         start = time.time()
         self.last_phase_times = {} if self.collect_phase_times else None
         inp = np.asarray(inp, np.float32)
@@ -545,12 +579,23 @@ class Predictor:
             probe = self._predict(np.zeros_like(inp[:1]))
             out_channels = probe.shape[1]
             self.out_channels = out_channels
+        if (self._argmax_on and self.out_dtype == np.uint8
+                and out_channels is not None and out_channels > 255):
+            # Reference inference.py:613-615: uint8 can't hold the
+            # class ids of a >255-class argmax output.
+            raise ValueError(
+                f"out_channels = {out_channels}, but out_dtype uint8 "
+                "can only hold class ids up to 255.")
 
         offset = np.zeros(inp.ndim - 2, np.int64) if offset_spec is None \
             else np.array(offset_spec)
         out_spatial = np.array(inp.shape[2:]) - 2 * offset
+        # An argmax head collapses the class axis to ONE channel of ids
+        # (out_channels keeps meaning the model's class count, which the
+        # uint8 guard above needs).
+        head_channels = 1 if self._argmax_on else out_channels
         out_shape = np.array(
-            (inp.shape[0], out_channels, *out_spatial))
+            (inp.shape[0], head_channels, *out_spatial))
 
         if self.tile_shape is None:
             # Single-shot prediction
@@ -599,7 +644,8 @@ class Predictor:
             offset, out_shape, verbose=self.verbose,
             phase_times=self.last_phase_times,
             device_crop=True,
-            max_tiles_per_call=self.batch_size)
+            max_tiles_per_call=self.batch_size,
+            out_dtype=self.out_dtype)
 
     def _splitbatch_predict(self, inp: np.ndarray, **crop_kw) -> np.ndarray:
         """Split over-long batches (reference :552-567).

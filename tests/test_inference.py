@@ -118,6 +118,69 @@ def test_predictor_argmax(unet2d_state, rng):
     assert set(np.unique(out)).issubset({0.0, 1.0})
 
 
+def test_predictor_out_dtype_defaults(unet2d_state, rng):
+    """Reference out_dtype defaults (inference.py:455-456,613-615):
+    uint8 class ids under an argmax head, compute dtype otherwise.
+    The cast happens ON DEVICE before the D2H copy."""
+    model, variables = unet2d_state
+    inp = rng.normal(size=(1, 1, 16, 16)).astype(np.float32)
+    pr = Predictor(model=model, state=variables,
+                   argmax_with_threshold=True)
+    out = pr.predict(inp)
+    assert out.dtype == np.uint8
+    assert set(np.unique(out)).issubset({0, 1})
+    probs = Predictor(model=model, state=variables).predict(inp)
+    assert probs.dtype == np.float32
+
+
+def test_predictor_out_dtype_bf16_tiled(unet2d_state, rng):
+    """Explicit bf16 probability output through the tiled path: the
+    host buffer is allocated in out_dtype and values match the f32
+    path to bf16 resolution."""
+    import ml_dtypes
+    model, variables = unet2d_state
+    inp = rng.normal(size=(1, 1, 32, 32)).astype(np.float32)
+    pr = Predictor(model=model, state=variables, out_dtype="bfloat16",
+                   tile_shape=(16, 16), overlap_shape=(8, 8))
+    out = pr.predict(inp)
+    assert out.dtype == ml_dtypes.bfloat16
+    ref = Predictor(model=model, state=variables, tile_shape=(16, 16),
+                    overlap_shape=(8, 8)).predict(inp)
+    assert np.allclose(out.astype(np.float32), ref, atol=2e-2)
+
+
+def test_predictor_tiled_argmax_uint8(unet2d_state, rng):
+    """Tiled argmax prediction: ONE channel of uint8 ids in the host
+    buffer (argmax collapses the class axis; the buffer must not be
+    allocated with the model's class count)."""
+    model, variables = unet2d_state
+    inp = rng.normal(size=(1, 1, 32, 32)).astype(np.float32)
+    pr = Predictor(model=model, state=variables,
+                   argmax_with_threshold=True,
+                   tile_shape=(16, 16), overlap_shape=(8, 8))
+    out = pr.predict(inp)
+    assert out.shape == (1, 1, 32, 32)
+    assert out.dtype == np.uint8
+    whole = Predictor(model=model, state=variables,
+                      argmax_with_threshold=True).predict(inp)
+    # Interior ids must agree with the whole-image argmax.
+    assert np.array_equal(out[..., 8:-8, 8:-8], whole[..., 8:-8, 8:-8])
+
+
+def test_predictor_uint8_class_guard():
+    """>255-class argmax output can't ship as uint8 ids (reference
+    inference.py:613-615)."""
+    import jax.numpy as jnp
+
+    def fake_model(x):
+        return jnp.repeat(x, 300, axis=-1)
+
+    pr = Predictor(model=fake_model, out_channels=300,
+                   argmax_with_threshold=True, apply_softmax=False)
+    with pytest.raises(ValueError, match="255"):
+        pr.predict(np.zeros((1, 1, 8, 8), np.float32))
+
+
 def test_predictor_batch_split(unet2d_state, rng):
     model, variables = unet2d_state
     pr_split = Predictor(model=model, state=variables, batch_size=2)
