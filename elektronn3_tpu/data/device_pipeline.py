@@ -116,8 +116,11 @@ class DeviceWarpPatchLoader:
         if not np.issubdtype(np.dtype(src.dtype), np.integer):
             return False
         arr = getattr(src, "_data", None)
-        if arr is None or not isinstance(arr, np.ndarray):
-            return False  # not in memory: probing would read the cube
+        if arr is None or not isinstance(arr, np.ndarray) \
+                or isinstance(arr, np.memmap):
+            # Not (fully) in memory — np.memmap IS an ndarray subclass,
+            # but min()/max() would fault in the whole cube at init.
+            return False
         return bool(arr.min() >= 0 and arr.max() <= 255)
 
     def __len__(self):

@@ -2534,6 +2534,13 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
     """
     from elektronn3_tpu.ops.flat_fused import (
         pack_upconv_weights, flat_geometry, width_mask)
+    # The stats side outputs are GLOBAL (1, 128) accumulators reset at
+    # grid (0, 0); 'per_sample' (group/instance-norm) stats are NOT
+    # implemented here — enforce the invariant at the op so a future
+    # caller can't silently get global stats (model-level gating
+    # currently guarantees this, models/unet.py fused planning).
+    assert want_stats in (False, True), \
+        f"upconv122_from_flat64 only emits global stats, got {want_stats!r}"
     H1, W1 = H // 2, W // 2
     assert W1 % 2 == 0, W1
     G, R, P = flat_geometry(H, W)
