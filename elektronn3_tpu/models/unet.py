@@ -734,11 +734,21 @@ class DownConv(nn.Module):
             count = B * Dd * H * W
             C = self.out_channels
             n = C // _ff64.CC64
-            batch = self.normalization == "batch"
+            kind, ngroups = norm_kind(self.normalization, C)
             aname = _act_name(self.activation)
-            id_inv, id_shift = identity_prologue(len(xs0))
+            # group/instance norm: the conv ops key per-sample stat
+            # emission off the PROLOGUE rank, so conv1's identity
+            # prologue must carry the batch axis too.
+            id_inv, id_shift = identity_prologue(
+                len(xs0), B if kind == "group" else None)
             nidx = 0
-            want1 = batch and self.full_norm and train
+            pro = functools.partial(
+                _stats_prologue, kind, ngroups,
+                fold=_ff64.fold_lane_stats64, count=count,
+                spatial=Dd * H * W, n=n, B=B,
+                axis_name=self.axis_name, train=train, cc=_ff64.CC64)
+            want1 = _want_stats(kind, normed=self.full_norm,
+                                train=train)
             y1, st1 = _FusedConv64(C, H, W, cin_real=cin,
                                    want_stats=want1, act="linear",
                                    forms=forms, kd=kd, dim=self.dim,
@@ -746,17 +756,9 @@ class DownConv(nn.Module):
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs0, id_inv, id_shift)
-            if self.full_norm and batch:
-                s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
-                q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
-                inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
-                                           axis_name=self.axis_name,
-                                           name=f"BatchNorm_{nidx}")(
-                    s1, q1, count, n, not train)
-                nidx += 1
-            else:
-                inv1, shift1 = identity_prologue(n)
-            want2 = batch and train
+            inv1, shift1, nidx = pro(st1, nidx=nidx,
+                                     normed=self.full_norm)
+            want2 = _want_stats(kind, normed=True, train=train)
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
                                    kd=kd, dim=self.dim,
@@ -764,15 +766,7 @@ class DownConv(nn.Module):
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
-            if batch:
-                s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
-                q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
-                                           axis_name=self.axis_name,
-                                           name=f"BatchNorm_{nidx}")(
-                    s2, q2, count, n, not train)
-            else:
-                inv2, shift2 = identity_prologue(n)
+            inv2, shift2, nidx = pro(st2, nidx=nidx)
             if self.pooling:
                 # Skip routed through the pool primitive: its cotangent
                 # is summed into dx in-kernel (no XLA add_any seam).
@@ -1015,10 +1009,16 @@ class UpConv(nn.Module):
                 B, D1 = dec.shape[0], dec.shape[1]
             Dd = D1 * (1 if kd == 1 else 2)
             count = B * Dd * H * W
-            batch = self.normalization == "batch"
+            kind, ngroups = norm_kind(self.normalization, C)
             aname = _act_name(self.activation)
             nidx = 0
-            wantu = batch and self.full_norm and train
+            pro = functools.partial(
+                _stats_prologue, kind, ngroups,
+                fold=_ff64.fold_lane_stats64, count=count,
+                spatial=Dd * H * W, n=n, B=B,
+                axis_name=self.axis_name, train=train, cc=_ff64.CC64)
+            wantu = _want_stats(kind, normed=self.full_norm,
+                                train=train)
             if from64:
                 # Deeper carry is a fused64 level: upconv straight
                 # from its chunks (prologue in kernel, no materialize
@@ -1037,52 +1037,29 @@ class UpConv(nn.Module):
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype,
                                          name="upconv")(dec)
-            if self.full_norm and batch:
-                su = _ff64.fold_lane_stats64(stu[0]) if stu else None
-                qu = _ff64.fold_lane_stats64(stu[1]) if stu else None
-                invu, shiftu = FlatBNStats(cc=_ff64.CC64,
-                                           axis_name=self.axis_name,
-                                           name=f"BatchNorm_{nidx}")(
-                    su, qu, count, n, not train)
-                nidx += 1
-            else:
-                invu, shiftu = identity_prologue(n)
+            invu, shiftu, nidx = pro(stu, nidx=nidx,
+                                     normed=self.full_norm)
             xs = tuple(yu) + tuple(enc.chunks)
             inv_s = jnp.concatenate([invu, enc.inv])
             shift_s = jnp.concatenate([shiftu, enc.shift])
-            want1 = batch and self.full_norm and train
+            want1 = _want_stats(kind, normed=self.full_norm,
+                                train=train)
             y1, st1 = _FusedConv64(C, H, W, cin_real=len(xs) * _ff64.CC64,
                                    want_stats=want1, act=aname,
                                    kd=kd, dim=self.dim, d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv1")(xs, inv_s, shift_s)
-            if self.full_norm and batch:
-                s1 = _ff64.fold_lane_stats64(st1[0]) if st1 else None
-                q1 = _ff64.fold_lane_stats64(st1[1]) if st1 else None
-                inv1, shift1 = FlatBNStats(cc=_ff64.CC64,
-                                           axis_name=self.axis_name,
-                                           name=f"BatchNorm_{nidx}")(
-                    s1, q1, count, n, not train)
-                nidx += 1
-            else:
-                inv1, shift1 = identity_prologue(n)
-            want2 = batch and train
+            inv1, shift1, nidx = pro(st1, nidx=nidx,
+                                     normed=self.full_norm)
+            want2 = _want_stats(kind, normed=True, train=train)
             y2, st2 = _FusedConv64(C, H, W, cin_real=C,
                                    want_stats=want2, act=aname,
                                    kd=kd, dim=self.dim, d_halo=tiled,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv2")(y1, inv1, shift1)
-            if batch:
-                s2 = _ff64.fold_lane_stats64(st2[0]) if st2 else None
-                q2 = _ff64.fold_lane_stats64(st2[1]) if st2 else None
-                inv2, shift2 = FlatBNStats(cc=_ff64.CC64,
-                                           axis_name=self.axis_name,
-                                           name=f"BatchNorm_{nidx}")(
-                    s2, q2, count, n, not train)
-            else:
-                inv2, shift2 = identity_prologue(n)
+            inv2, shift2, nidx = pro(st2, nidx=nidx)
             return _ff64.FlatActs64(y2, inv2, shift2), None
 
         if self.fused:
@@ -1419,12 +1396,17 @@ class UNet(nn.Module):
         widest = 2 * nch if (merge and self.merge_mode == "concat") \
             else nch
         esize = 4 if self.dtype == jnp.float32 else 2
+        if not self._norm_fused_ok(channels):
+            return False
+        # batch norm wants stats in training; group/instance norm
+        # wants per-sample stats in training AND eval (no running
+        # state) — size the VMEM estimate for whichever applies.
+        kind = norm_kind(self.normalization, channels)[0]
         vmem = _ff64.conv64_vmem_bytes(
             widest, nch, 1 if kd1 else 3, H, W, esize=esize,
-            want_stats=self.normalization == "batch", train=train,
+            want_stats=kind != "none", train=train,
             tiled=tiled)
         return (self.conv_mode == "same" and not self.attention
-                and self.normalization in ("batch", "none")
                 and act_ok and channels in (_ff64.CC64, 2 * _ff64.CC64)
                 and H % 2 == 0 and W % 2 == 0
                 and (not pooling or kd1 or D % 2 == 0)
@@ -1490,11 +1472,6 @@ class UNet(nn.Module):
             return (f"normalization {self.normalization!r} not fused "
                     f"(unknown name or C={channels} not divisible by "
                     f"the group count)")
-        if channels != _fc.CC and \
-                norm_kind(self.normalization, channels)[0] == "group":
-            return (f"normalization {self.normalization!r} is fused "
-                    f"for the C={_fc.CC} executor only (C=64/128 "
-                    f"per-sample stats not wired yet)")
         if not (isinstance(self.activation, str)
                 and self.activation in ("relu", "leaky", "lrelu")):
             return f"activation {self.activation!r} has no fused deriv"
@@ -1525,15 +1502,16 @@ class UNet(nn.Module):
         nch = channels // _ff64.CC64
         kd = 1 if (planar or self.dim == 2) else 3
         esize = 4 if self.dtype == jnp.float32 else 2
+        wstats = norm_kind(self.normalization, channels)[0] != "none"
         vmem = _ff64.conv64_vmem_bytes(
             nch, nch, kd, H, W, esize=esize,
-            want_stats=self.normalization == "batch", train=train)
+            want_stats=wstats, train=train)
         if vmem + _ff64.VMEM_SLOP <= _ff64.VMEM_LIMIT:
             # Encoder fits; the level was declined for decoder
             # coherence (see the planning loop).
             mv = _ff64.conv64_vmem_bytes(
                 2 * nch, nch, kd, H, W, esize=esize,
-                want_stats=self.normalization == "batch", train=train)
+                want_stats=wstats, train=train)
             return (f"decoder merge conv VMEM estimate too large "
                     f"({(mv + _ff64.VMEM_SLOP) / 2**20:.1f} MB > "
                     f"{_ff64.VMEM_LIMIT / 2**20:.0f} MB scoped limit; "

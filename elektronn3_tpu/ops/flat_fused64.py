@@ -1200,9 +1200,11 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
-    for shp in ((nin, 128), (nin, 128)):
-        out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    # per-sample prologues (group/instance norm) get b-indexed
+    # dinv/dshift accumulator blocks (reset per b in the kernel).
+    pro_spec, pro_shape = _ps_out(nin, B if per_sample else None)
+    out_specs += [pro_spec, pro_spec]
+    out_shape += [pro_shape, pro_shape]
     for shp in ((nin, nout, kd, 3, 128, 128),
                 (nin, nout, kd, 3, 128, 128)):
         out_specs.append(pl.BlockSpec(
@@ -1242,6 +1244,10 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
     m0, mc = jax.lax.optimization_barrier((m0, mc))
     dw = _unpack_wgrad64(m0, mc, nin, nout).astype(w.dtype)
     dbc = fold_lane_stats64(db)
+    if per_sample:
+        # restore the canonical (nin, B, 128) prologue-grad layout
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
     return dxs, dinv, dshift, dw, dbc.astype(w.dtype)
 
 
@@ -1917,10 +1923,10 @@ def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
                               memory_space=pltpu.VMEM)] * no
     out_shape = [jax.ShapeDtypeStruct((B, 2 * D1, R + 2 * P, 128),
                                       dtype) for _ in range(no)]
-    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
-                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
-    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    st_spec, st_shape = _ps_out(
+        no, B if want_stats == "per_sample" else None)
+    out_specs += [st_spec, st_spec]
+    out_shape += [st_shape, st_shape]
     res = pl.pallas_call(
         kernel,
         grid=(B, D1),
@@ -1930,6 +1936,8 @@ def upconv222_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
         interpret=_interpret(),
     )(*operands)
     ys, (s, q) = res[:no], res[no:]
+    if want_stats == "per_sample":
+        s, q = s.transpose(1, 0, 2), q.transpose(1, 0, 2)
     stats = (s, q) if want_stats else None
     return tuple(ys), stats
 
@@ -1953,8 +1961,10 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
            for dy_in in dys_in]
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
+    st_shape = ((no, B, 128) if want_stats == "per_sample"
+                else (no, 128))
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     kernel = functools.partial(_upconv64_bwd_kernel, nk=nk, no=no, G=G,
                                R=R, P=P, H=H, W1=W1,
@@ -1982,9 +1992,9 @@ def _upconv64_bwd(H, W, want_stats, res, cts):
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (ds, dq):
-        in_specs.append(pl.BlockSpec((no, 128), c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v)
+        op, spec = _ps_in(v)
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
                               memory_space=pltpu.VMEM)] * nk
@@ -2073,8 +2083,11 @@ def _upconv122_64_fwd_kernel(*refs, nk: int, no: int, G: int, R: int,
     outs = refs[nk + 2 * nk * no + 2:nk + 2 * nk * no + 2 + no]
     if want_stats:
         s_ref, q_ref = refs[nk + 2 * nk * no + 2 + no:]
-        first = jnp.logical_and(pl.program_id(0) == 0,
-                                pl.program_id(1) == 0)
+        # 'per_sample' (group/instance norm): b-indexed stat blocks
+        # reset at each b's first grid step.
+        first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+                 else jnp.logical_and(pl.program_id(0) == 0,
+                                      pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -2213,10 +2226,10 @@ def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
                               memory_space=pltpu.VMEM)] * no
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype)
                  for _ in range(no)]
-    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
-                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
-    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    st_spec, st_shape = _ps_out(
+        no, B if want_stats == "per_sample" else None)
+    out_specs += [st_spec, st_spec]
+    out_shape += [st_shape, st_shape]
     res = pl.pallas_call(
         kernel,
         grid=(B, D),
@@ -2226,6 +2239,8 @@ def upconv122_bn_flat64(dec, w, b, H: int, W: int, want_stats: bool):
         interpret=_interpret(),
     )(*operands)
     ys, (s, q) = res[:no], res[no:]
+    if want_stats == "per_sample":
+        s, q = s.transpose(1, 0, 2), q.transpose(1, 0, 2)
     stats = (s, q) if want_stats else None
     return tuple(ys), stats
 
@@ -2248,8 +2263,10 @@ def _upconv122_64_bwd(H, W, want_stats, res, cts):
             else dy_in.astype(dtype)) for dy_in in dys_in]
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
+    st_shape = ((no, B, 128) if want_stats == "per_sample"
+                else (no, 128))
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     kernel = functools.partial(_upconv122_64_bwd_kernel, nk=nk, no=no,
                                G=G, R=R, P=P, H=H, W1=W1,
@@ -2276,9 +2293,9 @@ def _upconv122_64_bwd(H, W, want_stats, res, cts):
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (ds, dq):
-        in_specs.append(pl.BlockSpec((no, 128), c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v)
+        op, spec = _ps_in(v)
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs = [pl.BlockSpec((1, 1, H1 * W1, 128), bd,
                               memory_space=pltpu.VMEM)] * nk
@@ -2373,8 +2390,8 @@ def materialize_flat_acts64(chunks, inv, shift, H: int, W: int,
     rowmask = jnp.pad(jnp.tile(width_mask64(W), (H, 1)), ((P, P), (0, 0)))
     outs = []
     for i, xc in enumerate(chunks):
-        pre = xc.astype(jnp.float32) * inv[i][None, None, None] \
-            + shift[i][None, None, None]
+        pre = xc.astype(jnp.float32) * _bc_prologue(inv[i]) \
+            + _bc_prologue(shift[i])
         outs.append((_act_fwd(pre, act) * rowmask[None, None]
                      ).astype(xc.dtype))
     return from_flat64(outs, H, W, C)
@@ -2427,8 +2444,11 @@ def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
                               H1: int, W1: int, WRd: int, out_dtype,
                               act: str, want_stats: bool, nd: int):
     if want_stats:
-        first = jnp.logical_and(pl.program_id(0) == 0,
-                                pl.program_id(1) == 0)
+        # 'per_sample': b-indexed stat blocks reset at each b's first
+        # grid step (group/instance norm).
+        first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+                 else jnp.logical_and(pl.program_id(0) == 0,
+                                      pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -2468,14 +2488,20 @@ def _upconv122_f64_bwd_kernel(chunk_ref, dy_ref, y_ref, inv_ref,
                               P: int, H: int, G1: int, R1: int,
                               P1: int, H1: int, W1: int, WRd: int,
                               want_stats: bool, x_dtype, act: str,
-                              nd: int):
+                              nd: int, per_sample: bool = False):
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    # per_sample: dinv/dshift blocks are b-indexed — reset at each b's
+    # first grid step; the weight/bias accumulators stay global.
+    first_b = pl.program_id(1) == 0 if per_sample else first
 
     @pl.when(first)
     def _():
         dM0[...] = jnp.zeros_like(dM0)
         dM1[...] = jnp.zeros_like(dM1)
         db[...] = jnp.zeros_like(db)
+
+    @pl.when(first_b)
+    def _():
         dinv_ref[...] = jnp.zeros_like(dinv_ref)
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
@@ -2534,13 +2560,7 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
     """
     from elektronn3_tpu.ops.flat_fused import (
         pack_upconv_weights, flat_geometry, width_mask)
-    # The stats side outputs are GLOBAL (1, 128) accumulators reset at
-    # grid (0, 0); 'per_sample' (group/instance-norm) stats are NOT
-    # implemented here — enforce the invariant at the op so a future
-    # caller can't silently get global stats (model-level gating
-    # currently guarantees this, models/unet.py fused planning).
-    assert want_stats in (False, True), \
-        f"upconv122_from_flat64 only emits global stats, got {want_stats!r}"
+    assert want_stats in (False, True, "per_sample"), want_stats
     H1, W1 = H // 2, W // 2
     assert W1 % 2 == 0, W1
     G, R, P = flat_geometry(H, W)
@@ -2559,27 +2579,28 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
         want_stats=want_stats, nd=nd)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
+    inv_op, inv_spec = _ps_in(inv.astype(jnp.float32))
+    shift_op, shift_spec = _ps_in(shift.astype(jnp.float32))
     in_specs = [
         pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        inv_spec,
+        shift_spec,
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
     ]
-    operands = [chunk, inv.astype(jnp.float32),
-                shift.astype(jnp.float32), M0.astype(dtype),
+    operands = [chunk, inv_op, shift_op, M0.astype(dtype),
                 M1.astype(dtype), width_mask(W).astype(jnp.float32),
                 bias_l.astype(jnp.float32)]
+    st_spec, st_shape = _ps_out(
+        1, B if want_stats == "per_sample" else None)
     out_specs = [pl.BlockSpec((1, nd, R + 2 * P, 128), bd,
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM)]
+                 st_spec, st_spec]
     out_shape = [jax.ShapeDtypeStruct((B, D, R + 2 * P, 128), dtype),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
-                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+                 st_shape, st_shape]
     y, sst, qst = pl.pallas_call(
         kernel,
         grid=(B, D // nd),
@@ -2588,6 +2609,8 @@ def upconv122_from_flat64(chunk, inv, shift, w, b, H: int, W: int,
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*operands)
+    if want_stats == "per_sample":
+        sst, qst = sst.transpose(1, 0, 2), qst.transpose(1, 0, 2)
     stats = (sst, qst) if want_stats else None
     return (y,), stats
 
@@ -2614,18 +2637,25 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
         jax.lax.optimization_barrier(w))
     dy = (jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy_in is None
           else dy_in.astype(dtype))
+    per_sample = inv.ndim == 3
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((1, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((1, 128), jnp.float32) if dq is None else dq
+    st_shape = ((1, B, 128) if want_stats == "per_sample"
+                else (1, 128))
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     nd = _upconv_dblk(D, 2, R + 2 * P, 4608)
     kernel = functools.partial(
         _upconv122_f64_bwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
         P1=P1, H1=H1, W1=W1, WRd=WRd, want_stats=want_stats,
-        x_dtype=dtype, act=act, nd=nd)
+        x_dtype=dtype, act=act, nd=nd, per_sample=per_sample)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
+    inv_op, inv_spec = _ps_in(inv.astype(jnp.float32))
+    shift_op, shift_spec = _ps_in(shift.astype(jnp.float32))
+    ds_op, ds_spec = _ps_in(ds)
+    dq_op, dq_spec = _ps_in(dq)
     in_specs = [
         pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
@@ -2633,34 +2663,34 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nd, R + 2 * P, 128), bd,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        inv_spec,
+        shift_spec,
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        ds_spec,
+        dq_spec,
     ]
-    operands = [chunk, dy, y, inv.astype(jnp.float32),
-                shift.astype(jnp.float32), M0.astype(dtype),
+    operands = [chunk, dy, y, inv_op, shift_op, M0.astype(dtype),
                 M1.astype(dtype), width_mask(W).astype(jnp.float32),
-                ds, dq]
+                ds_op, dq_op]
+    pro_spec, pro_shape = _ps_out(1, B if per_sample else None)
     out_specs = [
         pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pro_spec,
+        pro_spec,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, D, R1 + 2 * P1, 128), dtype),
         jax.ShapeDtypeStruct((128, 128), jnp.float32),
         jax.ShapeDtypeStruct((128, 128), jnp.float32),
         jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        pro_shape,
+        pro_shape,
     ]
     dchunk, dM0, dM1, dbl, dinv, dshift = pl.pallas_call(
         kernel,
@@ -2680,6 +2710,10 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
             dw = dw.at[0, 1 - a_, 1 - p_].add(
                 dM[m_ * 64:(m_ + 1) * 64, j * 32:(j + 1) * 32])
     dbc = jnp.sum(dbl.reshape(4, 32), axis=0)
+    if per_sample:
+        # restore the canonical (1, B, 128) prologue-grad layout
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
     return (dchunk, dinv, dshift, dw.astype(w.dtype),
             dbc.astype(w.dtype))
 
@@ -2747,8 +2781,11 @@ def _upconv_f64in_fwd_kernel(*refs, nk: int, no: int, azs: int,
     outs = refs[nk + 2 + nmat + 2:nk + 2 + nmat + 2 + no]
     if want_stats:
         s_ref, q_ref = refs[nk + 2 + nmat + 2 + no:]
-        first = jnp.logical_and(pl.program_id(0) == 0,
-                                pl.program_id(1) == 0)
+        # 'per_sample': b-indexed stat blocks reset at each b's first
+        # grid step (group/instance norm).
+        first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+                 else jnp.logical_and(pl.program_id(0) == 0,
+                                      pl.program_id(1) == 0))
 
         @pl.when(first)
         def _():
@@ -2807,7 +2844,8 @@ def _upconv_f64in_fwd_kernel(*refs, nk: int, no: int, azs: int,
 def _upconv_f64in_bwd_kernel(*refs, nk: int, no: int, azs: int,
                              G: int, R: int, P: int, H: int, G1: int,
                              R1: int, P1: int, H1: int, W1: int,
-                             want_stats: bool, x_dtype, act: str):
+                             want_stats: bool, x_dtype, act: str,
+                             per_sample: bool = False):
     # refs: nk chunks, no dy, no y, inv, shift, nmat mats, mask, ds,
     # dq; outs: nk dchunk, nmat dM, db, dinv, dshift.
     chunk_refs = refs[:nk]
@@ -2825,12 +2863,18 @@ def _upconv_f64in_bwd_kernel(*refs, nk: int, no: int, azs: int,
     db, dinv_ref, dshift_ref = refs[pos + nk + nmat:]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    # per_sample: dinv/dshift blocks are b-indexed — reset at each b's
+    # first grid step; the weight/bias accumulators stay global.
+    first_b = pl.program_id(1) == 0 if per_sample else first
 
     @pl.when(first)
     def _():
         for dm in dmats:
             dm[...] = jnp.zeros_like(dm)
         db[...] = jnp.zeros_like(db)
+
+    @pl.when(first_b)
+    def _():
         dinv_ref[...] = jnp.zeros_like(dinv_ref)
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
@@ -2923,9 +2967,9 @@ def _upconv_f64in_call(chunks, inv, shift, w, b, H, W, want_stats,
                                      memory_space=pltpu.VMEM))
         operands.append(c)
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec((nk, 128), c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     for az in range(azs):
         for ah in range(2):
             for k in range(nk):
@@ -2944,10 +2988,10 @@ def _upconv_f64in_call(chunks, inv, shift, w, b, H, W, want_stats,
     out_specs = [pl.BlockSpec(oblk, bd, memory_space=pltpu.VMEM)] * no
     out_shape = [jax.ShapeDtypeStruct((B, Dout, R + 2 * P, 128), dtype)
                  for _ in range(no)]
-    out_specs += [pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM),
-                  pl.BlockSpec((no, 128), c2, memory_space=pltpu.VMEM)]
-    out_shape += [jax.ShapeDtypeStruct((no, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((no, 128), jnp.float32)]
+    st_spec, st_shape = _ps_out(
+        no, B if want_stats == "per_sample" else None)
+    out_specs += [st_spec, st_spec]
+    out_shape += [st_shape, st_shape]
     res = pl.pallas_call(
         kernel,
         grid=(B, D1),
@@ -2957,6 +3001,8 @@ def _upconv_f64in_call(chunks, inv, shift, w, b, H, W, want_stats,
         interpret=_interpret(),
     )(*operands)
     ys, (s, q) = res[:no], res[no:]
+    if want_stats == "per_sample":
+        s, q = s.transpose(1, 0, 2), q.transpose(1, 0, 2)
     stats = (s, q) if want_stats else None
     return tuple(ys), stats
 
@@ -2996,15 +3042,18 @@ def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
     nmat = azs * 2 * nk * no * 2
     dys = [(jnp.zeros((B, Dout, R + 2 * P, 128), dtype) if d is None
             else d.astype(dtype)) for d in dys_in]
+    per_sample = inv.ndim == 3
     ds, dq = (dstats if (want_stats and dstats is not None)
               else (None, None))
-    ds = jnp.zeros((no, 128), jnp.float32) if ds is None else ds
-    dq = jnp.zeros((no, 128), jnp.float32) if dq is None else dq
+    st_shape = ((no, B, 128) if want_stats == "per_sample"
+                else (no, 128))
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     kernel = functools.partial(
         _upconv_f64in_bwd_kernel, nk=nk, no=no, azs=azs, G=G, R=R, P=P,
         H=H, G1=G1, R1=R1, P1=P1, H1=H1, W1=W1, want_stats=want_stats,
-        x_dtype=dtype, act=act)
+        x_dtype=dtype, act=act, per_sample=per_sample)
     bd = lambda b_, d_: (b_, d_, 0, 0)
     c2 = lambda b_, d_: (0, 0)
     yblk = (1, 2, R + 2 * P, 128) if azs == 2 else (1, 1, R + 2 * P, 128)
@@ -3019,9 +3068,9 @@ def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
                                          memory_space=pltpu.VMEM))
             operands.append(a)
     for v in (inv, shift):
-        in_specs.append(pl.BlockSpec((nk, 128), c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v.astype(jnp.float32))
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
     for az in range(azs):
         for ah in range(2):
             for k in range(nk):
@@ -3033,9 +3082,9 @@ def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
     in_specs.append(pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM))
     operands.append(width_mask64(W).astype(jnp.float32))
     for v in (ds, dq):
-        in_specs.append(pl.BlockSpec((no, 128), c2,
-                                     memory_space=pltpu.VMEM))
-        operands.append(v)
+        op, spec = _ps_in(v)
+        in_specs.append(spec)
+        operands.append(op)
 
     out_specs = [pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
                               memory_space=pltpu.VMEM)] * nk
@@ -3045,9 +3094,12 @@ def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
         out_specs.append(pl.BlockSpec((128, 128), c2,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
-    for shp in ((no, 128), (nk, 128), (nk, 128)):
-        out_specs.append(pl.BlockSpec(shp, c2, memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    out_specs.append(pl.BlockSpec((no, 128), c2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((no, 128), jnp.float32))
+    pro_spec, pro_shape = _ps_out(nk, B if per_sample else None)
+    out_specs += [pro_spec, pro_spec]
+    out_shape += [pro_shape, pro_shape]
     res_ = pl.pallas_call(
         kernel,
         grid=(B, D1),
@@ -3077,6 +3129,10 @@ def _upconv_f64in_bwd_call(H, W, want_stats, act, azs, res, cts):
                                o * CC64:(o + 1) * CC64].add(
                         m64[:, CC64:128])
     dbc = fold_lane_stats64(dbl)
+    if per_sample:
+        # restore the canonical (nk, B, 128) prologue-grad layout
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
     return (dchunks, dinv, dshift, dw.astype(w.dtype),
             dbc.astype(w.dtype))
 
@@ -3120,7 +3176,7 @@ def _head64_impl(xs, inv, shift, w, b, H: int, W: int, act: str):
     for i, xc in enumerate(xs):
         B, D, _, _ = xc.shape
         v = xc[:, :, P:P + R].astype(jnp.float32)
-        pre = v * inv[i][None, None, None] + shift[i][None, None, None]
+        pre = v * _bc_prologue(inv[i]) + _bc_prologue(shift[i])
         a = _act_fwd(pre, act)
         wbig = _head_wbig(w2, i, cout, CC64, JG64)
         # Memory-bound head GEMM: _dot pins HIGHEST for f32 operands
@@ -3165,14 +3221,17 @@ def _head64_bwd(H, W, act, res, dy):
                           ((0, 0), (0, 0), (P, Rp - P - R), (0, 0)))
         wbig = _head_wbig(w2, i, cout, CC64, JG64)
         vf = xc.astype(jnp.float32)
-        pref = vf * inv[i][None, None, None] + shift[i][None, None, None]
+        pref = vf * _bc_prologue(inv[i]) + _bc_prologue(shift[i])
         da = _dot(dy_full, wbig,
                   dimension_numbers=(((3,), (1,)), ((), ())),
                   preferred_element_type=jnp.float32)  # (B, D, Rp, 128)
         dpre = da * _act_deriv(pref, act)
-        dxs.append((dpre * inv[i][None, None, None]).astype(xc.dtype))
-        dinvs.append(jnp.sum(dpre * vf, axis=(0, 1, 2)).astype(inv[i].dtype))
-        dshifts.append(jnp.sum(dpre, axis=(0, 1, 2)).astype(shift[i].dtype))
+        dxs.append((dpre * _bc_prologue(inv[i])).astype(xc.dtype))
+        # per-sample (B, 128) prologues keep the batch axis in their
+        # gradients (group/instance norm; see flat_fused._head_bwd).
+        rax = (1, 2) if inv[i].ndim == 2 else (0, 1, 2)
+        dinvs.append(jnp.sum(dpre * vf, axis=rax).astype(inv[i].dtype))
+        dshifts.append(jnp.sum(dpre, axis=rax).astype(shift[i].dtype))
         a = _act_fwd(pref, act)
         dwbig = _dot(a.reshape(-1, 128), dy_full.reshape(-1, JG64 * cout),
                      dimension_numbers=(((0,), (0,)), ((), ())),
