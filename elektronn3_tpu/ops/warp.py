@@ -12,12 +12,44 @@ All functions are jit-compatible with static patch shapes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _rowgather_enabled() -> bool:
+    # E3TPU_ROWGATHER=0 reverts to the per-element XLA gather
+    # formulation (for A/B benchmarking; numerics are identical).
+    return os.environ.get("E3TPU_ROWGATHER", "1") != "0"
+
+
+def _gather_lanes(rows: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """Fetch flat elements ``e`` from a (M, 128) lane-row view.
+
+    XLA:TPU lowers per-element gathers to ~1e8 scalar fetches/s (the
+    measured warp hot path, round 5), but row gathers of the 128-lane
+    MINOR dim run at memory bandwidth (~108 GB/s measured on the v5e).
+    So: fetch each element's whole 512 B lane-row, then select the
+    lane ARITHMETICALLY (iota compare + sum — one nonzero term, so the
+    result is bit-exact vs the scalar gather). ~15x faster than the
+    scalar-gather formulation at warp-interpolation shapes."""
+    r = e // 128
+    l = e - r * 128
+    rv = jnp.take(rows, r.reshape(-1), axis=0)      # (n, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rv.shape, 1)
+    val = jnp.sum(rv * (lane == l.reshape(-1, 1)), axis=1)
+    return val.reshape(e.shape)
+
+
+def _lane_rows(window: jnp.ndarray) -> jnp.ndarray:
+    """Flatten a (D, H, W) window into (ceil(DHW/128), 128) f32 rows."""
+    flat = window.reshape(-1).astype(jnp.float32)
+    m = -(-flat.shape[0] // 128)
+    return jnp.pad(flat, (0, m * 128 - flat.shape[0])).reshape(m, 128)
 
 
 def dest_coords(patch_shape: Sequence[int]) -> jnp.ndarray:
@@ -56,17 +88,27 @@ def warp_interpolate(window: jnp.ndarray, M_inv: jnp.ndarray,
 
     D, H, W = window.shape
     maxi = jnp.array([D - 1, H - 1, W - 1], jnp.float32)
+    rows = _lane_rows(window) if _rowgather_enabled() else None
     if discrete:
         idx = jnp.clip(jnp.round(rel), 0, maxi).astype(jnp.int32)
-        return window[idx[..., 0], idx[..., 1], idx[..., 2]]
+        if rows is None:
+            return window[idx[..., 0], idx[..., 1], idx[..., 2]]
+        e = (idx[..., 0] * H + idx[..., 1]) * W + idx[..., 2]
+        return _gather_lanes(rows, e).astype(window.dtype)
     c0 = jnp.clip(jnp.floor(rel), 0, maxi - 1)
     d = rel - c0
     i0 = c0.astype(jnp.int32)
     iz, iy, ix = i0[..., 0], i0[..., 1], i0[..., 2]
     dz, dy, dx = d[..., 0], d[..., 1], d[..., 2]
 
-    def g(oz, oy, ox):
-        return window[iz + oz, iy + oy, ix + ox]
+    if rows is None:
+        def g(oz, oy, ox):
+            return window[iz + oz, iy + oy, ix + ox]
+    else:
+        base = (iz * H + iy) * W + ix
+
+        def g(oz, oy, ox):
+            return _gather_lanes(rows, base + (oz * H + oy) * W + ox)
 
     return (g(0, 0, 0) * (1 - dz) * (1 - dy) * (1 - dx)
             + g(1, 0, 0) * dz * (1 - dy) * (1 - dx)
@@ -83,15 +125,33 @@ def warp_interpolate_batch(windows: jnp.ndarray, M_invs: jnp.ndarray,
                            los: jnp.ndarray,
                            patch_shape: Tuple[int, int, int],
                            discrete: bool = False) -> jnp.ndarray:
-    """vmapped warp over a batch of (static-shape) windows.
+    """Batched warp over (static-shape) windows — the device-side
+    PatchCreator hot path.
 
     windows: (N, D, H, W); M_invs: (N, 4, 4); los: (N, 3).
-    Returns (N,) + patch_shape. One compiled program for the whole
-    batch — this is the device-side PatchCreator hot path.
+    Returns (N,) + patch_shape.
+
+    The batch is handled by a trace-time PYTHON loop over windows, not
+    a vmap: a vmapped gather has a batched operand, which XLA:TPU
+    lowers back to the slow scalar-fetch path, and ONE stacked
+    (N*M, 128) operand (46 MB at loader shapes) is too large for
+    XLA's memory-space assignment to pin in VMEM, leaving most taps'
+    row gathers at HBM-random rates (measured 88 GiB/s vs 530 GiB/s
+    VMEM-pinned; the full-batch call measured 210 -> 198 ms). With
+    per-window (m, 128) sources (~5.8 MB) every tap's gather source is
+    VMEM-pinned: 210 -> 62 ms measured on the v5e at loader shapes
+    (N=8 windows (74,140,140) -> patches (44,88,88)). Bit-exact vs the
+    vmapped scalar-gather formulation.
     """
-    return jax.vmap(
-        lambda w, m, l: warp_interpolate(w, m, l, patch_shape, discrete)
-    )(windows, M_invs, los)
+    if not _rowgather_enabled():
+        return jax.vmap(
+            lambda w, m, l: warp_interpolate(w, m, l, patch_shape,
+                                             discrete)
+        )(windows, M_invs, los)
+    return jnp.stack([
+        warp_interpolate(windows[n], M_invs[n], los[n], patch_shape,
+                         discrete)
+        for n in range(windows.shape[0])])
 
 
 # ---------------------------------------------------------------------------
