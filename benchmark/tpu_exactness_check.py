@@ -93,8 +93,14 @@ TOLS = {
 # XLA:CPU-bf16 sits 0.017 (ratio 6.7, inside the factor) but
 # XLA:TPU-bf16 happens to land at 0.010 (ratio 11.6). Same value
 # on-chip (0.116): platform-stable rounding, not a defect.
+#
+# The floor is PER CONFIG (round-4 review item): only 3d-group needs
+# the loose 1.25e-1 (per-sample stats kill the bias-grad cancellation);
+# every pre-existing config keeps the 5e-2 it historically met, so the
+# lucky-exact-denominator guard stays as tight as each config allows.
 BF16_GRAD_REF_FACTOR = 8.0
-BF16_GRAD_REF_FLOOR = 1.25e-1
+BF16_GRAD_REF_FLOOR = 5e-2            # default (configs w/o override)
+BF16_GRAD_REF_FLOOR_OVERRIDES = {"3d-group": 1.25e-1}
 
 
 def items(tree):
@@ -131,7 +137,7 @@ def run_model(model, v, x, interpret: bool):
 
 
 def compare_legs(tag, label, dtype_name, a_leg, b_leg,
-                 ref_grads=None):
+                 ref_grads=None, ref_floor=BF16_GRAD_REF_FLOOR):
     default_tol, overrides = TOLS[(tag, dtype_name)]
     fails, worst, n = [], 0.0, 0
 
@@ -165,7 +171,7 @@ def compare_legs(tag, label, dtype_name, a_leg, b_leg,
             scale = max(1.0, float(np.max(np.abs(r32))))
             d_f = float(np.max(np.abs(a32 - r32))) / scale
             d_x = float(np.max(np.abs(b32 - r32))) / scale
-            lim = max(BF16_GRAD_REF_FACTOR * d_x, BF16_GRAD_REF_FLOOR)
+            lim = max(BF16_GRAD_REF_FACTOR * d_x, ref_floor)
             worst, n = max(worst, d_f), n + 1
             if d_f > lim:
                 fails.append(
@@ -236,7 +242,9 @@ def check(cfg_name, shape, mkw, dtype_name, dtype):
                       dtype_name, fused_mosaic, fused_interp)
     ok &= compare_legs("xla", f"{cfg_name} {dtype_name}",
                        dtype_name, fused_mosaic, xla,
-                       ref_grads=ref_grads)
+                       ref_grads=ref_grads,
+                       ref_floor=BF16_GRAD_REF_FLOOR_OVERRIDES.get(
+                           cfg_name, BF16_GRAD_REF_FLOOR))
     return ok
 
 
