@@ -58,7 +58,8 @@ kw = dict(in_channels=1, out_channels=2, n_blocks=4,
           dtype=dtype, pallas_flat=pallas_flat)
 if args.model == "resunet":
     from elektronn3_tpu.models.resunet import ResUNet
-    model = ResUNet(res_blocks=args.res_blocks, **kw)
+    model = ResUNet(enc_res_blocks=args.res_blocks,
+                    dec_res_blocks=args.res_blocks, **kw)
 else:
     from elektronn3_tpu.models.unet import UNet
     model = UNet(**kw)

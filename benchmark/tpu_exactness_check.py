@@ -211,10 +211,30 @@ CONFIGS = [
     # the layout constraint interpret mode cannot see.
     ("3d-group", (2, 4, 8, 16, 1), dict(dim=3, planar_blocks=(0,),
                                         normalization="group")),
+    # Input-chunk-split merged backwards (round 5, bwd_ki_split): the
+    # production trigger is the sf=64 C=128 4-chunk merge whose VMEM
+    # gate the tiny check shapes never reach, so force 2-way splits —
+    # on this config every multi-chunk conv backward runs partitioned,
+    # including the 4-chunk decoder merge (the sf=64 training path).
+    ("3d-c128-kisplit", (1, 4, 8, 8, 1),
+     dict(dim=3, planar_blocks=(0,), n_blocks=3, start_filts=64,
+          _env={"E3TPU_FORCE_KI_SPLIT": "2"})),
 ]
 
 
 def check(cfg_name, shape, mkw, dtype_name, dtype):
+    mkw = dict(mkw)
+    env = mkw.pop("_env", {})
+    for k_, v_ in env.items():
+        os.environ[k_] = v_
+    try:
+        return _check(cfg_name, shape, mkw, dtype_name, dtype)
+    finally:
+        for k_ in env:
+            os.environ.pop(k_, None)
+
+
+def _check(cfg_name, shape, mkw, dtype_name, dtype):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=shape), jnp.float32)
     kw = dict(in_channels=1, out_channels=2, n_blocks=2, start_filts=32,

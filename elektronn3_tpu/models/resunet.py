@@ -202,7 +202,13 @@ class ResUNet(UNet):
     Residual stacks (``res_blocks >= 1``) run the XLA executor: the
     shortcut add lands between conv2 and norm2 (resunet.py:257), which
     the fused kernels' conv->stats->consumer-prologue contract does not
-    currently express (docs/design.md fused coverage matrix).
+    currently express (docs/design.md fused coverage matrix). Measured
+    on the v5e (round 5, benchmark/coverage_bench.py --model resunet
+    --res-blocks 1, bf16 8x(44,88,88)): 132.7 ms/step — +10% over the
+    plain-UNet XLA executor at the same geometry (120.6 ms) for the
+    extra residual convs, i.e. XLA fuses the residual adds well and
+    the decline costs the stacks nothing beyond losing the generic
+    fused-executor speedup.
     """
     enc_res_blocks: int = 0
     dec_res_blocks: int = 0

@@ -1402,10 +1402,16 @@ class UNet(nn.Module):
         # wants per-sample stats in training AND eval (no running
         # state) — size the VMEM estimate for whichever applies.
         kind = norm_kind(self.normalization, channels)[0]
+        # Training backwards may run input-chunk-split (bwd_ki_split,
+        # round 5): gate on the best feasible split's estimate — this
+        # is what admits the C=128 4-chunk decoder merge to training.
+        split = _ff64.bwd_ki_split(
+            widest, nch, 1 if kd1 else 3, H, W, esize=esize,
+            want_stats=kind != "none", tiled=tiled) if train else 1
         vmem = _ff64.conv64_vmem_bytes(
             widest, nch, 1 if kd1 else 3, H, W, esize=esize,
             want_stats=kind != "none", train=train,
-            tiled=tiled)
+            tiled=tiled, ki_split=split or 1)
         return (self.conv_mode == "same" and not self.attention
                 and act_ok and channels in (_ff64.CC64, 2 * _ff64.CC64)
                 and H % 2 == 0 and W % 2 == 0
@@ -1465,7 +1471,16 @@ class UNet(nn.Module):
             return ("dtype is not bfloat16 (f32 working sets exceed the "
                     "16 MB VMEM limit at production sizes)")
         if self.conv_mode != "same":
-            return "conv_mode != 'same'"
+            # Structural: the flat executors share one row geometry
+            # between input and output chunks (same-size by
+            # construction); valid convs shrink every spatial dim per
+            # conv. Measured on the v5e (benchmark/coverage_bench.py
+            # --conv-mode valid, bf16 8x(44,140,140)->(4,52,52)):
+            # 101.1 ms/step, 68.3 M input-vox/s on the XLA path —
+            # comparable per-input-voxel cost to the fused 'same'
+            # headline (48.2 ms at 8x(44,88,88) = 56.3 MVox/s).
+            return "conv_mode != 'same' (valid runs XLA; see " \
+                   "docs/design.md coverage matrix)"
         if self.attention:
             return "attention=True is not kernel-fused"
         if not self._norm_fused_ok(channels):
@@ -1503,15 +1518,20 @@ class UNet(nn.Module):
         kd = 1 if (planar or self.dim == 2) else 3
         esize = 4 if self.dtype == jnp.float32 else 2
         wstats = norm_kind(self.normalization, channels)[0] != "none"
-        vmem = _ff64.conv64_vmem_bytes(
-            nch, nch, kd, H, W, esize=esize,
-            want_stats=wstats, train=train)
+
+        def best_vmem(ni):
+            s = (_ff64.bwd_ki_split(ni, nch, kd, H, W, esize=esize,
+                                    want_stats=wstats) or 1) \
+                if train else 1
+            return _ff64.conv64_vmem_bytes(
+                ni, nch, kd, H, W, esize=esize,
+                want_stats=wstats, train=train, ki_split=s)
+
+        vmem = best_vmem(nch)
         if vmem + _ff64.VMEM_SLOP <= _ff64.VMEM_LIMIT:
             # Encoder fits; the level was declined for decoder
             # coherence (see the planning loop).
-            mv = _ff64.conv64_vmem_bytes(
-                2 * nch, nch, kd, H, W, esize=esize,
-                want_stats=wstats, train=train)
+            mv = best_vmem(2 * nch)
             return (f"decoder merge conv VMEM estimate too large "
                     f"({(mv + _ff64.VMEM_SLOP) / 2**20:.1f} MB > "
                     f"{_ff64.VMEM_LIMIT / 2**20:.0f} MB scoped limit; "

@@ -887,9 +887,8 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                      with_skip: bool = False,
                      per_sample: bool = False):
     ins = refs[:nin]
-    y_refs = refs[nin:2 * nin]      # compact pooled per chunk
-    dy_refs = refs[2 * nin:3 * nin]  # compact cotangent per chunk
-    pos = 3 * nin
+    dy_refs = refs[nin:2 * nin]      # compact cotangent per chunk
+    pos = 2 * nin
     # with_skip: the level's raw chunks also feed the decoder skip
     # (pool_bnact_flat_skip routes them through this primitive), so
     # the skip cotangent is summed in-kernel — replacing a separate
@@ -914,7 +913,12 @@ def _pool_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                                     H=H, inv_ref=inv_ref,
                                     shift_ref=shift_ref, mask_ref=mask_ref,
                                     act=act)
-        yb = _pool_expand(y_refs[i][0, 0, :, :].astype(jnp.float32), H, G)
+        # Pooled maxima recomputed from a3 (bitwise-identical to the
+        # forward's _pool_compact on the same prologue) instead of
+        # re-reading the stored y chunk: saves one compact-chunk HBM
+        # read per chunk (~95 MB/step at the headline L0; the kernel
+        # is bandwidth-bound — see BASELINE.md MFU ledger).
+        yb = _pool_expand(_pool_compact(a3, H, G), H, G)
         dyb = _pool_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
                            H, G)
         sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
@@ -1030,15 +1034,16 @@ def _pool_bwd_impl(H, W, wrs, act, out_form, res, dpool, dskips=None):
         operands.append(x)
     # XLA decomposes dense -> compact on the quarter-res tensors so the
     # kernel's expand is pure duplication (measured: expand-from-dense
-    # chains cost ~2.5 ms in-kernel). In compact32 form both the saved
-    # output and the cotangent already ARE compact.
+    # chains cost ~2.5 ms in-kernel). In compact32 form the cotangent
+    # already IS compact. The pooled maxima themselves are NOT shipped:
+    # the kernel recomputes them from its a' prologue (bitwise equal),
+    # saving a compact-chunk HBM read per chunk (round 5).
     if out_form == "compact32":
-        comps = list(pooled) + [
+        comps = [
             (jnp.zeros_like(pooled[i]) if dp is None else dp.astype(dtype))
             for i, dp in enumerate(dpool)]
     else:
-        comps = (_pool_decompose_xla(pooled, G, nin)
-                 + _pool_decompose_xla(dpool.astype(dtype), G, nin))
+        comps = _pool_decompose_xla(dpool.astype(dtype), G, nin)
     for arr in comps:
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))

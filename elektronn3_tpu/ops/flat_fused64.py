@@ -112,7 +112,8 @@ def flat_geometry64(H: int, W: int) -> Tuple[int, int, int]:
 def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
                       *, esize: int = 2, want_stats: bool = True,
                       train: bool = True, tiled: bool = False,
-                      zw: Optional[bool] = None) -> int:
+                      zw: Optional[bool] = None,
+                      ki_split: int = 1) -> int:
     """Estimated scoped-VMEM bytes of the worst conv3_bnact_flat64
     kernel at this geometry (forward; max with backward when train).
 
@@ -152,12 +153,19 @@ def conv64_vmem_bytes(nin: int, nout: int, kd: int, H: int, W: int,
     est = fwd
     if train:
         nys = nout if want_stats else 0
-        bwd = (2 * (nin + nout + nys) * views   # x, dy, y slab views
-               + wbytes                         # w0T + wcT
-               + 2 * nin * slab                 # dx outputs
-               + 2 * wbytes                     # m0 + mc f32 outputs
-               + (nin + nout) * kd * slab       # a', dy_tot scratch
-               + (nin * 2 * R * 128 * esize if zw else 0))  # raw ring
+        # ki_split: the merged backward runs as ceil(nin/ki_split)-
+        # input-chunk groups per pallas_call (see _conv64_bwd) — every
+        # nin-scaled resident (x views, sliced w0T/wcT, dx, m0/mc,
+        # a' scratch, raw ring) shrinks; dy/y views and dy_tot scratch
+        # are re-staged per group.
+        nb = -(-nin // max(1, ki_split))
+        wb = wbytes * nb // max(1, nin)   # nin=0: C<64 gate probes
+        bwd = (2 * (nb + nout + nys) * views    # x, dy, y slab views
+               + wb                             # w0T + wcT (ki slice)
+               + 2 * nb * slab                  # dx outputs
+               + 2 * wb                         # m0 + mc f32 outputs
+               + (nb + nout) * kd * slab        # a', dy_tot scratch
+               + (nb * 2 * R * 128 * esize if zw else 0))  # raw ring
         est = max(est, bwd)
     return est
 
@@ -171,6 +179,34 @@ VMEM_LIMIT = int(_os.environ.get("E3TPU_VMEM_LIMIT",
                                  16 * 1024 * 1024))
 VMEM_SLOP = int(_os.environ.get("E3TPU_VMEM_SLOP",
                                 int(1.5 * 1024 * 1024)))
+
+
+def bwd_ki_split(nin: int, nout: int, kd: int, H: int, W: int, *,
+                 esize: int = 2, want_stats: bool = True,
+                 tiled: bool = False, zw: Optional[bool] = None) -> int:
+    """Smallest input-chunk split whose merged-backward scoped-VMEM
+    estimate fits the gate (1 = unsplit); 0 when no split fits (the
+    split only shrinks nin-scaled residents, so e.g. an oversized
+    forward stays oversized).
+
+    This is what lets the C=128 decoder merge conv TRAIN fused: its
+    unsplit backward stages 4 input chunks' m0/mc f32 tap accumulators
+    (9.4 MB) + slabs ≈ 28 MB; per-chunk groups of 1 fit in ~10 MB at
+    the cost of re-reading the dy/y slabs per group (elementwise
+    restage — the matmul work is partitioned, not repeated).
+    Deterministic from geometry (backend-independent) so CPU-interpret
+    parity tests exercise the exact split the chip runs.
+    E3TPU_FORCE_KI_SPLIT=n forces n groups (testing)."""
+    forced = int(_os.environ.get("E3TPU_FORCE_KI_SPLIT", "0"))
+    if forced:
+        return min(forced, nin)
+    for s in range(1, nin + 1):
+        est = conv64_vmem_bytes(nin, nout, kd, H, W, esize=esize,
+                                want_stats=want_stats, train=True,
+                                tiled=tiled, zw=zw, ki_split=s)
+        if est + VMEM_SLOP <= VMEM_LIMIT:
+            return s
+    return 0
 
 
 def width_mask64(W: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -1125,120 +1161,167 @@ def _conv64_bwd(H, W, want_stats, act, forms, d_halo, res, cts):
         dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
 
     zw = kd == 3 and not d_halo and _zwindow_enabled()
-    if zw:
-        kernel = functools.partial(
-            _conv64_bwd_kernel_zw, nin=nin, nout=nout, G=G, R=R, P=P,
-            Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-            forms=forms, D=D, per_sample=per_sample)
-    else:
-        kernel = functools.partial(
-            _conv64_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
-            Ps=Ps, H=H, act=act, want_stats=want_stats, x_dtype=dtype,
-            forms=forms, kd=kd, d_halo=d_halo, per_sample=per_sample)
 
-    in_specs, operands = [], []
-
-    bd4 = lambda b_, d_: (b_, d_, 0, 0)
-    la4 = lambda b_, j_: (b_, jnp.minimum(j_, D - 1), 0, 0)
-
-    def addv(arr, rows=R + 2 * P, form="flat64"):
-        """Add per-chunk operands: ONE lookahead view (z-window mode),
-        kd clamped slab views (no D-padded copy; see _slab_index_map),
-        or [strip0, center, strip2] with pre-shifted narrow halo
-        strips in d_halo mode (_halo_strips64)."""
-        if d_halo:
-            for v in _strip_views64(arr, form, G, R, P):
-                in_specs.append(pl.BlockSpec(
-                    (1, 1, v.shape[2], 128), bd4,
-                    memory_space=pltpu.VMEM))
-                operands.append(v)
-            return
+    def run_group(xs_g, forms_g, inv_g, shift_g, w0T_g, wcT_g):
+        """One merged-backward pallas_call over a contiguous group of
+        input chunks (all output chunks' dy/y are staged each call;
+        the dgrad/wgrad matmul work is partitioned over groups)."""
+        ng = len(xs_g)
         if zw:
-            in_specs.append(pl.BlockSpec((1, 1, rows, 128), la4,
-                                         memory_space=pltpu.VMEM))
-            operands.append(arr)
-            return
-        for z in range(kd):
+            kernel = functools.partial(
+                _conv64_bwd_kernel_zw, nin=ng, nout=nout, G=G, R=R,
+                P=P, Ps=Ps, H=H, act=act, want_stats=want_stats,
+                x_dtype=dtype, forms=forms_g, D=D,
+                per_sample=per_sample)
+        else:
+            kernel = functools.partial(
+                _conv64_bwd_kernel, nin=ng, nout=nout, G=G, R=R, P=P,
+                Ps=Ps, H=H, act=act, want_stats=want_stats,
+                x_dtype=dtype, forms=forms_g, kd=kd, d_halo=d_halo,
+                per_sample=per_sample)
+
+        in_specs, operands = [], []
+
+        bd4 = lambda b_, d_: (b_, d_, 0, 0)
+        la4 = lambda b_, j_: (b_, jnp.minimum(j_, D - 1), 0, 0)
+
+        def addv(arr, rows=R + 2 * P, form="flat64"):
+            """Add per-chunk operands: ONE lookahead view (z-window
+            mode), kd clamped slab views (no D-padded copy; see
+            _slab_index_map), or [strip0, center, strip2] with
+            pre-shifted narrow halo strips in d_halo mode
+            (_halo_strips64)."""
+            if d_halo:
+                for v in _strip_views64(arr, form, G, R, P):
+                    in_specs.append(pl.BlockSpec(
+                        (1, 1, v.shape[2], 128), bd4,
+                        memory_space=pltpu.VMEM))
+                    operands.append(v)
+                return
+            if zw:
+                in_specs.append(pl.BlockSpec((1, 1, rows, 128), la4,
+                                             memory_space=pltpu.VMEM))
+                operands.append(arr)
+                return
+            for z in range(kd):
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, rows, 128),
+                    _slab_index_map(z, D) if kd == 3 else bd4,
+                    memory_space=pltpu.VMEM))
+                operands.append(arr)
+
+        def addc(arr, shape):
             in_specs.append(pl.BlockSpec(
-                (1, 1, rows, 128),
-                _slab_index_map(z, D) if kd == 3 else bd4,
+                shape, lambda b_, d_, nd=len(shape): (0,) * nd,
                 memory_space=pltpu.VMEM))
             operands.append(arr)
 
-    def addc(arr, shape):
-        in_specs.append(pl.BlockSpec(
-            shape, lambda b_, d_, nd=len(shape): (0,) * nd,
-            memory_space=pltpu.VMEM))
-        operands.append(arr)
-
-    for x, form in zip(xs, forms):
-        addv(x, rows=R if form == "pool32" else R + 2 * P, form=form)
-    for dy in dys:
-        addv(dy)
-    if want_stats:
-        for y in ys:
-            addv(y)
-    addc(w0T.astype(dtype), w0T.shape)
-    addc(wcT.astype(dtype), wcT.shape)
-    addc(mask.astype(jnp.float32), (G, 128))
-    for v in (inv.astype(jnp.float32), shift.astype(jnp.float32)):
-        op, spec = _ps_in(v)
-        in_specs.append(spec)
-        operands.append(op)
-    if want_stats:
-        for v in (ds, dq):
+        for x, form in zip(xs_g, forms_g):
+            addv(x, rows=R if form == "pool32" else R + 2 * P,
+                 form=form)
+        for dy in dys:
+            addv(dy)
+        if want_stats:
+            for y in ys:
+                addv(y)
+        addc(w0T_g.astype(dtype), w0T_g.shape)
+        addc(wcT_g.astype(dtype), wcT_g.shape)
+        addc(mask.astype(jnp.float32), (G, 128))
+        for v in (inv_g.astype(jnp.float32),
+                  shift_g.astype(jnp.float32)):
             op, spec = _ps_in(v)
             in_specs.append(spec)
             operands.append(op)
+        if want_stats:
+            for v in (ds, dq):
+                op, spec = _ps_in(v)
+                in_specs.append(spec)
+                operands.append(op)
 
-    bd = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) if zw \
-        else (lambda b_, d_: (b_, d_, 0, 0))
-    c2 = lambda b_, d_: (0, 0)
-    out_specs, out_shape = [], []
-    for form in forms:
-        rows = R if form == "pool32" else R + 2 * P
-        out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+        bd = (lambda b_, j_: (b_, jnp.maximum(j_ - 1, 0), 0, 0)) \
+            if zw else (lambda b_, d_: (b_, d_, 0, 0))
+        c2 = lambda b_, d_: (0, 0)
+        out_specs, out_shape = [], []
+        for form in forms_g:
+            rows = R if form == "pool32" else R + 2 * P
+            out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128),
+                                                  dtype))
+        # per-sample prologues (group/instance norm) get b-indexed
+        # dinv/dshift accumulator blocks (reset per b in the kernel).
+        pro_spec, pro_shape = _ps_out(ng, B if per_sample else None)
+        out_specs += [pro_spec, pro_spec]
+        out_shape += [pro_shape, pro_shape]
+        for shp in ((ng, nout, kd, 3, 128, 128),
+                    (ng, nout, kd, 3, 128, 128)):
+            out_specs.append(pl.BlockSpec(
+                shp, lambda b_, d_, nd=len(shp): (0,) * nd,
+                memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+        out_specs.append(pl.BlockSpec((nout, 128), c2,
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
-    # per-sample prologues (group/instance norm) get b-indexed
-    # dinv/dshift accumulator blocks (reset per b in the kernel).
-    pro_spec, pro_shape = _ps_out(nin, B if per_sample else None)
-    out_specs += [pro_spec, pro_spec]
-    out_shape += [pro_shape, pro_shape]
-    for shp in ((nin, nout, kd, 3, 128, 128),
-                (nin, nout, kd, 3, 128, 128)):
-        out_specs.append(pl.BlockSpec(
-            shp, lambda b_, d_, nd=len(shp): (0,) * nd,
-            memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
-    out_specs.append(pl.BlockSpec((nout, 128), c2,
-                                  memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((nout, 128), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((nout, 128),
+                                              jnp.float32))
 
-    scratch = [pltpu.VMEM((nin * kd, R + 2 * Ps, 128), dtype),
-               pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)]
-    if zw:
-        scratch.append(pltpu.VMEM((nin * 2, R, 128), dtype))  # raw ring
-    res_ = pl.pallas_call(
-        kernel,
-        grid=(B, D + 1) if zw else (B, D),
-        in_specs=tuple(in_specs),
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch,
-        cost_estimate=pl.CostEstimate(
-            # dgrad + wgrad, each the forward's FLOPs
-            flops=2 * 2 * B * D * R * 128 * 256 * nin * nout * 3 * kd,
-            bytes_accessed=((2 * nin + (3 if want_stats else 2) * nout)
-                            if zw else
-                            ((1 + kd) * nin
-                             + kd * (3 if want_stats else 2) * nout))
-            * B * D * (R + 2 * P) * 256,
-            transcendentals=0),
-        interpret=_interpret(),
-    )(*operands)
-    dxs = tuple(res_[:nin])
-    dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+        scratch = [pltpu.VMEM((ng * kd, R + 2 * Ps, 128), dtype),
+                   pltpu.VMEM((nout * kd, R + 2 * Ps, 128), dtype)]
+        if zw:
+            scratch.append(pltpu.VMEM((ng * 2, R, 128), dtype))
+        return pl.pallas_call(
+            kernel,
+            grid=(B, D + 1) if zw else (B, D),
+            in_specs=tuple(in_specs),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch,
+            cost_estimate=pl.CostEstimate(
+                # dgrad + wgrad, each the forward's FLOPs
+                flops=2 * 2 * B * D * R * 128 * 256 * ng * nout
+                * 3 * kd,
+                bytes_accessed=((2 * ng
+                                 + (3 if want_stats else 2) * nout)
+                                if zw else
+                                ((1 + kd) * ng
+                                 + kd * (3 if want_stats else 2)
+                                 * nout))
+                * B * D * (R + 2 * P) * 256,
+                transcendentals=0),
+            interpret=_interpret(),
+        )(*operands)
+
+    # Input-chunk split: keep each call's nin-scaled VMEM residents
+    # (m0/mc tap accumulators, x views, dx, a' scratch) under the
+    # scoped limit — this is what admits 4-chunk decoder merge convs
+    # to TRAINING (their unsplit backward needs ~28 MB). Deterministic
+    # from geometry so interpret parity covers the chip's split.
+    split = bwd_ki_split(
+        nin, nout, kd, H, W,
+        esize=jnp.dtype(dtype).itemsize, want_stats=want_stats,
+        tiled=d_halo, zw=zw) or 1
+    ng0 = -(-nin // split)
+    bounds = list(range(0, nin, ng0)) + [nin]
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        parts.append(run_group(
+            xs[lo:hi], forms[lo:hi], inv[lo:hi], shift[lo:hi],
+            w0T[:, lo:hi], wcT[:, lo:hi]))
+    if len(parts) == 1:
+        res_ = parts[0]
+        dxs = tuple(res_[:nin])
+        dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    else:
+        dxs = tuple(dx for p, (lo, hi) in
+                    zip(parts, zip(bounds[:-1], bounds[1:]))
+                    for dx in p[:hi - lo])
+        ki_ax = 1 if per_sample else 0   # (B, ng, 128) vs (ng, 128)
+        tails = [p[hi - lo:] for p, (lo, hi) in
+                 zip(parts, zip(bounds[:-1], bounds[1:]))]
+        dinv = jnp.concatenate([t[0] for t in tails], axis=ki_ax)
+        dshift = jnp.concatenate([t[1] for t in tails], axis=ki_ax)
+        m0 = jnp.concatenate([t[2] for t in tails], axis=0)
+        mc = jnp.concatenate([t[3] for t in tails], axis=0)
+        db = tails[0][4]   # dy-only reduction: identical per group
     # barrier: see conv3_bnact_flat64 (scatter-fusion miscompile); the
     # wgrad unpack is the same at[].set/add chain in reverse.
     m0, mc = jax.lax.optimization_barrier((m0, mc))
@@ -1332,9 +1415,8 @@ def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                        act: str, x_dtype, with_skip: bool = False,
                        per_sample: bool = False):
     ins = refs[:nin]
-    y_refs = refs[nin:2 * nin]
-    dy_refs = refs[2 * nin:3 * nin]
-    pos = 3 * nin
+    dy_refs = refs[nin:2 * nin]
+    pos = 2 * nin
     # with_skip: the decoder-skip cotangent is summed into dx
     # in-kernel (see flat_fused._pool_bwd_kernel).
     dsk = refs[pos:pos + nin] if with_skip else ()
@@ -1353,14 +1435,24 @@ def _pool64_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     for i in range(nin):
-        yb = _pool64_expand(y_refs[i][0, 0, :, :].astype(jnp.float32),
-                            H, G)
+        # Pooled maxima recomputed from the two slabs' prologues in
+        # f32 (the forward's exact formulation BEFORE its out_dtype
+        # cast) instead of re-reading the stored y chunk: saves an HBM
+        # read per chunk AND keeps the argmax routing exact for bf16
+        # models — comparing f32 a' against the bf16-rounded stored
+        # max dropped the selection wherever the max was not
+        # bf16-representable (round-5 fix; see test_pool_bf16_routing).
+        pros = [_load_prologue64(
+            ins[i], sl, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
+            shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+            for sl in range(2)]
+        V = jnp.maximum(_pool64_compact(pros[0][0], H, G),
+                        _pool64_compact(pros[1][0], H, G))
+        yb = _pool64_expand(V, H, G)
         dyb = _pool64_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
                              H, G)
         for sl in range(2):
-            a3, pre, x = _load_prologue64(
-                ins[i], sl, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
-                shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+            a3, pre, x = pros[sl]
             sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
             dpre = dyb * sel * _act_deriv(pre, act)
             dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
@@ -1444,8 +1536,9 @@ def _pool64_bwd_impl(H, W, C, act, res, dpool, dskips=None):
                                      lambda b_, d_: (b_, d_, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(x)
-    for arr in (_pool64_decompose_xla(pooled, G, nin)
-                + _pool64_decompose_xla(dpool.astype(dtype), G, nin)):
+    # Pooled maxima are recomputed in-kernel from the prologues (f32,
+    # bf16-routing-exact) — only the cotangent ships (round 5).
+    for arr in _pool64_decompose_xla(dpool.astype(dtype), G, nin):
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128),
                                      lambda b_, d_: (b_, d_, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -1546,9 +1639,8 @@ def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
                         act: str, x_dtype, with_skip: bool = False,
                         per_sample: bool = False):
     ins = refs[:nin]
-    y_refs = refs[nin:2 * nin]
-    dy_refs = refs[2 * nin:3 * nin]
-    pos = 3 * nin
+    dy_refs = refs[nin:2 * nin]
+    pos = 2 * nin
     # with_skip: see flat_fused._pool_bwd_kernel.
     dsk = refs[pos:pos + nin] if with_skip else ()
     pos += nin if with_skip else 0
@@ -1566,13 +1658,14 @@ def _pool122_bwd_kernel(*refs, nin: int, G: int, R: int, P: int, H: int,
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     for i in range(nin):
-        yb = _pool64_expand(y_refs[i][0, 0, :, :].astype(jnp.float32),
-                            H, G)
-        dyb = _pool64_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
-                             H, G)
         a3, pre, x = _load_prologue64(
             ins[i], 0, G=G, R=R, P=P, H=H, inv_l=inv_ref[i],
             shift_l=shift_ref[i], mask_ref=mask_ref, act=act)
+        # Recomputed f32 pooled maxima (not the bf16-rounded stored
+        # chunk) — see _pool64_bwd_kernel's note.
+        yb = _pool64_expand(_pool64_compact(a3, H, G), H, G)
+        dyb = _pool64_expand(dy_refs[i][0, 0, :, :].astype(jnp.float32),
+                             H, G)
         sel = (a3 == yb).astype(jnp.float32) * mask_ref[...][None]
         dpre = dyb * sel * _act_deriv(pre, act)
         dinv_ref[i, :] += jnp.sum((dpre * x).reshape(R, 128), axis=0)
@@ -1656,8 +1749,8 @@ def _pool122_bwd_impl(H, W, C, act, res, dpool, dskips=None):
         in_specs.append(pl.BlockSpec((1, 1, R + 2 * P, 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(x)
-    for arr in (_pool64_decompose_xla(pooled, G, nin)
-                + _pool64_decompose_xla(dpool.astype(dtype), G, nin)):
+    # Pooled maxima recomputed in-kernel (see _pool64_bwd_impl).
+    for arr in _pool64_decompose_xla(dpool.astype(dtype), G, nin):
         in_specs.append(pl.BlockSpec((1, 1, H2 * G, 128), bd,
                                      memory_space=pltpu.VMEM))
         operands.append(arr.astype(dtype))

@@ -67,15 +67,21 @@ def test_c128_small_level_declines_under_auto(tpu_backend):
 
 
 def test_merge_vmem_bound_declines_planar64_decoder(tpu_backend):
+    from elektronn3_tpu.ops import flat_fused64 as ff64
     m = _m(start_filts=64)
     # C=64 planar encoder at (88, 88): 4752 rows, fits.
     assert m._flat_fused64_ok(True, 64, 88, 88, 44, True)
-    # Its decoder conv1 consumes the 2-chunk concat: 2 x 4752 rows
-    # exceeds the measured 16 MB scoped-VMEM limit (v5e: +645 KB OOM)
-    # — must decline so the model still compiles (XLA decoder).
-    assert not m._flat_fused64_ok(True, 64, 88, 88, 0, False,
-                                  merge=True)
-    # merge_mode='add' does not widen the conv: stays fused.
+    # Its decoder conv1 consumes the 2-chunk concat: the UNSPLIT
+    # backward exceeds the measured 16 MB scoped-VMEM limit (v5e:
+    # +645 KB OOM) — round 5's input-chunk split (bwd_ki_split) runs
+    # it as two 1-chunk calls, which fit, so the level now TRAINS
+    # fused instead of declining.
+    assert ff64.conv64_vmem_bytes(2, 1, 1, 88, 88, train=True) \
+        + ff64.VMEM_SLOP > ff64.VMEM_LIMIT          # unsplit: over
+    assert ff64.bwd_ki_split(2, 1, 1, 88, 88) == 2  # split fits
+    assert m._flat_fused64_ok(True, 64, 88, 88, 0, False,
+                              merge=True)
+    # merge_mode='add' does not widen the conv: stays fused unsplit.
     ma = _m(start_filts=64, merge_mode="add")
     assert ma._flat_fused64_ok(True, 64, 88, 88, 0, False, merge=True)
 
@@ -118,30 +124,39 @@ def test_c128_decoder_gate(tpu_backend):
     """The C=128 decoder (merge=True) declines where the per-kernel
     VMEM estimate exceeds the chip limit and engages where it fits."""
     m = _m(start_filts=64, n_blocks=3)
+    import elektronn3_tpu.ops.flat_fused64 as _f
     # sf=64 model's L1 at 44^3: the 4-chunk kd=3 merge conv COMPILED
     # AT 17.35 MB scoped VMEM on the v5e in its 3-view form (1.35 MB
     # over the 16 MB limit, measured 2026-08-18) — the old row-count
     # heuristic let it through (it ignored the nin*nout*kd
-    # packed-weight blocks, 4.7 MB here). Training must decline (the
-    # backward's m0/mc f32 accumulators alone are 9.4 MB); eval fits
-    # under the z-window kernels (one input view per chunk).
-    assert not m._flat_fused64_ok(False, 128, 44, 44, 44, False,
-                                  merge=True, train=True)
-    import elektronn3_tpu.ops.flat_fused64 as _f
+    # packed-weight blocks, 4.7 MB here). Its unsplit BACKWARD needs
+    # ~28 MB (the m0/mc f32 accumulators alone are 9.4 MB); round 5's
+    # input-chunk split runs it as four 1-chunk calls (~10 MB each),
+    # so training now ENGAGES under the z-window kernels.
+    assert _f.conv64_vmem_bytes(4, 2, 3, 44, 44, train=True, zw=True) \
+        + _f.VMEM_SLOP > _f.VMEM_LIMIT               # unsplit: over
+    assert m._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                              merge=True, train=True) \
+        == _f._zwindow_enabled()
     assert m._flat_fused64_ok(False, 128, 44, 44, 44, False,
                               merge=True, train=False) \
         == _f._zwindow_enabled()
     # headline-22^3-sized C=128 level: min-vox declines under 'auto'.
     assert not m._flat_fused64_ok(False, 128, 22, 22, 22, False,
                                   merge=True)
-    # VMEM bound: 4-chunk merge at (88, 88) exceeds it a fortiori.
+    # VMEM bound: 4-chunk merge at (88, 88) exceeds it even fully
+    # split (the dy/y views and dy_tot scratch don't shrink with ki).
+    assert _f.bwd_ki_split(4, 2, 3, 88, 88) == 0
     assert not m._flat_fused64_ok(False, 128, 88, 88, 88, False,
                                   merge=True)
     # Forced mode respects the VMEM gate too (forcing a config the
     # chip cannot compile is useless) — except under interpret, where
-    # the CPU parity tests run with no scoped-VMEM constraint.
+    # the CPU parity tests run with no scoped-VMEM constraint. With
+    # the ki-split the 44^3 merge now fits in training as well.
     mf = _m(start_filts=64, n_blocks=3, pallas_flat=True)
-    assert not mf._flat_fused64_ok(False, 128, 44, 44, 44, False,
+    assert mf._flat_fused64_ok(False, 128, 44, 44, 44, False,
+                               merge=True) == _f._zwindow_enabled()
+    assert not mf._flat_fused64_ok(False, 128, 88, 88, 88, False,
                                    merge=True)
 
 
@@ -178,13 +193,20 @@ def test_vmem_estimator_matches_measured_points(tpu_backend):
 
 
 def test_sf64_level_coherence(tpu_backend):
-    """When a level's decoder merge conv declines on the VMEM gate,
-    the ENCODER must decline too under 'auto' — fusing only the
-    encoder measured slower than pure XLA (v5e: 156 vs 143 ms/step on
-    the sf=64 3-block model). At eval the merge fits (z-window fwd),
-    so the level may fuse there."""
+    """Level coherence under the VMEM gate: when a level's decoder
+    merge conv declines, the ENCODER must decline too under 'auto' —
+    fusing only the encoder measured slower than pure XLA (v5e: 156 vs
+    143 ms/step on the sf=64 3-block model). Since round 5's
+    input-chunk split the sf=64 model's L0/L1 merges FIT in training,
+    so the whole model fuses; the still-declining geometry (C=128
+    merge at 88^3, dy views don't shrink with ki) must kick its
+    encoder off with it."""
     import jax
     m = _m(start_filts=64, n_blocks=3)
+    # 88^3 C=128: merge declines fully-split -> encoder declines too
+    # (coherence), even though the encoder conv alone would fit.
+    assert not m._flat_fused64_ok(False, 128, 88, 88, 88, False,
+                                  merge=True)
     shape = (1, 44, 88, 88, 1)
     x = jax.ShapeDtypeStruct(shape, jnp.float32)
     v = jax.eval_shape(
@@ -213,10 +235,10 @@ def test_sf64_level_coherence(tpu_backend):
         return acc
 
     names = collect(jaxpr.jaxpr, set())
-    assert "pallas_call" not in names, (
-        "sf=64 3-block training trace must run fully on XLA under "
-        "'auto' (decoder merges decline; encoder-only fusion measured "
-        "slower)")
+    assert "pallas_call" in names, (
+        "sf=64 3-block training trace must engage the fused executors "
+        "under 'auto' since the round-5 input-chunk split admitted its "
+        "L0/L1 decoder merge convs to training")
 
 
 def test_fused_and_xla_models_init_identically():
