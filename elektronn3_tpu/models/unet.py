@@ -92,6 +92,17 @@ _FUSED128_MIN_VOX = int(os.environ.get("E3TPU_FUSED128_MIN_VOX",
 _FUSED_ROWS_TRAIN = int(os.environ.get("E3TPU_FUSED_ROWS_TRAIN", 3000))
 _FUSED_ROWS_EVAL = int(os.environ.get("E3TPU_FUSED_ROWS_EVAL", 3400))
 
+
+def _vup_on() -> bool:
+    """vup fast path (round 5): the CC=32 decoder merge conv consumes
+    the deeper fused64 level's carry directly, recomputing the (1,2,2)
+    upconv rows in its prologue (ops/flat_fused.conv_bnact_flat_vup) —
+    the materialized upconv chunk (the MFU ledger's last recorded
+    headline lever, >= 262 MB/pass of pure seam traffic) never exists.
+    E3TPU_VUP=0 reverts to the materializing upconv122_from_flat64."""
+    return os.environ.get("E3TPU_VUP", "auto").lower() not in (
+        "0", "off", "false")
+
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
             "resizeconv_nearest1", "resizeconv_linear1")
 MERGE_MODES = ("concat", "add")
@@ -618,6 +629,73 @@ class _FusedUpconvF64(nn.Module):
             self.H, self.W, self.want_stats, self.act)
 
 
+class _VupUpconv(nn.Module):
+    """Owns the (1,2,2) upconv parameters for the vup fast path (same
+    param tree as _FusedUpconvF64 under name='upconv', so checkpoints
+    stay executor-independent). ``stats`` runs the stats-only carry
+    pass (ops/flat_fused64.upconv122_stats_from_flat64 — the upconv
+    output itself is never materialized; the vup merge conv recomputes
+    it in its prologue); ``wb`` exposes the kernel/bias for that merge
+    conv."""
+    features: int
+    H: int
+    W: int
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", _kernel_init,
+                                 _p2d((1, 2, 2, _ff64.CC64,
+                                       self.features), self.dim),
+                                 self.param_dtype)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+
+    def wb(self):
+        return _k2d(self.kernel, self.dim), self.bias
+
+    def stats(self, acts, want_stats, act):
+        w, b = self.wb()
+        return _ff64.upconv122_stats_from_flat64(
+            acts.chunks[0], acts.inv, acts.shift, w, b,
+            self.H, self.W, want_stats, act)
+
+
+class _FusedConvVup(nn.Module):
+    """Decoder merge conv with a VIRTUAL upconv chunk
+    (ops/flat_fused.conv_bnact_flat_vup): chunk 0 is recomputed
+    in-kernel from the deeper level's FlatActs64 carry, so the
+    materialized upconv output never exists in HBM. Param tree matches
+    _FusedConv under name='conv1'."""
+    features: int
+    H: int
+    W: int
+    wrs: Sequence[int]
+    want_stats: bool
+    act: str
+    act_c: str
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, acts, wu, bu, xs, inv, shift):
+        nin = 1 + len(xs)
+        cin = nin * _fc.CC
+        kernel = self.param("kernel", _kernel_init,
+                            _p2d((1, 3, 3, cin, self.features),
+                                 self.dim),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        k = _k2d(kernel, self.dim).astype(self.dtype)
+        return _ffu.conv_bnact_flat_vup(
+            acts.chunks[0], acts.inv, acts.shift, wu, bu, tuple(xs),
+            inv, shift, k, bias.astype(self.dtype), self.H, self.W,
+            tuple(self.wrs), self.want_stats, self.act, self.act_c)
+
+
 class _FusedHead(nn.Module):
     """Prologue + 1x1 conv head from flat chunks (XLA; the prologue
     fuses into the einsum). Param tree matches nn.Conv((1,1,1))."""
@@ -1087,32 +1165,60 @@ class UpConv(nn.Module):
                 train=train, cc=_fc.CC)
             wantu = _want_stats(kind, normed=self.full_norm,
                                 train=train)
-            if isinstance(dec, _ff64.FlatActs64):
-                yu, stu = _FusedUpconvF64(C, H, W, want_stats=wantu,
-                                          act=aname, dim=self.dim,
-                                          dtype=self.dtype,
-                                          param_dtype=self.param_dtype,
-                                          name="upconv")(dec)
+            vup_ok = (isinstance(dec, _ff64.FlatActs64) and not tiled
+                      and self.merge_mode != "add" and _vup_on())
+            if vup_ok:
+                # vup fast path: no materialized upconv chunk — the
+                # merge conv recomputes it from the carry in-kernel;
+                # stats (when the prologue needs them) come from one
+                # carry-sized stats pass. Same param tree and BN-state
+                # slot order as the materializing branch.
+                up = _VupUpconv(C, H, W, dim=self.dim,
+                                dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="upconv")
+                stu = up.stats(dec, wantu, aname) if wantu else None
+                invu, shiftu, nidx = pro(stu, nidx=nidx,
+                                         normed=self.full_norm)
+                inv_s = jnp.concatenate([invu, enc.inv])
+                shift_s = jnp.concatenate([shiftu, enc.shift])
+                want1 = _want_stats(kind, normed=self.full_norm,
+                                    train=train)
+                wu, bu = up.wb()
+                y1, st1 = _FusedConvVup(
+                    C, H, W, wrs=(0,) * (1 + len(enc.chunks)),
+                    want_stats=want1, act=aname, act_c=aname,
+                    dim=self.dim, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="conv1")(dec, wu, bu, tuple(enc.chunks),
+                                  inv_s, shift_s)
             else:
-                yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
-                                       dim=self.dim,
-                                       dtype=self.dtype,
-                                       param_dtype=self.param_dtype,
-                                       name="upconv")(dec)
-            invu, shiftu, nidx = pro(stu, nidx=nidx,
-                                     normed=self.full_norm)
-            xs = tuple(yu) + tuple(enc.chunks)
-            inv_s = jnp.concatenate([invu, enc.inv])
-            shift_s = jnp.concatenate([shiftu, enc.shift])
-            want1 = _want_stats(kind, normed=self.full_norm,
-                                train=train)
-            y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
-                                 want_stats=want1, act=aname,
-                                 dup_weights=self.merge_mode == "add",
-                                 dim=self.dim, d_halo=tiled,
-                                 dtype=self.dtype,
-                                 param_dtype=self.param_dtype,
-                                 name="conv1")(xs, inv_s, shift_s)
+                if isinstance(dec, _ff64.FlatActs64):
+                    yu, stu = _FusedUpconvF64(C, H, W, want_stats=wantu,
+                                              act=aname, dim=self.dim,
+                                              dtype=self.dtype,
+                                              param_dtype=self.param_dtype,
+                                              name="upconv")(dec)
+                else:
+                    yu, stu = _FusedUpconv(C, H, W, want_stats=wantu,
+                                           dim=self.dim,
+                                           dtype=self.dtype,
+                                           param_dtype=self.param_dtype,
+                                           name="upconv")(dec)
+                invu, shiftu, nidx = pro(stu, nidx=nidx,
+                                         normed=self.full_norm)
+                xs = tuple(yu) + tuple(enc.chunks)
+                inv_s = jnp.concatenate([invu, enc.inv])
+                shift_s = jnp.concatenate([shiftu, enc.shift])
+                want1 = _want_stats(kind, normed=self.full_norm,
+                                    train=train)
+                y1, st1 = _FusedConv(C, H, W, wrs=(0,) * len(xs),
+                                     want_stats=want1, act=aname,
+                                     dup_weights=self.merge_mode == "add",
+                                     dim=self.dim, d_halo=tiled,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="conv1")(xs, inv_s, shift_s)
             inv1, shift1, nidx = pro(st1, nidx=nidx,
                                      normed=self.full_norm)
             want2 = _want_stats(kind, normed=True, train=train)

@@ -235,16 +235,44 @@ def _strip_views(x, wr: int, G: int, R: int, P: int, H: int):
     return s0, x, s2
 
 
+def _vup_scratch(carry_ref, scratch, m0u_ref, m1u_ref, bu_ref, invc_ref,
+                 shiftc_ref, inv_ref, shift_ref, mask_ref, *, G: int,
+                 R: int, P: int, Ps: int, H: int, act: str, vup: dict):
+    """Virtual chunk 0 (vup mode): recompute the (1,2,2) upconv output
+    slab from the deeper level's FlatActs64 carry (shared
+    flat_fused64._upconv122_f64_y — bitwise the rows the materializing
+    upconv kernel would store), then apply this conv's own prologue
+    into scratch[0]. The materialized upconv chunk (2x the carry
+    bytes, written + re-read across the L1->L0 executor seam) never
+    exists in HBM. Returns (yc, Sc, prec, cx) for the backward's
+    epilogue chain."""
+    yc, Sc, prec, cx = vup["yfn"](
+        carry_ref, invc_ref, shiftc_ref, m0u_ref, m1u_ref, mask_ref,
+        bu_ref, G=G, R=R, P=P, H=H, G1=vup["G1"], R1=vup["R1"],
+        P1=vup["P1"], H1=vup["H1"], W1=vup["W1"], WRd=vup["WRd"],
+        out_dtype=scratch.dtype, act=vup["act_c"], nd=1)
+    a = yc.astype(jnp.float32).reshape(H, G, 128)
+    pre = a * inv_ref[0][None, None, :] + shift_ref[0][None, None, :]
+    val = _act_fwd(pre, act) * mask_ref[...][None]
+    scratch[0, pl.ds(Ps, R)] = val.reshape(R, 128).astype(scratch.dtype)
+    return yc, Sc, prec, cx
+
+
 def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
                        Ps: int, H: int, wrs, out_dtype, act: str,
                        want_stats: bool, d_halo: bool = False,
-                       per_sample: bool = False):
+                       per_sample: bool = False, vup: dict = None):
     nv = 3 if d_halo else 1
     ins = refs[:nin * nv]
     w0_ref, wc_ref, mask_ref, bias_ref, inv_ref, shift_ref = \
         refs[nin * nv:nin * nv + 6]
-    outs = refs[nin * nv + 6:nin * nv + 6 + nout]
-    idx = nin * nv + 6 + nout
+    pos = nin * nv + 6
+    if vup:
+        m0u_ref, m1u_ref, bu_ref, invc_ref, shiftc_ref = \
+            refs[pos:pos + 5]
+        pos += 5
+    outs = refs[pos:pos + nout]
+    idx = pos + nout
     if want_stats:
         s_ref, q_ref = refs[idx:idx + 2]
         scratches = refs[idx + 2:]
@@ -268,6 +296,12 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
     for i in range(nin):
         scratch[i, 0:Ps] = jnp.zeros((Ps, 128), scratch.dtype)
         scratch[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), scratch.dtype)
+        if vup and i == 0:
+            _vup_scratch(ins[0], scratch, m0u_ref, m1u_ref, bu_ref,
+                         invc_ref, shiftc_ref, inv_ref, shift_ref,
+                         mask_ref, G=G, R=R, P=P, Ps=Ps, H=H, act=act,
+                         vup=vup)
+            continue
         _build_scratch(ins[i * nv + nv // 2], i, scratch, wr=wrs[i],
                        G=G, R=R, P=P,
                        Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
@@ -311,7 +345,8 @@ def _fused_conv_kernel(*refs, nin: int, nout: int, G: int, R: int, P: int,
 
 
 def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
-                   want_stats, act, nout, d_halo=False):
+                   want_stats, act, nout, d_halo=False, vup=None,
+                   vup_ops=None):
     w0, wplus, wminus = wpk
     wcomb = combine_corner_weights(wplus, wminus)
     nin = len(xs)
@@ -319,7 +354,8 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
     Ps = G + 8
     B = xs[0].shape[0]
     D = xs[0].shape[1]
-    dtype = xs[0].dtype
+    dtype = xs[1].dtype if vup else xs[0].dtype
+    assert not (vup and d_halo), "vup mode is untiled-only"
 
     # per-sample prologue/stats (group/instance norm): inv/shift are
     # (nin, B, 128) and stats (nout, B, 128); the batch dim is carried
@@ -329,7 +365,7 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
     kernel = functools.partial(
         _fused_conv_kernel, nin=nin, nout=nout, G=G, R=R, P=P, Ps=Ps, H=H,
         wrs=tuple(wrs), out_dtype=dtype, act=act, want_stats=want_stats,
-        d_halo=d_halo, per_sample=per_sample)
+        d_halo=d_halo, per_sample=per_sample, vup=vup)
 
     in_specs = []
     operands = []
@@ -353,6 +389,16 @@ def _conv_fwd_call(xs, inv, shift, wpk, bias_l, mask, *, H, W, wrs,
         op, spec = _ps_in(v.astype(jnp.float32))
         in_specs.append(spec)
         operands.append(op)
+    if vup:
+        M0u, M1u, bu_l, invc, shiftc = vup_ops
+        for warr in (M0u, M1u):
+            in_specs.append(pl.BlockSpec((128, 128), lambda b, d: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(warr.astype(dtype))
+        for v in (bu_l, invc, shiftc):
+            op, spec = _ps_in(v.astype(jnp.float32))
+            in_specs.append(spec)
+            operands.append(op)
 
     out_specs = [pl.BlockSpec((1, 1, R + 2 * P, 128),
                               lambda b, d: (b, d, 0, 0),
@@ -394,11 +440,13 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
                            P: int, Ps: int, H: int, wrs, act: str,
                            want_stats: bool, x_dtype,
                            d_halo: bool = False,
-                           per_sample: bool = False):
+                           per_sample: bool = False, vup: dict = None):
     # inputs: xs[nin], dys[nout], ys[nout](stats only), wT(w0,wc),
-    #         mask, inv, shift, ds, dq  (xs/dys/ys get 3 clamped slab
+    #         mask, inv, shift, [vup: m0u, m1u, bu, invc, shiftc],
+    #         ds, dq  (xs/dys/ys get 3 clamped slab
     #         views each in d_halo mode)
-    # outputs: dxs[nin], dinv, dshift, m0, mc, db
+    # outputs: dxs[nin], dinv, dshift, m0, mc, db,
+    #          [vup: dM0u, dM1u, dbu, dinvc, dshiftc]
     # scratch: a' (nin, Rps, 128), dyt (nout, Rps, 128)
     nv = 3 if d_halo else 1
     pos = 0
@@ -409,10 +457,17 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
     w0T, wcT = refs[pos:pos + 2]; pos += 2
     mask_ref = refs[pos]; pos += 1
     inv_ref, shift_ref = refs[pos:pos + 2]; pos += 2
+    if vup:
+        m0u_ref, m1u_ref, bu_ref, invc_ref, shiftc_ref = \
+            refs[pos:pos + 5]
+        pos += 5
     if want_stats:
         ds_ref, dq_ref = refs[pos:pos + 2]; pos += 2
     dxs = refs[pos:pos + nin]; pos += nin
     dinv_ref, dshift_ref, m0, mc, db = refs[pos:pos + 5]; pos += 5
+    if vup:
+        dM0u, dM1u, dbu_ref, dinvc_ref, dshiftc_ref = refs[pos:pos + 5]
+        pos += 5
     a_s, dyt_s = refs[pos:pos + 2]
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -425,16 +480,29 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         m0[...] = jnp.zeros_like(m0)
         mc[...] = jnp.zeros_like(mc)
         db[...] = jnp.zeros_like(db)
+        if vup:
+            dM0u[...] = jnp.zeros_like(dM0u)
+            dM1u[...] = jnp.zeros_like(dM1u)
+            dbu_ref[...] = jnp.zeros_like(dbu_ref)
 
     @pl.when(first_b)
     def _():
         dinv_ref[...] = jnp.zeros_like(dinv_ref)
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
+        if vup:
+            dinvc_ref[...] = jnp.zeros_like(dinvc_ref)
+            dshiftc_ref[...] = jnp.zeros_like(dshiftc_ref)
 
     # Stage A: recompute normalized/activated inputs a' into scratch
     for i in range(nin):
         a_s[i, 0:Ps] = jnp.zeros((Ps, 128), a_s.dtype)
         a_s[i, Ps + R:2 * Ps + R] = jnp.zeros((Ps, 128), a_s.dtype)
+        if vup and i == 0:
+            _vup_scratch(ins[0], a_s, m0u_ref, m1u_ref, bu_ref,
+                         invc_ref, shiftc_ref, inv_ref, shift_ref,
+                         mask_ref, G=G, R=R, P=P, Ps=Ps, H=H, act=act,
+                         vup=vup)
+            continue
         _build_scratch(ins[i * nv + nv // 2], i, a_s, wr=wrs[i],
                        G=G, R=R, P=P,
                        Ps=Ps, H=H, inv_ref=inv_ref, shift_ref=shift_ref,
@@ -497,26 +565,83 @@ def _fused_conv_bwd_kernel(*refs, nin: int, nout: int, G: int, R: int,
         # prologue epilogue: da' -> (dx, dinv, dshift)
         wr = wrs[i]
         ic = ins[i * nv + nv // 2]
-        if wr:
-            x = ic[0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
-            z1 = jnp.zeros((H, 1, 128), jnp.float32)
-            z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
-            x = jnp.concatenate([z1, x, z2], axis=1).reshape(R, 128)
+        if vup and i == 0:
+            # Virtual chunk: recompute the upconv rows, run this
+            # conv's prologue epilogue against them (dinv/dshift slot
+            # 0 = the upconv-output prologue grads), then chain the
+            # upconv-output cotangent through the (1,2,2) taps and the
+            # carry's f64 prologue — dcarry replaces dx0, dWu/dbu and
+            # the carry prologue grads accumulate in the extra refs.
+            # Matches the composed upconv122_from_flat64 backward
+            # expression-for-expression (mask idempotent re-apply).
+            yc, Scu, prec, cx = vup["yfn"](
+                ic, invc_ref, shiftc_ref, m0u_ref, m1u_ref, mask_ref,
+                bu_ref, G=G, R=R, P=P, H=H, G1=vup["G1"], R1=vup["R1"],
+                P1=vup["P1"], H1=vup["H1"], W1=vup["W1"],
+                WRd=vup["WRd"], out_dtype=x_dtype, act=vup["act_c"],
+                nd=1)
+            x = yc.astype(jnp.float32).reshape(R, 128)
+            pre = x * inv_ref[0][None, :] + shift_ref[0][None, :]
+            gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+                * _act_deriv(pre, act)
+            dinv_ref[0, :] += jnp.sum(gm * x, axis=0)
+            dshift_ref[0, :] += jnp.sum(gm, axis=0)
+            da = gm * inv_ref[0][None, :]       # cotangent w.r.t. yu
+            H1v, W1v = vup["H1"], vup["W1"]
+            G1v, R1v, P1v = vup["G1"], vup["R1"], vup["P1"]
+            WRdv = vup["WRd"]
+            dyt = (da.reshape(H, G, 128) * mask_ref[...]
+                   ).reshape(R, 128)
+            dbu_ref[0, :] += jnp.sum(dyt, axis=0)
+            d3 = dyt.reshape(H1v, 2 * G, 128)
+            E = d3[:, 1:1 + WRdv, :].reshape(
+                H1v * WRdv, 128).astype(x_dtype)
+            O = d3[:, G + 1:G + 1 + WRdv, :].reshape(
+                H1v * WRdv, 128).astype(x_dtype)
+            dimsT = (((1,), (1,)), ((), ()))
+            dSu = _dot(E, m0u_ref[...], dimension_numbers=dimsT,
+                       preferred_element_type=jnp.float32) \
+                + _dot(O, m1u_ref[...], dimension_numbers=dimsT,
+                       preferred_element_type=jnp.float32)
+            dM0u[...] += _dot(Scu, E, dimension_numbers=cdims,
+                              preferred_element_type=jnp.float32)
+            dM1u[...] += _dot(Scu, O, dimension_numbers=cdims,
+                              preferred_element_type=jnp.float32)
+            z1 = jnp.zeros((H1v, 1, 128), jnp.float32)
+            z2 = jnp.zeros((H1v, G1v - WRdv - 1, 128), jnp.float32)
+            demb = jnp.concatenate(
+                [z1, dSu.reshape(H1v, WRdv, 128), z2],
+                axis=1).reshape(1, R1v, 128)
+            dprec = demb * _act_deriv(prec, vup["act_c"])
+            dinvc_ref[0, :] += jnp.sum(dprec * cx, axis=(0, 1))
+            dshiftc_ref[0, :] += jnp.sum(dprec, axis=(0, 1))
+            dcx = (dprec * invc_ref[0][None, None, :]
+                   ).reshape(R1v, 128)
+            dxs[0][0, 0, 0:P1v] = jnp.zeros((P1v, 128), x_dtype)
+            dxs[0][0, 0, pl.ds(P1v, R1v)] = dcx.astype(x_dtype)
+            dxs[0][0, 0, P1v + R1v:2 * P1v + R1v] = \
+                jnp.zeros((P1v, 128), x_dtype)
         else:
-            x = ic[0, 0, pl.ds(P, R), :].astype(jnp.float32)
-        pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
-        gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
-            * _act_deriv(pre, act)
-        dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
-        dshift_ref[i, :] += jnp.sum(gm, axis=0)
-        dx = gm * inv_ref[i][None, :]
-        if wr:
-            dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :]
-            dxs[i][0, 0, :, :] = dxv.reshape(H * wr, 128).astype(x_dtype)
-        else:
-            dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
-            dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
-            dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
+            if wr:
+                x = ic[0, 0, :, :].astype(jnp.float32).reshape(H, wr, 128)
+                z1 = jnp.zeros((H, 1, 128), jnp.float32)
+                z2 = jnp.zeros((H, G - wr - 1, 128), jnp.float32)
+                x = jnp.concatenate([z1, x, z2], axis=1).reshape(R, 128)
+            else:
+                x = ic[0, 0, pl.ds(P, R), :].astype(jnp.float32)
+            pre = x * inv_ref[i][None, :] + shift_ref[i][None, :]
+            gm = (g.reshape(H, G, 128) * mask_ref[...]).reshape(R, 128) \
+                * _act_deriv(pre, act)
+            dinv_ref[i, :] += jnp.sum(gm * x, axis=0)
+            dshift_ref[i, :] += jnp.sum(gm, axis=0)
+            dx = gm * inv_ref[i][None, :]
+            if wr:
+                dxv = dx.reshape(H, G, 128)[:, 1:1 + wr, :]
+                dxs[i][0, 0, :, :] = dxv.reshape(H * wr, 128).astype(x_dtype)
+            else:
+                dxs[i][0, 0, 0:P] = jnp.zeros((P, 128), x_dtype)
+                dxs[i][0, 0, pl.ds(P, R)] = dx.astype(x_dtype)
+                dxs[i][0, 0, P + R:2 * P + R] = jnp.zeros((P, 128), x_dtype)
         # wgrad: a'^T dy_tot per tap block; the combined-corner
         # accumulator's useful blocks are [0:CC, 96:128] (= wplus grad,
         # a_hi lanes x dy high lanes) and [96:128, 0:CC] (= wminus).
@@ -733,6 +858,225 @@ def _conv_bnact_bwd(H, W, wrs, want_stats, act, d_halo, res, cts):
 
 
 _conv_bnact_vjp.defvjp(_conv_bnact_fwd, _conv_bnact_bwd)
+
+
+# ---------------------------------------------------------------------------
+# vup merge conv: the decoder merge conv with chunk 0 VIRTUAL — the
+# (1,2,2) upconv output recomputed in-kernel from the deeper level's
+# FlatActs64 carry (see _vup_scratch). Kills the L1->L0 executor-seam
+# materialization the MFU ledger singled out as the last headline
+# lever (BASELINE.md round-5 ledger: up_2/upconv moves >= 262 MB/pass
+# at stream rate only to be re-read by up_2/conv1). Batch statistics
+# of the never-materialized upconv output come from
+# flat_fused64.upconv122_stats_from_flat64 (one carry-sized stats
+# pass); eval-mode BN needs no pass at all. The backward folds the
+# whole chain — conv dgrad -> upconv-prologue grads -> (1,2,2) tap
+# transpose -> carry-prologue grads -> dcarry — into the one merged
+# kernel. vs the composed path, dcarry grads skip one bf16 rounding
+# (the dx0 chunk that no longer round-trips through HBM).
+# ---------------------------------------------------------------------------
+
+def _vup_geom(H: int, W: int):
+    from elektronn3_tpu.ops.flat_fused64 import (
+        _upconv122_f64_y, flat_geometry64, CC64)
+    H1, W1 = H // 2, W // 2
+    assert W1 % 2 == 0, W1
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    return dict(yfn=_upconv122_f64_y, G1=G1, R1=R1, P1=P1, H1=H1,
+                W1=W1, WRd=W1 * CC64 // 128)
+
+
+def conv_bnact_flat_vup(carry, invc, shiftc, wu, bu, xs, inv, shift,
+                        w, b, H: int, W: int, wrs: Tuple[int, ...],
+                        want_stats: bool, act: str, act_c: str):
+    """Decoder merge conv with a virtual upconv chunk.
+
+    Args:
+        carry: (B, D, R1 + 2*P1, 128) flat64 chunk at (H/2, W/2) — the
+            deeper fused64 level's FlatActs64 chunk.
+        invc, shiftc: its (1, 128) prologue lane vectors (f64 layout).
+        wu: (1, 2, 2, 64, CC) flax ConvTranspose kernel; bu: (CC,).
+        xs: skip chunks (CC=32 layout). inv/shift: (1 + len(xs), 128)
+            prologue vectors, slot 0 = the upconv-output prologue.
+        w, b, H, W, wrs, want_stats, act: as conv_bnact_flat (wrs[0]
+            must be 0; the virtual chunk has no dense adapter).
+        act_c: the CARRY prologue's activation (deeper level's act).
+    Returns:
+        (ys, stats) as conv_bnact_flat.
+    """
+    wu = jax.lax.optimization_barrier(wu)
+    w = jax.lax.optimization_barrier(w)
+    return _conv_vup_vjp(carry, invc, shiftc, wu, bu, tuple(xs), inv,
+                         shift, w, b, H, W, tuple(wrs), want_stats,
+                         act, act_c)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _conv_vup_vjp(carry, invc, shiftc, wu, bu, xs, inv, shift, w, b,
+                  H: int, W: int, wrs: Tuple[int, ...],
+                  want_stats: bool, act: str, act_c: str):
+    assert wrs[0] == 0, wrs
+    bias_l = jnp.tile(b.reshape(-1, CC), (1, JG))
+    bu_l = jnp.tile(bu.reshape(-1, CC), (1, JG))
+    M0u, M1u = pack_upconv_weights(wu)
+    ys, stats = _conv_fwd_call(
+        (carry,) + tuple(xs), inv, shift, pack_flat_weights(w), bias_l,
+        width_mask(W), H=H, W=W, wrs=wrs, want_stats=want_stats,
+        act=act, nout=w.shape[-1] // CC,
+        vup=dict(_vup_geom(H, W), act_c=act_c),
+        vup_ops=(M0u, M1u, bu_l, invc, shiftc))
+    return ys, stats
+
+
+def _conv_vup_fwd(carry, invc, shiftc, wu, bu, xs, inv, shift, w, b,
+                  H, W, wrs, want_stats, act, act_c):
+    out = _conv_vup_vjp(carry, invc, shiftc, wu, bu, xs, inv, shift,
+                        w, b, H, W, wrs, want_stats, act, act_c)
+    ys, _ = out
+    return out, (carry, invc, shiftc, wu, bu, xs, inv, shift, w, ys)
+
+
+def _conv_vup_bwd(H, W, wrs, want_stats, act, act_c, res, cts):
+    carry, invc, shiftc, wu, bu, xs, inv, shift, w, ys = res
+    dys_in, dstats = cts
+    vup = dict(_vup_geom(H, W), act_c=act_c)
+    R1, P1 = vup["R1"], vup["P1"]
+    nin, nout = 1 + len(xs), len(ys)
+    G, R, P = flat_geometry(H, W)
+    Ps = G + 8
+    B, D = carry.shape[0], carry.shape[1]
+    dtype = xs[0].dtype
+    mask = width_mask(W)
+    w0T, wpT, wmT = pack_flat_weights(
+        jax.lax.optimization_barrier(_flip_transpose(w)))
+    wT = (w0T, combine_corner_weights(wpT, wmT))
+    M0u, M1u = pack_upconv_weights(
+        jax.lax.optimization_barrier(wu))
+    bu_l = jnp.tile(bu.reshape(-1, CC), (1, JG))
+
+    per_sample = inv.ndim == 3
+    st_shape = (nout, B, 128) if per_sample else (nout, 128)
+    dys = tuple(jnp.zeros((B, D, R + 2 * P, 128), dtype) if dy is None
+                else dy.astype(dtype) for dy in dys_in)
+    if want_stats:
+        ds, dq = dstats
+        ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+        dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
+
+    kernel = functools.partial(
+        _fused_conv_bwd_kernel, nin=nin, nout=nout, G=G, R=R, P=P,
+        Ps=Ps, H=H, wrs=tuple(wrs), act=act, want_stats=want_stats,
+        x_dtype=dtype, d_halo=False, per_sample=per_sample, vup=vup)
+
+    in_specs, operands = [], []
+
+    def add(arr, spec_shape, index_map):
+        in_specs.append(pl.BlockSpec(spec_shape, index_map,
+                                     memory_space=pltpu.VMEM))
+        operands.append(arr)
+
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    add(carry, (1, 1, R1 + 2 * P1, 128), bd)
+    for x in xs:
+        add(x, (1, 1, x.shape[2], 128), bd)
+    for dy in dys:
+        add(dy, (1, 1, R + 2 * P, 128), bd)
+    if want_stats:
+        for y in ys:
+            add(y, (1, 1, R + 2 * P, 128), bd)
+    for warr in wT:
+        add(warr.astype(dtype), warr.shape,
+            lambda b_, d_, nd=warr.ndim: (0,) * nd)
+    add(mask.astype(jnp.float32), (G, 128), lambda b_, d_: (0, 0))
+    for v in (inv, shift):
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
+    for warr in (M0u, M1u):
+        add(warr.astype(dtype), (128, 128), lambda b_, d_: (0, 0))
+    for v in (bu_l, invc, shiftc):
+        op, spec = _ps_in(v.astype(jnp.float32))
+        in_specs.append(spec)
+        operands.append(op)
+    if want_stats:
+        for v in (ds, dq):
+            op, spec = _ps_in(v)
+            in_specs.append(spec)
+            operands.append(op)
+
+    out_specs, out_shape = [], []
+    out_specs.append(pl.BlockSpec((1, 1, R1 + 2 * P1, 128), bd,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((B, D, R1 + 2 * P1, 128),
+                                          dtype))
+    for i in range(1, nin):
+        rows = H * wrs[i] if wrs[i] else R + 2 * P
+        out_specs.append(pl.BlockSpec((1, 1, rows, 128), bd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, rows, 128), dtype))
+    const2 = lambda b_, d_: (0, 0)
+    for _ in range(2):   # dinv, dshift
+        sp, sh = _ps_out(nin, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
+    for shp in ((nin, nout, 1, 3, 128, 128), (nin, nout, 1, 3, 128, 128)):
+        out_specs.append(pl.BlockSpec(
+            shp, lambda b_, d_, nd=len(shp): (0,) * nd,
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    out_specs.append(pl.BlockSpec((nout, 128), const2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((nout, 128), jnp.float32))
+    # vup extras: dM0u, dM1u, dbu, dinvc, dshiftc
+    for _ in range(2):
+        out_specs.append(pl.BlockSpec((128, 128), const2,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 128), const2,
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+    for _ in range(2):   # dinvc, dshiftc
+        sp, sh = _ps_out(1, B if per_sample else None)
+        out_specs.append(sp)
+        out_shape.append(sh)
+
+    res_ = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((nin, R + 2 * Ps, 128), dtype),
+                        pltpu.VMEM((nout, R + 2 * Ps, 128), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * D * R * 128 * (128 + 2 * CC)
+            * nin * nout * 3,
+            bytes_accessed=(2 * nin + (3 if want_stats else 2) * nout)
+            * B * D * (R + 2 * P) * 256,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*operands)
+    dcarry = res_[0]
+    dxs_rest = tuple(res_[1:nin])
+    dinv, dshift, m0, mc, db = res_[nin:nin + 5]
+    dM0u, dM1u, dbu, dinvc, dshiftc = res_[nin + 5:nin + 10]
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
+        dinvc = dinvc.transpose(1, 0, 2)
+        dshiftc = dshiftc.transpose(1, 0, 2)
+    m0, mc = jax.lax.optimization_barrier((m0, mc))
+    dw = _unpack_wgrad(m0, mc, nin, nout).astype(w.dtype)
+    dbc = jnp.sum(db.reshape(nout, JG, CC), axis=1).reshape(-1)
+    dM0u, dM1u = jax.lax.optimization_barrier((dM0u, dM1u))
+    dwu = _unpack_upconv_wgrad(dM0u, dM1u).astype(wu.dtype)
+    dbu_c = jnp.sum(dbu.reshape(JG, CC), axis=0).astype(wu.dtype)
+    return (dcarry, dinvc, dshiftc, dwu, dbu_c, dxs_rest, dinv,
+            dshift, dw, dbc.astype(w.dtype))
+
+
+_conv_vup_vjp.defvjp(_conv_vup_fwd, _conv_vup_bwd)
 
 
 # ---------------------------------------------------------------------------

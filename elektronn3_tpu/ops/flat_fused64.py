@@ -2530,6 +2530,33 @@ def _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, *, G1, R1, P1,
     return a.reshape(nd * H1 * (W1 // JG64), 128), pre, x
 
 
+def _upconv122_f64_y(chunk_ref, inv_ref, shift_ref, m0_ref, m1_ref,
+                     mask_ref, bias_ref, *, G, R, P, H, G1, R1, P1, H1,
+                     W1, WRd, out_dtype, act, nd):
+    """Compute the (1,2,2) upconv output slab from the carry chunk:
+    (yc (nd, R, 128) out_dtype, Sc, pre, x), with yc bitwise equal to
+    the rows the materializing kernel stores (same op order). Shared
+    by the materializing forward, the stats-only pass, and the
+    stats-cotangent backward / vup recompute paths."""
+    S, pre, x = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, G1=G1,
+                                    R1=R1, P1=P1, H1=H1, W1=W1, act=act,
+                                    nd=nd)
+    Sc = S.astype(out_dtype)
+    dims = (((1,), (0,)), ((), ()))
+    outE = _dot(Sc, m0_ref[...], dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+    outO = _dot(Sc, m1_ref[...], dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+    z1 = jnp.zeros((nd * H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((nd * H1, G - WRd - 1, 128), jnp.float32)
+    rows = jnp.concatenate(
+        [z1, outE.reshape(nd * H1, WRd, 128), z2,
+         z1, outO.reshape(nd * H1, WRd, 128), z2], axis=1)
+    y = rows.reshape(nd, H, G, 128) + bias_ref[0][None, None, None, :]
+    y = (y * mask_ref[...][None, None]).reshape(nd, R, 128)
+    return y.astype(out_dtype), Sc, pre, x
+
+
 def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
                               m1_ref, mask_ref, bias_ref, out_ref,
                               s_ref, q_ref, *, G: int, R: int, P: int,
@@ -2548,23 +2575,10 @@ def _upconv122_f64_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
             s_ref[...] = jnp.zeros_like(s_ref)
             q_ref[...] = jnp.zeros_like(q_ref)
 
-    S, _, _ = _upconv122_f64_load(chunk_ref, inv_ref, shift_ref, G1=G1,
-                                  R1=R1, P1=P1, H1=H1, W1=W1, act=act,
-                                  nd=nd)
-    S = S.astype(out_dtype)
-    dims = (((1,), (0,)), ((), ()))
-    outE = _dot(S, m0_ref[...], dimension_numbers=dims,
-                               preferred_element_type=jnp.float32)
-    outO = _dot(S, m1_ref[...], dimension_numbers=dims,
-                               preferred_element_type=jnp.float32)
-    z1 = jnp.zeros((nd * H1, 1, 128), jnp.float32)
-    z2 = jnp.zeros((nd * H1, G - WRd - 1, 128), jnp.float32)
-    rows = jnp.concatenate(
-        [z1, outE.reshape(nd * H1, WRd, 128), z2,
-         z1, outO.reshape(nd * H1, WRd, 128), z2], axis=1)
-    y = rows.reshape(nd, H, G, 128) + bias_ref[0][None, None, None, :]
-    y = (y * mask_ref[...][None, None]).reshape(nd, R, 128)
-    yc = y.astype(out_dtype)
+    yc, _, _, _ = _upconv122_f64_y(
+        chunk_ref, inv_ref, shift_ref, m0_ref, m1_ref, mask_ref,
+        bias_ref, G=G, R=R, P=P, H=H, G1=G1, R1=R1, P1=P1, H1=H1,
+        W1=W1, WRd=WRd, out_dtype=out_dtype, act=act, nd=nd)
     out_ref[0, :, 0:P] = jnp.zeros((nd, P, 128), out_dtype)
     out_ref[0, :, P:P + R] = yc
     out_ref[0, :, P + R:2 * P + R] = jnp.zeros((nd, P, 128), out_dtype)
@@ -2812,6 +2826,262 @@ def _upconv122_f64_bwd(H, W, want_stats, act, res, cts):
 
 
 upconv122_from_flat64.defvjp(_upconv122_f64_fwd, _upconv122_f64_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stats-only (1,2,2) upconv pass: the vup fast path (see
+# flat_fused.conv_bnact_flat_vup) computes the upconv output chunk
+# INSIDE the CC=32 merge conv's prologue, so the materialized chunk —
+# 2x the carry bytes, written and immediately re-read across the
+# L1->L0 executor seam — never exists in HBM. Its batch statistics are
+# still needed BEFORE the merge conv runs (they feed the prologue), so
+# this op computes exactly the stats the materializing kernel would
+# have emitted (of the bf16-rounded rows, via the shared
+# _upconv122_f64_y recompute) while writing only the (1, 128) stat
+# vectors. Backward: the stats cotangent (ds, dq) is folded against
+# the recomputed output in-kernel — one carry-sized pass, no
+# full-resolution dy.
+# ---------------------------------------------------------------------------
+
+def _upconv122_stats_fwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
+                                m1_ref, mask_ref, bias_ref, s_ref,
+                                q_ref, *, G: int, R: int, P: int,
+                                H: int, G1: int, R1: int, P1: int,
+                                H1: int, W1: int, WRd: int, out_dtype,
+                                act: str, want_stats, nd: int):
+    first = (pl.program_id(1) == 0 if want_stats == "per_sample"
+             else jnp.logical_and(pl.program_id(0) == 0,
+                                  pl.program_id(1) == 0))
+
+    @pl.when(first)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+        q_ref[...] = jnp.zeros_like(q_ref)
+
+    yc, _, _, _ = _upconv122_f64_y(
+        chunk_ref, inv_ref, shift_ref, m0_ref, m1_ref, mask_ref,
+        bias_ref, G=G, R=R, P=P, H=H, G1=G1, R1=R1, P1=P1, H1=H1,
+        W1=W1, WRd=WRd, out_dtype=out_dtype, act=act, nd=nd)
+    yf = yc.astype(jnp.float32)
+    s_ref[0, :] += jnp.sum(yf, axis=(0, 1))
+    q_ref[0, :] += jnp.sum(yf * yf, axis=(0, 1))
+
+
+def _upconv122_stats_bwd_kernel(chunk_ref, inv_ref, shift_ref, m0_ref,
+                                m1_ref, mask_ref, bias_ref, ds_ref,
+                                dq_ref, dchunk, dM0, dM1, db, dinv_ref,
+                                dshift_ref, *, G: int, R: int, P: int,
+                                H: int, G1: int, R1: int, P1: int,
+                                H1: int, W1: int, WRd: int,
+                                x_dtype, act: str, nd: int,
+                                per_sample: bool = False):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first_b = pl.program_id(1) == 0 if per_sample else first
+
+    @pl.when(first)
+    def _():
+        dM0[...] = jnp.zeros_like(dM0)
+        dM1[...] = jnp.zeros_like(dM1)
+        db[...] = jnp.zeros_like(db)
+
+    @pl.when(first_b)
+    def _():
+        dinv_ref[...] = jnp.zeros_like(dinv_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    yc, Sc, pre, x = _upconv122_f64_y(
+        chunk_ref, inv_ref, shift_ref, m0_ref, m1_ref, mask_ref,
+        bias_ref, G=G, R=R, P=P, H=H, G1=G1, R1=R1, P1=P1, H1=H1,
+        W1=W1, WRd=WRd, out_dtype=x_dtype, act=act, nd=nd)
+    y = yc.astype(jnp.float32)                          # (nd, R, 128)
+    dy = ds_ref[0][None, None, :] + 2.0 * y * dq_ref[0][None, None, :]
+    dyt = (dy.reshape(nd, H, G, 128) * mask_ref[...][None, None]
+           ).reshape(nd, R, 128)
+    db[0, :] += jnp.sum(dyt, axis=(0, 1))
+    d3 = dyt.reshape(nd * H1, 2 * G, 128)
+    E = d3[:, 1:1 + WRd, :].reshape(nd * H1 * WRd, 128).astype(x_dtype)
+    O = d3[:, G + 1:G + 1 + WRd, :].reshape(
+        nd * H1 * WRd, 128).astype(x_dtype)
+    dimsT = (((1,), (1,)), ((), ()))
+    cdims = (((0,), (0,)), ((), ()))
+    dS = _dot(E, m0_ref[...], dimension_numbers=dimsT,
+                             preferred_element_type=jnp.float32) \
+        + _dot(O, m1_ref[...], dimension_numbers=dimsT,
+                              preferred_element_type=jnp.float32)
+    dM0[...] += _dot(Sc, E, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+    dM1[...] += _dot(Sc, O, dimension_numbers=cdims,
+                                    preferred_element_type=jnp.float32)
+    z1 = jnp.zeros((nd * H1, 1, 128), jnp.float32)
+    z2 = jnp.zeros((nd * H1, G1 - W1 // JG64 - 1, 128), jnp.float32)
+    demb = jnp.concatenate(
+        [z1, dS.reshape(nd * H1, W1 // JG64, 128), z2],
+        axis=1).reshape(nd, R1, 128)
+    dpre = demb * _act_deriv(pre, act)
+    dinv_ref[0, :] += jnp.sum(dpre * x, axis=(0, 1))
+    dshift_ref[0, :] += jnp.sum(dpre, axis=(0, 1))
+    dx = dpre * inv_ref[0][None, None, :]
+    dchunk[0, :, 0:P1] = jnp.zeros((nd, P1, 128), x_dtype)
+    dchunk[0, :, P1:P1 + R1] = dx.astype(x_dtype)
+    dchunk[0, :, P1 + R1:2 * P1 + R1] = jnp.zeros((nd, P1, 128), x_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def upconv122_stats_from_flat64(chunk, inv, shift, w, b, H: int,
+                                W: int, want_stats, act: str):
+    """Batch statistics of the (1,2,2) upconv output WITHOUT
+    materializing it — bitwise equal to the (sum, sumsq) the
+    materializing upconv122_from_flat64 emits (stats of the rounded
+    rows). Pairs with flat_fused.conv_bnact_flat_vup, which recomputes
+    the rows inside the merge conv's prologue. Args as
+    upconv122_from_flat64; returns only the stats pair."""
+    from elektronn3_tpu.ops.flat_fused import (
+        pack_upconv_weights, flat_geometry, width_mask)
+    assert want_stats in (True, "per_sample"), want_stats
+    H1, W1 = H // 2, W // 2
+    assert W1 % 2 == 0, W1
+    G, R, P = flat_geometry(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    WRd = W1 * CC64 // 128
+    B, D = chunk.shape[0], chunk.shape[1]
+    dtype = chunk.dtype
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
+    bias_l = jnp.tile(b.reshape(-1, 32), (1, 4))
+
+    nd = _upconv_dblk(D, 4, R + 2 * P, 9216)
+    kernel = functools.partial(
+        _upconv122_stats_fwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
+        P1=P1, H1=H1, W1=W1, WRd=WRd, out_dtype=dtype, act=act,
+        want_stats=want_stats, nd=nd)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    inv_op, inv_spec = _ps_in(inv.astype(jnp.float32))
+    shift_op, shift_spec = _ps_in(shift.astype(jnp.float32))
+    in_specs = [
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        inv_spec,
+        shift_spec,
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+    ]
+    operands = [chunk, inv_op, shift_op, M0.astype(dtype),
+                M1.astype(dtype), width_mask(W).astype(jnp.float32),
+                bias_l.astype(jnp.float32)]
+    st_spec, st_shape = _ps_out(
+        1, B if want_stats == "per_sample" else None)
+    sst, qst = pl.pallas_call(
+        kernel,
+        grid=(B, D // nd),
+        in_specs=tuple(in_specs),
+        out_specs=(st_spec, st_spec),
+        out_shape=(st_shape, st_shape),
+        interpret=_interpret(),
+    )(*operands)
+    if want_stats == "per_sample":
+        sst, qst = sst.transpose(1, 0, 2), qst.transpose(1, 0, 2)
+    return (sst, qst)
+
+
+def _upconv122_stats_fwd(chunk, inv, shift, w, b, H, W, want_stats,
+                         act):
+    out = upconv122_stats_from_flat64(chunk, inv, shift, w, b, H, W,
+                                      want_stats, act)
+    return out, (chunk, inv, shift, w, b)
+
+
+def _upconv122_stats_bwd(H, W, want_stats, act, res, cts):
+    from elektronn3_tpu.ops.flat_fused import (
+        pack_upconv_weights, flat_geometry, width_mask)
+    chunk, inv, shift, w, b = res
+    ds, dq = cts
+    H1, W1 = H // 2, W // 2
+    G, R, P = flat_geometry(H, W)
+    G1, R1, P1 = flat_geometry64(H1, W1)
+    WRd = W1 * CC64 // 128
+    B, D = chunk.shape[0], chunk.shape[1]
+    dtype = chunk.dtype
+    M0, M1 = pack_upconv_weights(
+        jax.lax.optimization_barrier(w))
+    bias_l = jnp.tile(b.reshape(-1, 32), (1, 4))
+    per_sample = want_stats == "per_sample"
+    st_shape = (1, B, 128) if per_sample else (1, 128)
+    ds = jnp.zeros(st_shape, jnp.float32) if ds is None else ds
+    dq = jnp.zeros(st_shape, jnp.float32) if dq is None else dq
+
+    nd = _upconv_dblk(D, 2, R + 2 * P, 4608)
+    kernel = functools.partial(
+        _upconv122_stats_bwd_kernel, G=G, R=R, P=P, H=H, G1=G1, R1=R1,
+        P1=P1, H1=H1, W1=W1, WRd=WRd, x_dtype=dtype, act=act, nd=nd,
+        per_sample=per_sample)
+    bd = lambda b_, d_: (b_, d_, 0, 0)
+    c2 = lambda b_, d_: (0, 0)
+    inv_op, inv_spec = _ps_in(inv.astype(jnp.float32))
+    shift_op, shift_spec = _ps_in(shift.astype(jnp.float32))
+    ds_op, ds_spec = _ps_in(ds)
+    dq_op, dq_spec = _ps_in(dq)
+    in_specs = [
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        inv_spec,
+        shift_spec,
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        ds_spec,
+        dq_spec,
+    ]
+    operands = [chunk, inv_op, shift_op, M0.astype(dtype),
+                M1.astype(dtype), width_mask(W).astype(jnp.float32),
+                bias_l.astype(jnp.float32), ds_op, dq_op]
+    pro_spec, pro_shape = _ps_out(1, B if per_sample else None)
+    out_specs = [
+        pl.BlockSpec((1, nd, R1 + 2 * P1, 128), bd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), c2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), c2, memory_space=pltpu.VMEM),
+        pro_spec,
+        pro_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, R1 + 2 * P1, 128), dtype),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        pro_shape,
+        pro_shape,
+    ]
+    dchunk, dM0, dM1, dbl, dinv, dshift = pl.pallas_call(
+        kernel,
+        grid=(B, D // nd),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    # barrier: scatter-fusion miscompile guard (see conv3_bnact_flat64)
+    dM0, dM1 = jax.lax.optimization_barrier((dM0, dM1))
+    dw = jnp.zeros((1, 2, 2, 64, 32), jnp.float32)
+    for a_, dM in ((0, dM0), (1, dM1)):
+        for j in range(4):
+            m_, p_ = j // 2, j % 2
+            dw = dw.at[0, 1 - a_, 1 - p_].add(
+                dM[m_ * 64:(m_ + 1) * 64, j * 32:(j + 1) * 32])
+    dbc = jnp.sum(dbl.reshape(4, 32), axis=0)
+    if per_sample:
+        dinv = dinv.transpose(1, 0, 2)
+        dshift = dshift.transpose(1, 0, 2)
+    return (dchunk, dinv, dshift, dw.astype(w.dtype),
+            dbc.astype(w.dtype))
+
+
+upconv122_stats_from_flat64.defvjp(_upconv122_stats_fwd,
+                                   _upconv122_stats_bwd)
 
 # ---------------------------------------------------------------------------
 # Stride-2 transposed conv consuming FlatActs64 chunks and emitting
