@@ -219,6 +219,13 @@ CONFIGS = [
     ("3d-c128-kisplit", (1, 4, 8, 8, 1),
      dict(dim=3, planar_blocks=(0,), n_blocks=3, start_filts=64,
           _env={"E3TPU_FORCE_KI_SPLIT": "2"})),
+    # vup merge conv (round 5, opt-in capability — measured SLOWER
+    # end-to-end so default-off, models/unet.py _vup_on): virtual
+    # upconv chunk recomputed in the merge conv prologue + stats-only
+    # carry pass. Mosaic-vs-interpret validates the recompute and the
+    # folded backward chain on the chip.
+    ("3d-vup", (1, 4, 8, 16, 1), dict(dim=3, planar_blocks=(0,),
+                                      _env={"E3TPU_VUP": "1"})),
 ]
 
 

@@ -94,14 +94,25 @@ _FUSED_ROWS_EVAL = int(os.environ.get("E3TPU_FUSED_ROWS_EVAL", 3400))
 
 
 def _vup_on() -> bool:
-    """vup fast path (round 5): the CC=32 decoder merge conv consumes
-    the deeper fused64 level's carry directly, recomputing the (1,2,2)
-    upconv rows in its prologue (ops/flat_fused.conv_bnact_flat_vup) —
-    the materialized upconv chunk (the MFU ledger's last recorded
-    headline lever, >= 262 MB/pass of pure seam traffic) never exists.
-    E3TPU_VUP=0 reverts to the materializing upconv122_from_flat64."""
-    return os.environ.get("E3TPU_VUP", "auto").lower() not in (
-        "0", "off", "false")
+    """vup path (round 5, measured dead end — default OFF): the CC=32
+    decoder merge conv consumes the deeper fused64 level's carry
+    directly, recomputing the (1,2,2) upconv rows in its prologue
+    (ops/flat_fused.conv_bnact_flat_vup), so the materialized upconv
+    chunk (>= 262 MB/pass of L1->L0 seam traffic — the MFU ledger's
+    last recorded headline lever) never exists. MEASURED SLOWER on the
+    v5e (2026-08-20 A/B, headline config): 53.7 vs 48.2 ms/step
+    (50.7 vs 56.4 MVox/s). Per-op profile: the merge conv is
+    COMPUTE-bound with the seam reads already DMA-hidden, so deleting
+    them bought nothing, while the in-kernel recompute's even/odd row
+    interleave (an unaligned sublane shuffle) is serial VPU work that
+    appears 5x per step (conv1 fwd +0.64 ms, conv1 bwd +2.87 ms with
+    two rebuilds, stats-cotangent pass +0.98 ms vs the materializing
+    upconv backward). Best-case fixes (stage-A reuse, taller stats-bwd
+    blocking) leave ~+2.9 ms — the sign does not flip. Kept as an
+    opt-in capability (E3TPU_VUP=1), parity-tested in
+    tests/test_flat_vup.py; see docs/design.md round-5 findings."""
+    return os.environ.get("E3TPU_VUP", "0").lower() in (
+        "1", "on", "true", "auto")
 
 UP_MODES = ("transpose", "resizeconv_nearest", "resizeconv_linear",
             "resizeconv_nearest1", "resizeconv_linear1")

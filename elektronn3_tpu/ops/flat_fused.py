@@ -874,6 +874,16 @@ _conv_bnact_vjp.defvjp(_conv_bnact_fwd, _conv_bnact_bwd)
 # transpose -> carry-prologue grads -> dcarry — into the one merged
 # kernel. vs the composed path, dcarry grads skip one bf16 rounding
 # (the dx0 chunk that no longer round-trips through HBM).
+#
+# MEASURED DEAD END on the v5e (2026-08-20; default OFF, models/
+# unet.py _vup_on): headline step 53.7 vs 48.2 ms. The merge conv is
+# compute-bound (84% of packing ceiling) with the seam reads DMA-
+# hidden, so deleting them bought nothing; the recompute's even/odd
+# row interleave (unaligned sublane shuffle at WRd=22) is serial VPU
+# work repeated 5x per step (fwd scratch, 2x bwd rebuild, stats fwd +
+# stats bwd) at nd=1 with no D-batching. Kept as a parity-tested
+# capability (tests/test_flat_vup.py) — a future Mosaic with cheap
+# strided sublane stores changes the calculus.
 # ---------------------------------------------------------------------------
 
 def _vup_geom(H: int, W: int):
